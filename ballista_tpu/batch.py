@@ -1,0 +1,235 @@
+"""Fixed-shape SoA columnar device batches.
+
+This replaces Arrow `RecordBatch` (the unit of data in the reference engine —
+DataFusion streams of RecordBatches, e.g. `shuffle_writer.rs:341-392` iterates
+them) with a TPU-friendly representation:
+
+- Every column is a 1-D device array of a fixed, padding-rounded *capacity*
+  plus a boolean validity array of the same capacity.
+- The number of live rows is a device int32 scalar `num_rows`; rows
+  [num_rows, capacity) are padding and always invalid.
+- Live rows are densely packed at the front (operators maintain this
+  invariant; `compact` restores it after filtering).
+
+A `Batch` is a JAX pytree (NamedTuple of arrays) so whole operator chains
+jit-compile into a single XLA program per stage. Schemas (dtypes, string
+dictionaries) are host-side planning metadata in `schema.Schema` and never
+enter the traced program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .schema import DataType, Field, Schema, TypeKind
+
+# Pad capacities to lane multiples so XLA tiles cleanly onto the VPU.
+LANE = 128
+
+
+def round_capacity(n: int) -> int:
+    return max(LANE, -(-int(n) // LANE) * LANE)
+
+
+class Column(NamedTuple):
+    data: jax.Array      # (capacity,) typed per DataType.jnp_dtype
+    validity: jax.Array  # (capacity,) bool
+
+
+class Batch(NamedTuple):
+    columns: Tuple[Column, ...]
+    num_rows: jax.Array  # () int32
+
+    @property
+    def capacity(self) -> int:
+        return int(self.columns[0].data.shape[0]) if self.columns else 0
+
+    def column(self, i: int) -> Column:
+        return self.columns[i]
+
+    def replace_columns(self, columns) -> "Batch":
+        return Batch(tuple(columns), self.num_rows)
+
+
+def row_mask(batch: Batch) -> jax.Array:
+    """Boolean (capacity,) mask of live rows."""
+    cap = batch.capacity
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    return idx < batch.num_rows
+
+
+def make_column(values: np.ndarray, validity: np.ndarray, dtype: DataType,
+                capacity: int) -> Column:
+    n = len(values)
+    assert n <= capacity
+    data = np.zeros(capacity, dtype=np.dtype(dtype.jnp_dtype.name if hasattr(dtype.jnp_dtype, "name") else dtype.jnp_dtype))
+    data[:n] = values
+    valid = np.zeros(capacity, dtype=bool)
+    valid[:n] = validity
+    return Column(jnp.asarray(data), jnp.asarray(valid))
+
+
+def empty_like_schema(schema: Schema, capacity: int) -> Batch:
+    cols = []
+    for f in schema.fields:
+        cols.append(Column(
+            jnp.zeros(capacity, dtype=f.dtype.jnp_dtype),
+            jnp.zeros(capacity, dtype=jnp.bool_),
+        ))
+    return Batch(tuple(cols), jnp.int32(0))
+
+
+# ---------------------------------------------------------------------------
+# Arrow / host interop (ingest + result egress + oracle diffing)
+# ---------------------------------------------------------------------------
+
+def _np_dtype_for(dtype: DataType):
+    return {
+        TypeKind.BOOL: np.bool_,
+        TypeKind.INT32: np.int32,
+        TypeKind.INT64: np.int64,
+        TypeKind.FLOAT32: np.float32,
+        TypeKind.FLOAT64: np.float64,
+        TypeKind.DATE32: np.int32,
+        TypeKind.DECIMAL: np.int64,
+        TypeKind.STRING: np.int32,
+    }[dtype.kind]
+
+
+def schema_from_arrow(arrow_schema) -> Schema:
+    import pyarrow as pa
+
+    fields = []
+    for f in arrow_schema:
+        t = f.type
+        if pa.types.is_boolean(t):
+            dt = DataType(TypeKind.BOOL)
+        elif pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+            dt = DataType(TypeKind.INT32)
+        elif pa.types.is_int64(t):
+            dt = DataType(TypeKind.INT64)
+        elif pa.types.is_float32(t):
+            dt = DataType(TypeKind.FLOAT32)
+        elif pa.types.is_float64(t):
+            dt = DataType(TypeKind.FLOAT64)
+        elif pa.types.is_date32(t):
+            dt = DataType(TypeKind.DATE32)
+        elif pa.types.is_decimal(t):
+            dt = DataType(TypeKind.DECIMAL, t.precision, t.scale)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            dt = DataType(TypeKind.STRING)
+        else:
+            raise TypeError(f"unsupported arrow type {t} for column {f.name}")
+        fields.append(Field(f.name, dt, f.nullable))
+    return Schema(tuple(fields))
+
+
+def from_arrow(table, capacity: int | None = None) -> tuple[Batch, Schema]:
+    """Convert a pyarrow Table to a device Batch + Schema.
+
+    Strings are dictionary-encoded against a *sorted* dictionary so that
+    code order == lexicographic order (ORDER BY / min / max work on codes).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    cap = round_capacity(n if capacity is None else capacity)
+    schema = schema_from_arrow(table.schema)
+    cols = []
+    dicts = {}
+    for i, f in enumerate(schema.fields):
+        arr = table.column(i).combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks() if arr.num_chunks else pa.array([], type=arr.type)
+        validity = np.ones(n, dtype=bool)
+        if arr.null_count:
+            validity = np.asarray(pc.is_valid(arr))
+        if f.dtype.kind is TypeKind.STRING:
+            # sorted dictionary encode
+            uniq = pc.unique(pc.drop_null(arr))
+            dict_np = np.sort(np.asarray(uniq, dtype=object))
+            dicts[f.name] = dict_np.astype(object)
+            str_np = np.asarray(arr, dtype=object)
+            codes = np.searchsorted(dict_np.astype(str), np.where(validity, str_np, dict_np[0] if len(dict_np) else ""))
+            codes = codes.astype(np.int32)
+            values = np.where(validity, codes, 0).astype(np.int32)
+        elif f.dtype.kind is TypeKind.DECIMAL:
+            # arrow decimal -> scaled int64
+            ints = np.array([int(v.as_py().scaleb(f.dtype.scale)) if v.is_valid else 0
+                             for v in arr], dtype=np.int64)
+            values = ints
+        elif f.dtype.kind is TypeKind.DATE32:
+            values = np.asarray(arr.cast(pa.int32()), dtype=np.int32)
+            values = np.where(validity, values, 0)
+        else:
+            if arr.null_count:
+                arr = arr.fill_null(0)
+            values = np.asarray(arr).astype(_np_dtype_for(f.dtype))
+        cols.append(make_column(values, validity, f.dtype, cap))
+    schema = Schema(schema.fields, dicts)
+    return Batch(tuple(cols), jnp.int32(n)), schema
+
+
+def to_numpy(batch: Batch, schema: Schema) -> dict:
+    """Materialize live rows host-side: dict name -> (values ndarray, validity ndarray).
+
+    Strings are decoded through the schema dictionary into object arrays;
+    decimals stay scaled int64 (use `to_pandas` for Python Decimals).
+    """
+    n = int(batch.num_rows)
+    out = {}
+    for f, col in zip(schema.fields, batch.columns):
+        data = np.asarray(col.data)[:n]
+        valid = np.asarray(col.validity)[:n]
+        if f.dtype.kind is TypeKind.STRING:
+            d = schema.dictionary(f.name)
+            if d is None:
+                d = np.array([], dtype=object)
+            decoded = np.empty(n, dtype=object)
+            codes = np.clip(data, 0, max(len(d) - 1, 0))
+            decoded[:] = d[codes] if len(d) else None
+            decoded[~valid] = None
+            out[f.name] = (decoded, valid)
+        else:
+            out[f.name] = (data, valid)
+    return out
+
+
+def to_pandas(batch: Batch, schema: Schema):
+    """Live rows as a pandas DataFrame (decimals -> float for readability)."""
+    import pandas as pd
+
+    cols = {}
+    raw = to_numpy(batch, schema)
+    for f in schema.fields:
+        data, valid = raw[f.name]
+        if f.dtype.kind is TypeKind.DECIMAL:
+            vals = data.astype(np.float64) / (10 ** f.dtype.scale)
+            cols[f.name] = pd.Series(np.where(valid, vals, np.nan))
+        elif f.dtype.kind is TypeKind.STRING:
+            cols[f.name] = pd.Series(data, dtype=object)
+        elif f.dtype.kind is TypeKind.DATE32:
+            s = pd.Series(data.astype("datetime64[D]"))
+            s[~valid] = pd.NaT
+            cols[f.name] = s
+        elif f.dtype.kind in (TypeKind.FLOAT32, TypeKind.FLOAT64):
+            cols[f.name] = pd.Series(np.where(valid, data, np.nan))
+        else:
+            s = pd.Series(data)
+            if not valid.all():
+                s = s.astype("object")
+                s[~valid] = None
+            cols[f.name] = s
+    return pd.DataFrame(cols)
+
+
+def from_pandas(df, schema: Schema | None = None, capacity: int | None = None):
+    import pyarrow as pa
+
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    return from_arrow(table, capacity)

@@ -1,0 +1,110 @@
+"""SessionContext — the user entry point.
+
+Reference parity: `BallistaContext` (`ballista/client/src/context.rs:87,143`):
+register_csv/register_parquet/register_arrow, sql(), DataFrame creation.
+Local mode executes plans in-process (the `standalone` mode analog,
+`standalone.rs:42`); distributed mode hands the plan to the scheduler
+(`scheduler` package) which splits it into stages over the device mesh.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from .. import batch as B
+from ..planner import logical as L
+from ..planner.physical import PhysicalOptions, create_physical_plan
+from ..exec.plan import compile_stage
+from .dataframe import DataFrame
+
+
+class TableProvider:
+    """A registered table: pyarrow Table + lazily-converted device batch."""
+
+    def __init__(self, name: str, arrow_table):
+        self.name = name
+        self.arrow_table = arrow_table
+        self._batch = None
+        self._schema = None
+
+    @property
+    def schema(self):
+        self._ensure()
+        return self._schema
+
+    @property
+    def batch(self):
+        self._ensure()
+        return self._batch
+
+    @property
+    def capacity(self) -> int:
+        return self.batch.capacity
+
+    def _ensure(self):
+        if self._batch is None:
+            self._batch, self._schema = B.from_arrow(self.arrow_table)
+
+
+class SessionContext:
+    def __init__(self, options: Optional[PhysicalOptions] = None):
+        self.tables: Dict[str, TableProvider] = {}
+        self.options = options or PhysicalOptions()
+        self._stage_cache: Dict[int, object] = {}
+
+    # -- registration (BallistaContext::register_* parity) --
+    def register_arrow(self, name: str, table) -> None:
+        self.tables[name] = TableProvider(name, table)
+
+    def register_pandas(self, name: str, df) -> None:
+        import pyarrow as pa
+        self.register_arrow(name, pa.Table.from_pandas(df, preserve_index=False))
+
+    def register_csv(self, name: str, path: str, schema=None, **kwargs) -> None:
+        import pyarrow.csv as pacsv
+        opts = {}
+        if schema is not None:
+            opts["convert_options"] = pacsv.ConvertOptions(column_types=schema)
+        table = pacsv.read_csv(path, **opts)
+        self.register_arrow(name, table)
+
+    def register_parquet(self, name: str, path: str) -> None:
+        import pyarrow.parquet as pq
+        self.register_arrow(name, pq.read_table(path))
+
+    # -- plan creation --
+    def table(self, name: str) -> DataFrame:
+        tp = self.tables[name]
+        return DataFrame(self, L.TableScan(name, tp.schema))
+
+    def sql(self, query: str) -> DataFrame:
+        from ..sql import plan_sql
+        return DataFrame(self, plan_sql(query, self))
+
+    # -- execution (local single-partition path) --
+    def collect(self, plan: L.LogicalPlan):
+        capacities = {name: tp.capacity for name, tp in self.tables.items()}
+        # refresh scan schemas to include ingest-time dictionaries
+        plan = _rebind_scans(plan, self)
+        exec_plan = create_physical_plan(plan, capacities, self.options)
+        fn, input_ids = compile_stage(exec_plan)
+        inputs = {i: self.tables[i].batch for i in set(input_ids)}
+        out = fn(inputs)
+        return out, exec_plan.schema
+
+
+def _rebind_scans(plan: L.LogicalPlan, ctx: SessionContext) -> L.LogicalPlan:
+    import dataclasses as dc
+    if isinstance(plan, L.TableScan):
+        return dc.replace(plan, table_schema=ctx.tables[plan.table_name].schema)
+    kids = plan.children()
+    if not kids:
+        return plan
+    new = {f.name: getattr(plan, f.name) for f in dc.fields(plan)}
+    for key, val in list(new.items()):
+        if isinstance(val, L.LogicalPlan):
+            new[key] = _rebind_scans(val, ctx)
+    return type(plan)(**new)

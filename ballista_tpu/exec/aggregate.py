@@ -1,0 +1,145 @@
+"""Aggregate expression machinery (two-phase, DataFusion Partial/Final parity).
+
+Each AggExpr binds to: partial state columns (computed per partition),
+a merge step (re-aggregate states after shuffle on group keys), and a
+finalize projection (e.g. avg = sum / count in exact decimal math).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..batch import Batch, Column
+from ..exprs import Bound, Expr, _div_round_half, bind_expr, expr_name
+from ..schema import DataType, Field, FLOAT32, FLOAT64, INT64, Schema, TypeKind, decimal
+
+
+@dataclasses.dataclass(frozen=True)
+class AggExpr:
+    kind: str                 # sum | count | count_star | min | max | avg
+    arg: Optional[Expr] = None
+    alias: Optional[str] = None
+    distinct: bool = False
+
+    @property
+    def name(self) -> str:
+        if self.alias:
+            return self.alias
+        if self.kind == "count_star":
+            return "count(*)"
+        return f"{self.kind}({expr_name(self.arg)})"
+
+
+def _sum_dtype(dt: DataType) -> DataType:
+    if dt.kind is TypeKind.DECIMAL:
+        return decimal(18, dt.scale)
+    if dt.is_integer:
+        return INT64
+    return dt
+
+
+def _avg_dtype(dt: DataType) -> DataType:
+    if dt.kind is TypeKind.DECIMAL:
+        return decimal(18, min(dt.scale + 4, 12))
+    return FLOAT64 if dt.kind is TypeKind.FLOAT64 else FLOAT32 if dt.kind is TypeKind.FLOAT32 else FLOAT64
+
+
+class BoundAgg:
+    """One aggregate bound against the input schema."""
+
+    def __init__(self, spec: AggExpr, in_schema: Schema):
+        from ..ops import agg as A
+        self.spec = spec
+        self.A = A
+        self.arg: Optional[Bound] = (
+            bind_expr(spec.arg, in_schema) if spec.arg is not None else None)
+        k = spec.kind
+        if k == "count_star" or k == "count":
+            self.state_dtypes = [INT64]
+            self.out_field = Field(spec.name, INT64, nullable=False)
+        elif k == "sum":
+            st = _sum_dtype(self.arg.dtype)
+            self.state_dtypes = [st]
+            self.out_field = Field(spec.name, st, nullable=True)
+        elif k in ("min", "max"):
+            self.state_dtypes = [self.arg.dtype]
+            self.out_field = Field(spec.name, self.arg.dtype, nullable=True)
+        elif k == "avg":
+            st = _sum_dtype(self.arg.dtype)
+            self.state_dtypes = [st, INT64]
+            self.out_field = Field(spec.name, _avg_dtype(self.arg.dtype), nullable=True)
+        else:
+            raise NotImplementedError(f"aggregate {k}")
+
+    def state_fields(self) -> List[Field]:
+        return [Field(f"{self.spec.name}#s{i}", dt, True)
+                for i, dt in enumerate(self.state_dtypes)]
+
+    # --- phase 1: raw rows -> per-slot states ---
+    def partial(self, batch: Batch, row_slot, live, T: int) -> List[Column]:
+        A, k = self.A, self.spec.kind
+        if k == "count_star":
+            cnt, v = A.seg_count_star(row_slot, live, T)
+            return [Column(cnt, v)]
+        col = self.arg.fn(batch)
+        data = col.data
+        if self.spec.kind in ("sum", "avg") and self.state_dtypes[0].kind in (TypeKind.DECIMAL, TypeKind.INT64):
+            data = data.astype(jnp.int64)
+        if k == "count":
+            cnt, v = A.seg_count(data, col.validity, row_slot, live, T)
+            return [Column(cnt, v)]
+        if k == "sum":
+            s, v = A.seg_sum(data, col.validity, row_slot, live, T)
+            return [Column(s, v)]
+        if k == "min":
+            m, v = A.seg_min(data, col.validity, row_slot, live, T)
+            return [Column(m, v)]
+        if k == "max":
+            m, v = A.seg_max(data, col.validity, row_slot, live, T)
+            return [Column(m, v)]
+        if k == "avg":
+            s, sv = A.seg_sum(data, col.validity, row_slot, live, T)
+            c, _ = A.seg_count(data, col.validity, row_slot, live, T)
+            return [Column(s, sv), Column(c, jnp.ones_like(sv))]
+        raise NotImplementedError(k)
+
+    # --- phase 2: partial states -> merged states (after shuffle) ---
+    def merge(self, state_cols: List[Column], row_slot, live, T: int) -> List[Column]:
+        A, k = self.A, self.spec.kind
+        if k in ("count", "count_star"):
+            s, _ = A.seg_sum(state_cols[0].data, state_cols[0].validity, row_slot, live, T)
+            return [Column(s, jnp.ones_like(s, dtype=jnp.bool_))]
+        if k == "sum":
+            s, v = A.seg_sum(state_cols[0].data, state_cols[0].validity, row_slot, live, T)
+            return [Column(s, v)]
+        if k == "min":
+            m, v = A.seg_min(state_cols[0].data, state_cols[0].validity, row_slot, live, T)
+            return [Column(m, v)]
+        if k == "max":
+            m, v = A.seg_max(state_cols[0].data, state_cols[0].validity, row_slot, live, T)
+            return [Column(m, v)]
+        if k == "avg":
+            s, sv = A.seg_sum(state_cols[0].data, state_cols[0].validity, row_slot, live, T)
+            c, _ = A.seg_sum(state_cols[1].data, state_cols[1].validity, row_slot, live, T)
+            return [Column(s, sv), Column(c, jnp.ones_like(sv, dtype=jnp.bool_))]
+        raise NotImplementedError(k)
+
+    # --- finalize: merged states -> output column ---
+    def finalize(self, state_cols: List[Column]) -> Column:
+        k = self.spec.kind
+        if k in ("count", "count_star", "sum", "min", "max"):
+            return state_cols[0]
+        if k == "avg":
+            s, c = state_cols
+            out = self.out_field.dtype
+            if out.kind is TypeKind.DECIMAL:
+                in_scale = self.state_dtypes[0].scale
+                num = s.data.astype(jnp.int64) * jnp.int64(10 ** (out.scale - in_scale))
+                q = _div_round_half(num, jnp.maximum(c.data, 1))
+                return Column(q, s.validity & (c.data > 0))
+            d = s.data.astype(out.jnp_dtype) / jnp.maximum(c.data, 1).astype(out.jnp_dtype)
+            return Column(d, s.validity & (c.data > 0))
+        raise NotImplementedError(k)

@@ -1,0 +1,442 @@
+"""Physical operator tree -> one traced function per stage.
+
+Reference parity map (SURVEY.md §2.1):
+- FilterExec/ProjectExec/HashAggregateExec/HashJoinExec/SortExec: DataFusion's
+  single-node operators (the engine kernel Ballista delegates to).
+- InputLeaf: stands where DataFusion's scans / Ballista's ShuffleReaderExec
+  feed a stage; the runtime binds it to a table partition or shuffle input.
+- CoalesceExec: Ballista's CoalesceTasksExec / CoalescePartitionsExec — merges
+  partition batches into one.
+
+Each node's `evaluate` is pure traced JAX over fixed-capacity Batches; a
+stage's whole tree compiles into a single XLA program via `compile_stage`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Batch, Column, row_mask
+from ..exprs import Bound, Expr, bind_expr, expr_name, output_field
+from ..schema import Field, Schema, TypeKind
+from ..ops import hash as H
+from ..ops.compact import compaction_perm, filter_batch, gather_batch, limit_batch
+from ..ops.sort import SortKeySpec, sort_batch
+from .aggregate import AggExpr, BoundAgg
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class ExecNode:
+    """Base physical operator. Subclasses set .schema and .capacity at
+    construction (host planning time) and implement .evaluate (traced)."""
+
+    schema: Schema
+    capacity: int
+    children: Tuple["ExecNode", ...] = ()
+
+    def evaluate(self, inputs: Dict[str, Batch]) -> Batch:
+        raise NotImplementedError
+
+    def leaves(self) -> List["InputLeaf"]:
+        if isinstance(self, InputLeaf):
+            return [self]
+        out = []
+        for c in self.children:
+            out.extend(c.leaves())
+        return out
+
+    def display(self, indent: int = 0) -> str:
+        s = "  " * indent + self._label() + "\n"
+        for c in self.children:
+            s += c.display(indent + 1)
+        return s
+
+    def _label(self) -> str:
+        return type(self).__name__
+
+
+class InputLeaf(ExecNode):
+    """Stage input: a table partition or a shuffle read, bound at runtime."""
+
+    def __init__(self, input_id: str, schema: Schema, capacity: int):
+        self.input_id = input_id
+        self.schema = schema
+        self.capacity = capacity
+        self.children = ()
+
+    def evaluate(self, inputs):
+        return inputs[self.input_id]
+
+    def _label(self):
+        return f"InputLeaf({self.input_id}, cap={self.capacity})"
+
+
+class FilterExec(ExecNode):
+    def __init__(self, child: ExecNode, predicate: Expr):
+        self.children = (child,)
+        self.predicate = predicate
+        self.schema = child.schema
+        self.capacity = child.capacity
+        self._bound = bind_expr(predicate, child.schema)
+
+    def evaluate(self, inputs):
+        b = self.children[0].evaluate(inputs)
+        return filter_batch(b, self._bound.fn(b))
+
+    def _label(self):
+        return f"FilterExec({self.predicate})"
+
+
+class ProjectExec(ExecNode):
+    def __init__(self, child: ExecNode, exprs: Sequence[Expr],
+                 names: Optional[Sequence[str]] = None):
+        self.children = (child,)
+        self.exprs = tuple(exprs)
+        self._bounds = [bind_expr(e, child.schema) for e in exprs]
+        names = list(names) if names else [expr_name(e) for e in exprs]
+        fields = tuple(Field(n, b.dtype, b.nullable)
+                       for n, b in zip(names, self._bounds))
+        # propagate dictionaries for passthrough string columns
+        dicts = {}
+        from ..exprs import Alias, Col
+        for n, e in zip(names, exprs):
+            base = e.child if isinstance(e, Alias) else e
+            if isinstance(base, Col) and child.schema.dictionary(base.name) is not None:
+                dicts[n] = child.schema.dictionary(base.name)
+        self.schema = Schema(fields, dicts)
+        self.capacity = child.capacity
+
+    def evaluate(self, inputs):
+        b = self.children[0].evaluate(inputs)
+        live = row_mask(b)
+        cols = []
+        for bound in self._bounds:
+            c = bound.fn(b)
+            cols.append(Column(c.data, c.validity & live))
+        return Batch(tuple(cols), b.num_rows)
+
+    def _label(self):
+        return f"ProjectExec({', '.join(map(str, self.exprs))})"
+
+
+class HashAggregateExec(ExecNode):
+    """mode: 'partial' (rows->states), 'final' (states->output),
+    'single' (rows->output, no shuffle in between)."""
+
+    def __init__(self, child: ExecNode, group_exprs: Sequence[Expr],
+                 aggs: Sequence[AggExpr], mode: str = "single",
+                 table_size: Optional[int] = None,
+                 group_names: Optional[Sequence[str]] = None):
+        assert mode in ("partial", "final", "single")
+        self.children = (child,)
+        self.mode = mode
+        self.group_exprs = tuple(group_exprs)
+        self.aggs = tuple(aggs)
+        in_schema = child.schema
+        self._group_bounds = [bind_expr(e, in_schema) for e in group_exprs]
+        self._group_names = (list(group_names) if group_names
+                             else [expr_name(e) for e in group_exprs])
+        if table_size is None:
+            table_size = min(_next_pow2(max(child.capacity, 16)), 1 << 16)
+        self.table_size = table_size
+        self.capacity = max(128, table_size)
+
+        key_fields = tuple(Field(n, b.dtype, b.nullable)
+                           for n, b in zip(self._group_names, self._group_bounds))
+        dicts = {}
+        from ..exprs import Alias, Col
+        for n, e in zip(self._group_names, group_exprs):
+            base = e.child if isinstance(e, Alias) else e
+            if isinstance(base, Col) and in_schema.dictionary(base.name) is not None:
+                dicts[n] = in_schema.dictionary(base.name)
+
+        if mode == "final":
+            # child emits key columns + state columns; bind aggs by state names
+            self._bound_aggs = []
+            probe_schema = in_schema
+            for a in aggs:
+                # reconstruct a BoundAgg whose state field names match child
+                ba = BoundAgg.__new__(BoundAgg)
+                ba.spec = a
+                from ..ops import agg as A
+                ba.A = A
+                ba.arg = None
+                # recover dtypes from child schema
+                sf = [f for f in probe_schema.fields if f.name.startswith(f"{a.name}#s")]
+                assert sf, f"final agg {a.name} missing state cols in {probe_schema}"
+                ba.state_dtypes = [f.dtype for f in sf]
+                k = a.kind
+                from .aggregate import _avg_dtype, _sum_dtype
+                from ..schema import INT64
+                if k in ("count", "count_star"):
+                    ba.out_field = Field(a.name, INT64, nullable=False)
+                elif k == "sum":
+                    ba.out_field = Field(a.name, ba.state_dtypes[0], nullable=True)
+                elif k in ("min", "max"):
+                    ba.out_field = Field(a.name, ba.state_dtypes[0], nullable=True)
+                elif k == "avg":
+                    sum_dt = ba.state_dtypes[0]
+                    ba.out_field = Field(a.name, _avg_dtype(sum_dt), nullable=True)
+                self._bound_aggs.append(ba)
+            agg_fields = tuple(ba.out_field for ba in self._bound_aggs)
+        else:
+            self._bound_aggs = [BoundAgg(a, in_schema) for a in aggs]
+            if mode == "partial":
+                agg_fields = tuple(f for ba in self._bound_aggs for f in ba.state_fields())
+            else:
+                agg_fields = tuple(ba.out_field for ba in self._bound_aggs)
+        self.schema = Schema(key_fields + agg_fields, dicts)
+
+    def evaluate(self, inputs):
+        b = self.children[0].evaluate(inputs)
+        live = row_mask(b)
+        T = self.table_size
+        if self._group_bounds:
+            key_cols = [g.fn(b) for g in self._group_bounds]
+            gt = H.group_codes(tuple(c.data for c in key_cols),
+                               tuple(c.validity for c in key_cols), live, T)
+            row_slot, slot_used, slot_row = gt.row_slot, gt.slot_used, gt.slot_row
+        else:
+            # global aggregate: single group in slot 0
+            key_cols = []
+            row_slot = jnp.zeros(b.capacity, dtype=jnp.int32)
+            slot_used = jnp.zeros(T, dtype=jnp.bool_).at[0].set(True)
+            slot_row = jnp.zeros(T, dtype=jnp.int32)
+
+        # aggregate into slots
+        out_cols: List[Column] = []
+        safe_row = jnp.clip(slot_row, 0, b.capacity - 1)
+        for kc in key_cols:
+            data = jnp.take(kc.data, safe_row, mode="clip")
+            valid = jnp.take(kc.validity, safe_row, mode="clip") & slot_used
+            out_cols.append(Column(data, valid))
+
+        for ba in self._bound_aggs:
+            if self.mode == "final":
+                # gather this agg's state columns from the child batch
+                idxs = [i for i, f in enumerate(self.children[0].schema.fields)
+                        if f.name.startswith(f"{ba.spec.name}#s")]
+                states = [b.columns[i] for i in idxs]
+                merged = ba.merge(states, row_slot, live, T)
+                out_cols.append(ba.finalize(merged))
+            elif self.mode == "partial":
+                for c in ba.partial(b, row_slot, live, T):
+                    out_cols.append(Column(c.data, c.validity & slot_used))
+            else:
+                states = ba.partial(b, row_slot, live, T)
+                fin = ba.finalize(states)
+                out_cols.append(Column(fin.data, fin.validity & slot_used))
+
+        n_groups = jnp.sum(slot_used).astype(jnp.int32)
+        if not self._group_bounds:
+            n_groups = jnp.int32(1)
+        interim = Batch(tuple(out_cols), n_groups)
+        # compact used slots to the front (stable keeps slot order)
+        perm, _ = compaction_perm(slot_used)
+        out = gather_batch(interim, perm, n_groups)
+        livemask = jnp.arange(T, dtype=jnp.int32) < n_groups
+        cols = [Column(c.data, c.validity & livemask) for c in out.columns]
+        # pad/trim to declared capacity
+        cap = self.capacity
+        if cap != T:
+            cols = [Column(jnp.resize(c.data, (cap,)),
+                           jnp.resize(c.validity, (cap,)) & (jnp.arange(cap) < n_groups))
+                    for c in cols]
+        return Batch(tuple(cols), n_groups)
+
+    def _label(self):
+        return (f"HashAggregateExec[{self.mode}](keys={self._group_names}, "
+                f"aggs={[a.name for a in self.aggs]}, T={self.table_size})")
+
+
+class HashJoinExec(ExecNode):
+    """Build on left child, probe right child (DataFusion convention).
+
+    join_type: 'inner' | 'left_outer' (all probe rows kept; build cols null
+    when unmatched) | 'semi' | 'anti' (probe-side filtering, probe cols only).
+    Requires unique build keys (FK->PK joins; TPC-H satisfies this); the
+    expanding-duplicates path is a planned follow-up.
+    """
+
+    def __init__(self, build: ExecNode, probe: ExecNode,
+                 on: Sequence[Tuple[str, str]], join_type: str = "inner",
+                 table_size: Optional[int] = None):
+        self.children = (build, probe)
+        self.on = tuple(on)
+        self.join_type = join_type
+        if table_size is None:
+            table_size = min(_next_pow2(max(2 * build.capacity, 16)), 1 << 22)
+        self.table_size = table_size
+        self.capacity = probe.capacity
+        self._build_idx = [build.schema.index_of(a) for a, _ in on]
+        self._probe_idx = [probe.schema.index_of(b) for _, b in on]
+        if join_type in ("semi", "anti"):
+            self.schema = probe.schema
+        else:
+            fields = build.schema.fields + probe.schema.fields
+            dicts = dict(build.schema.dictionaries)
+            dicts.update(probe.schema.dictionaries)
+            names = [f.name for f in fields]
+            if len(set(names)) != len(names):
+                raise ValueError(f"duplicate column names in join output: {names}")
+            self.schema = Schema(fields, dicts)
+
+    def evaluate(self, inputs):
+        build_b = self.children[0].evaluate(inputs)
+        probe_b = self.children[1].evaluate(inputs)
+        T = self.table_size
+        bkeys = [build_b.columns[i] for i in self._build_idx]
+        pkeys = [probe_b.columns[i] for i in self._probe_idx]
+        blive = row_mask(build_b)
+        plive = row_mask(probe_b)
+        jt = H.build_join_table(tuple(c.data for c in bkeys),
+                                tuple(c.validity for c in bkeys), blive, T)
+        match = H.probe_join_table(
+            jt.slot_used, jt.slot_row,
+            tuple(c.data for c in bkeys), tuple(c.validity for c in bkeys),
+            tuple(c.data for c in pkeys), tuple(c.validity for c in pkeys),
+            plive, T)
+        matched = match >= 0
+
+        if self.join_type == "semi":
+            keep = matched & plive
+            perm, count = compaction_perm(keep)
+            return _mask_after(gather_batch(probe_b, perm, count), count)
+        if self.join_type == "anti":
+            keep = ~matched & plive
+            perm, count = compaction_perm(keep)
+            return _mask_after(gather_batch(probe_b, perm, count), count)
+
+        safe = jnp.clip(match, 0, build_b.capacity - 1)
+        build_cols = []
+        for c in build_b.columns:
+            data = jnp.take(c.data, safe, mode="clip")
+            valid = jnp.take(c.validity, safe, mode="clip") & matched
+            build_cols.append(Column(data, valid))
+        all_cols = tuple(build_cols) + probe_b.columns
+        joined = Batch(all_cols, probe_b.num_rows)
+        if self.join_type == "inner":
+            keep = matched & plive
+            perm, count = compaction_perm(keep)
+            return _mask_after(gather_batch(joined, perm, count), count)
+        if self.join_type == "left_outer":
+            # all probe rows survive; build cols already null where unmatched
+            return joined
+        raise ValueError(self.join_type)
+
+    def _label(self):
+        return f"HashJoinExec[{self.join_type}](on={list(self.on)}, T={self.table_size})"
+
+
+def _mask_after(b: Batch, count) -> Batch:
+    livemask = jnp.arange(b.capacity, dtype=jnp.int32) < count
+    cols = [Column(c.data, c.validity & livemask) for c in b.columns]
+    return Batch(tuple(cols), count)
+
+
+class SortExec(ExecNode):
+    """keys: list of (expr, ascending, nulls_first|None)."""
+
+    def __init__(self, child: ExecNode, keys: Sequence[Tuple[Expr, bool, Optional[bool]]]):
+        self.children = (child,)
+        self.keys = tuple(keys)
+        self.schema = child.schema
+        self.capacity = child.capacity
+        self._key_bounds = [(bind_expr(e, child.schema), asc, nf)
+                            for e, asc, nf in keys]
+
+    def evaluate(self, inputs):
+        b = self.children[0].evaluate(inputs)
+        # materialize key columns alongside, sort, drop keys
+        ncols = len(b.columns)
+        key_cols = tuple(kb.fn(b) for kb, _, _ in self._key_bounds)
+        tmp = Batch(b.columns + key_cols, b.num_rows)
+        specs = [SortKeySpec(ncols + i, asc, nf)
+                 for i, (_, asc, nf) in enumerate(self._key_bounds)]
+        out = sort_batch(tmp, specs)
+        return Batch(out.columns[:ncols], out.num_rows)
+
+    def _label(self):
+        return f"SortExec({[(str(e), asc) for e, asc, _ in self.keys]})"
+
+
+class LimitExec(ExecNode):
+    def __init__(self, child: ExecNode, n: int):
+        self.children = (child,)
+        self.n = n
+        self.schema = child.schema
+        self.capacity = child.capacity
+
+    def evaluate(self, inputs):
+        return limit_batch(self.children[0].evaluate(inputs), self.n)
+
+    def _label(self):
+        return f"LimitExec({self.n})"
+
+
+class CoalesceExec(ExecNode):
+    """Merge N input partitions into one batch (Ballista CoalesceTasksExec /
+    CoalescePartitionsExec analog, `coalesce_tasks.rs:46`)."""
+
+    def __init__(self, children: Sequence[ExecNode]):
+        self.children = tuple(children)
+        self.schema = children[0].schema
+        self.capacity = sum(c.capacity for c in children)
+
+    def evaluate(self, inputs):
+        batches = [c.evaluate(inputs) for c in self.children]
+        return concat_batches(batches, self.capacity)
+
+    def _label(self):
+        return f"CoalesceExec(n={len(self.children)})"
+
+
+def concat_batches(batches: List[Batch], capacity: int) -> Batch:
+    """Concatenate live rows of several batches into one fixed-cap batch."""
+    ncols = len(batches[0].columns)
+    total = jnp.int32(0)
+    offsets = []
+    for b in batches:
+        offsets.append(total)
+        total = total + b.num_rows
+    cols = []
+    for ci in range(ncols):
+        dtype = batches[0].columns[ci].data.dtype
+        data = jnp.zeros(capacity, dtype=dtype)
+        valid = jnp.zeros(capacity, dtype=jnp.bool_)
+        for b, off in zip(batches, offsets):
+            c = b.columns[ci]
+            n = b.capacity
+            idx = jnp.arange(n, dtype=jnp.int32)
+            live = idx < b.num_rows
+            dest = jnp.where(live, idx + off, capacity)  # dead rows -> dropped
+            data = data.at[dest].set(c.data, mode="drop")
+            valid = valid.at[dest].set(c.validity & live, mode="drop")
+        cols.append(Column(data, valid))
+    return Batch(tuple(cols), total)
+
+
+def compile_stage(root: ExecNode, donate: bool = False):
+    """Jit the whole operator tree into one XLA program.
+
+    Returns (fn, input_ids): fn takes {input_id: Batch} and returns the
+    root Batch.
+    """
+    input_ids = [l.input_id for l in root.leaves()]
+
+    @jax.jit
+    def run(inputs: Dict[str, Batch]) -> Batch:
+        return root.evaluate(inputs)
+
+    return run, input_ids

@@ -1,0 +1,721 @@
+"""Scalar expression AST + binder + device evaluators.
+
+Reference parity: DataFusion's `PhysicalExpr` tree evaluated per RecordBatch
+(the engine kernel under Ballista, SURVEY.md §1 "Engine kernel" row). Here an
+expression is bound against a Schema at plan time, producing a closure
+`(Batch) -> Column` that traces into the stage's single XLA program.
+
+Key TPU-first choices:
+- Three-valued (Kleene) NULL logic carried as validity masks, fused by XLA
+  into the surrounding elementwise graph.
+- DECIMAL arithmetic on scaled int64 (exact, like Arrow decimal128).
+- String predicates (=, IN, LIKE, <) are evaluated against the column's
+  *sorted host-side dictionary* at bind time, becoming O(1) device lookups
+  (code compare or boolean LUT gather) instead of byte comparisons.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import re
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .schema import (BOOL, DATE32, DataType, Field, FLOAT32, FLOAT64, INT32,
+                     INT64, Schema, STRING, TypeKind, decimal)
+from .batch import Batch, Column
+
+# ---------------------------------------------------------------------------
+# AST nodes (logical expressions — used by the SQL frontend & DataFrame API)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Expr:
+    def __str__(self):
+        return expr_name(self)
+
+
+@dataclasses.dataclass(frozen=True)
+class Col(Expr):
+    name: str
+
+
+@dataclasses.dataclass(frozen=True)
+class Lit(Expr):
+    value: Any
+    dtype: Optional[DataType] = None  # inferred if None
+
+
+@dataclasses.dataclass(frozen=True)
+class IntervalLit(Expr):
+    """SQL INTERVAL literal; only exists pre-folding (date +/- interval)."""
+    months: int = 0
+    days: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class BinOp(Expr):
+    op: str  # + - * / and or = != < <= > >=
+    left: Expr
+    right: Expr
+
+
+@dataclasses.dataclass(frozen=True)
+class Not(Expr):
+    child: Expr
+
+
+@dataclasses.dataclass(frozen=True)
+class Neg(Expr):
+    child: Expr
+
+
+@dataclasses.dataclass(frozen=True)
+class IsNull(Expr):
+    child: Expr
+    negated: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Cast(Expr):
+    child: Expr
+    dtype: DataType
+
+
+@dataclasses.dataclass(frozen=True)
+class Case(Expr):
+    # CASE WHEN c1 THEN v1 ... ELSE e END  (searched form)
+    whens: Tuple[Tuple[Expr, Expr], ...]
+    otherwise: Optional[Expr] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class InList(Expr):
+    child: Expr
+    values: Tuple[Expr, ...]
+    negated: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Like(Expr):
+    child: Expr
+    pattern: str
+    negated: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Between(Expr):
+    child: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Alias(Expr):
+    child: Expr
+    name: str
+
+
+@dataclasses.dataclass(frozen=True)
+class ScalarFn(Expr):
+    name: str  # extract_year, abs, coalesce, ...
+    args: Tuple[Expr, ...]
+
+
+def expr_name(e: Expr) -> str:
+    """Display/output name of an expression (column header)."""
+    if isinstance(e, Alias):
+        return e.name
+    if isinstance(e, Col):
+        return e.name
+    if isinstance(e, Lit):
+        return str(e.value)
+    if isinstance(e, BinOp):
+        return f"{expr_name(e.left)} {e.op} {expr_name(e.right)}"
+    if isinstance(e, Cast):
+        return expr_name(e.child)
+    if isinstance(e, Case):
+        return "case"
+    if isinstance(e, ScalarFn):
+        return f"{e.name}({', '.join(expr_name(a) for a in e.args)})"
+    if isinstance(e, Like):
+        return f"{expr_name(e.child)} LIKE {e.pattern!r}"
+    if isinstance(e, IsNull):
+        return f"{expr_name(e.child)} IS {'NOT ' if e.negated else ''}NULL"
+    if isinstance(e, Not):
+        return f"NOT {expr_name(e.child)}"
+    if isinstance(e, Neg):
+        return f"-{expr_name(e.child)}"
+    if isinstance(e, InList):
+        return f"{expr_name(e.child)} IN (...)"
+    if isinstance(e, Between):
+        return f"{expr_name(e.child)} BETWEEN"
+    return type(e).__name__.lower()
+
+
+def expr_columns(e: Expr) -> set:
+    """Set of column names referenced by an expression."""
+    out = set()
+
+    def walk(x):
+        if isinstance(x, Col):
+            out.add(x.name)
+        for f in dataclasses.fields(x):
+            v = getattr(x, f.name)
+            if isinstance(v, Expr):
+                walk(v)
+            elif isinstance(v, tuple):
+                for item in v:
+                    if isinstance(item, Expr):
+                        walk(item)
+                    elif isinstance(item, tuple):
+                        for sub in item:
+                            if isinstance(sub, Expr):
+                                walk(sub)
+    walk(e)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Literal inference & date helpers
+# ---------------------------------------------------------------------------
+
+EPOCH = datetime.date(1970, 1, 1)
+
+
+def parse_date(s: str) -> int:
+    d = datetime.date.fromisoformat(s)
+    return (d - EPOCH).days
+
+
+def infer_lit_dtype(value: Any) -> DataType:
+    if isinstance(value, bool):
+        return BOOL
+    if isinstance(value, int):
+        return INT64
+    if isinstance(value, float):
+        return FLOAT64
+    if isinstance(value, datetime.date):
+        return DATE32
+    if isinstance(value, str):
+        return STRING
+    raise TypeError(f"cannot infer literal type for {value!r}")
+
+
+def add_months(days: int, months: int) -> int:
+    d = EPOCH + datetime.timedelta(days=days)
+    y = d.year + (d.month - 1 + months) // 12
+    m = (d.month - 1 + months) % 12 + 1
+    import calendar
+    day = min(d.day, calendar.monthrange(y, m)[1])
+    return (datetime.date(y, m, day) - EPOCH).days
+
+
+# ---------------------------------------------------------------------------
+# Bound expressions — compiled evaluators
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Bound:
+    dtype: DataType
+    nullable: bool
+    # fn(batch) -> Column; closure over column indices / folded constants
+    fn: Callable[[Batch], Column]
+
+
+def _const_column(value, dtype: DataType, valid: bool = True):
+    def fn(batch: Batch) -> Column:
+        cap = batch.capacity
+        data = jnp.full((cap,), value, dtype=dtype.jnp_dtype)
+        validity = jnp.full((cap,), valid, dtype=jnp.bool_)
+        return Column(data, validity)
+    return fn
+
+
+def _decimal_rescale(data, from_scale: int, to_scale: int):
+    if to_scale == from_scale:
+        return data
+    if to_scale > from_scale:
+        return data * (10 ** (to_scale - from_scale))
+    # scale down with round-half-up (toward +inf for positive, matches Arrow's
+    # round-half-up on magnitudes for the divisors we use)
+    f = 10 ** (from_scale - to_scale)
+    return _div_round_half(data, jnp.int64(f))
+
+
+def _div_round_half(num, den):
+    """Integer division rounding half away from zero (SQL decimal rounding)."""
+    num = num.astype(jnp.int64)
+    den = den.astype(jnp.int64)
+    sign = jnp.where((num < 0) != (den < 0), -1, 1).astype(jnp.int64)
+    anum = jnp.abs(num)
+    aden = jnp.abs(den)
+    q = (anum + aden // 2) // jnp.maximum(aden, 1)
+    return sign * q
+
+
+def _coerce_numeric(l: Bound, r: Bound):
+    """Promote two numeric bound exprs to a common dtype; returns (dtype, fl, fr)
+    where fl/fr map raw Columns to promoted data arrays."""
+    lt, rt = l.dtype, r.dtype
+    if lt.kind is TypeKind.DECIMAL or rt.kind is TypeKind.DECIMAL:
+        # ints coerce to decimal scale 0; floats force float path
+        if lt.kind in (TypeKind.FLOAT32, TypeKind.FLOAT64) or rt.kind in (TypeKind.FLOAT32, TypeKind.FLOAT64):
+            out = FLOAT32
+
+            def to_float(b: Bound):
+                s = b.dtype.scale if b.dtype.kind is TypeKind.DECIMAL else 0
+                div = float(10 ** s)
+                return lambda c: c.data.astype(jnp.float32) / div
+            return out, to_float(l), to_float(r)
+        ls = lt.scale if lt.kind is TypeKind.DECIMAL else 0
+        rs = rt.scale if rt.kind is TypeKind.DECIMAL else 0
+        target = max(ls, rs)
+        out = decimal(18, target)
+        return (out,
+                lambda c: _decimal_rescale(c.data.astype(jnp.int64), ls, target),
+                lambda c: _decimal_rescale(c.data.astype(jnp.int64), rs, target))
+    if lt.kind is TypeKind.FLOAT64 or rt.kind is TypeKind.FLOAT64:
+        return FLOAT64, (lambda c: c.data.astype(jnp.float64)), (lambda c: c.data.astype(jnp.float64))
+    if lt.kind is TypeKind.FLOAT32 or rt.kind is TypeKind.FLOAT32:
+        return FLOAT32, (lambda c: c.data.astype(jnp.float32)), (lambda c: c.data.astype(jnp.float32))
+    if lt.kind is TypeKind.INT64 or rt.kind is TypeKind.INT64:
+        return INT64, (lambda c: c.data.astype(jnp.int64)), (lambda c: c.data.astype(jnp.int64))
+    return INT32, (lambda c: c.data.astype(jnp.int32)), (lambda c: c.data.astype(jnp.int32))
+
+
+def _bind_arith(op: str, l: Bound, r: Bound) -> Bound:
+    lt, rt = l.dtype, r.dtype
+    dec = lt.kind is TypeKind.DECIMAL or rt.kind is TypeKind.DECIMAL
+    flo = lt.kind in (TypeKind.FLOAT32, TypeKind.FLOAT64) or rt.kind in (TypeKind.FLOAT32, TypeKind.FLOAT64)
+    if dec and not flo:
+        ls = lt.scale if lt.kind is TypeKind.DECIMAL else 0
+        rs = rt.scale if rt.kind is TypeKind.DECIMAL else 0
+        if op in ("+", "-"):
+            ts = max(ls, rs)
+            out = decimal(18, ts)
+
+            def fn(batch):
+                a = _decimal_rescale(l.fn(batch).data.astype(jnp.int64), ls, ts)
+                b = _decimal_rescale(r.fn(batch).data.astype(jnp.int64), rs, ts)
+                v = l.fn(batch).validity & r.fn(batch).validity
+                return Column(a + b if op == "+" else a - b, v)
+            return Bound(out, l.nullable or r.nullable, fn)
+        if op == "*":
+            ts = ls + rs
+            out = decimal(18, ts)
+
+            def fn(batch):
+                lc, rc = l.fn(batch), r.fn(batch)
+                return Column(lc.data.astype(jnp.int64) * rc.data.astype(jnp.int64),
+                              lc.validity & rc.validity)
+            return Bound(out, l.nullable or r.nullable, fn)
+        if op == "/":
+            # result scale: keep 4 extra digits beyond numerator scale
+            ts = min(max(ls, rs) + 4, 12)
+            out = decimal(18, ts)
+
+            def fn(batch):
+                lc, rc = l.fn(batch), r.fn(batch)
+                num = lc.data.astype(jnp.int64) * jnp.int64(10 ** (ts - ls + rs))
+                den = rc.data.astype(jnp.int64)
+                q = _div_round_half(num, den)
+                v = lc.validity & rc.validity & (den != 0)
+                return Column(q, v)
+            return Bound(out, True, fn)
+        raise ValueError(f"unsupported decimal op {op}")
+    out, fl, fr = _coerce_numeric(l, r)
+
+    def fn(batch):
+        lc, rc = l.fn(batch), r.fn(batch)
+        a, b = fl(lc), fr(rc)
+        if op == "+":
+            d = a + b
+        elif op == "-":
+            d = a - b
+        elif op == "*":
+            d = a * b
+        elif op == "/":
+            if out.is_integer:
+                d = _div_round_half(a, b) if False else jnp.where(b != 0, a // jnp.where(b == 0, 1, b), 0)
+            else:
+                d = a / jnp.where(b == 0, 1, b)
+        else:
+            raise ValueError(op)
+        v = lc.validity & rc.validity
+        if op == "/":
+            v = v & (b != 0)
+        return Column(d.astype(out.jnp_dtype), v)
+    return Bound(out, l.nullable or r.nullable or op == "/", fn)
+
+
+def _bind_compare(op: str, l: Bound, r: Bound) -> Bound:
+    lt, rt = l.dtype, r.dtype
+    if lt.kind is TypeKind.STRING and rt.kind is TypeKind.STRING:
+        # both already code-space (same column's dict handled at bind_expr level)
+        fl = lambda c: c.data
+        fr = lambda c: c.data
+    elif lt.kind is TypeKind.DATE32 or rt.kind is TypeKind.DATE32:
+        fl = lambda c: c.data.astype(jnp.int32)
+        fr = lambda c: c.data.astype(jnp.int32)
+    else:
+        _, fl, fr = _coerce_numeric(l, r)
+
+    def fn(batch):
+        lc, rc = l.fn(batch), r.fn(batch)
+        a, b = fl(lc), fr(rc)
+        if op == "=":
+            d = a == b
+        elif op in ("!=", "<>"):
+            d = a != b
+        elif op == "<":
+            d = a < b
+        elif op == "<=":
+            d = a <= b
+        elif op == ">":
+            d = a > b
+        elif op == ">=":
+            d = a >= b
+        else:
+            raise ValueError(op)
+        return Column(d, lc.validity & rc.validity)
+    return Bound(BOOL, l.nullable or r.nullable, fn)
+
+
+def _bind_bool(op: str, l: Bound, r: Bound) -> Bound:
+    """Kleene three-valued AND/OR."""
+    def fn(batch):
+        lc, rc = l.fn(batch), r.fn(batch)
+        a = lc.data & lc.validity if op == "and" else lc.data
+        if op == "and":
+            # false if either definitely false; null if unknown
+            lv, rv = lc.validity, rc.validity
+            lval = lc.data.astype(jnp.bool_)
+            rval = rc.data.astype(jnp.bool_)
+            result = lval & rval
+            # valid if (both valid) or (either is definitely false)
+            valid = (lv & rv) | (lv & ~lval) | (rv & ~rval)
+            return Column(result & valid, valid)
+        else:
+            lv, rv = lc.validity, rc.validity
+            lval = lc.data.astype(jnp.bool_)
+            rval = rc.data.astype(jnp.bool_)
+            result = (lval & lv) | (rval & rv)
+            valid = (lv & rv) | (lv & lval) | (rv & rval)
+            return Column(result, valid)
+    return Bound(BOOL, l.nullable or r.nullable, fn)
+
+
+def _string_lit_to_code(value: str, dictionary: np.ndarray, op: str):
+    """Translate a string literal into dictionary-code space for comparison.
+
+    For '=': exact code or sentinel -1 (never matches).
+    For range ops: searchsorted position gives an equivalent code-space
+    comparison because the dictionary is sorted.
+    """
+    if dictionary is None or len(dictionary) == 0:
+        return -1, False
+    d = dictionary.astype(str)
+    pos = int(np.searchsorted(d, value))
+    exact = pos < len(d) and d[pos] == value
+    return pos, exact
+
+
+def bind_expr(e: Expr, schema: Schema) -> Bound:
+    """Bind a logical expression against a schema, producing an evaluator."""
+    if isinstance(e, Alias):
+        return bind_expr(e.child, schema)
+
+    if isinstance(e, Col):
+        idx = schema.index_of(e.name)
+        f = schema.field(e.name)
+        return Bound(f.dtype, f.nullable, lambda batch: batch.columns[idx])
+
+    if isinstance(e, Lit):
+        dtype = e.dtype or infer_lit_dtype(e.value)
+        v = e.value
+        if v is None:
+            return Bound(dtype, True, _const_column(0, dtype, valid=False))
+        if dtype.kind is TypeKind.DATE32 and isinstance(v, str):
+            v = parse_date(v)
+        elif dtype.kind is TypeKind.DATE32 and isinstance(v, datetime.date):
+            v = (v - EPOCH).days
+        elif dtype.kind is TypeKind.DECIMAL:
+            from decimal import Decimal
+            v = int(Decimal(str(v)).scaleb(dtype.scale).to_integral_value())
+        return Bound(dtype, False, _const_column(v, dtype))
+
+    if isinstance(e, Cast):
+        c = bind_expr(e.child, schema)
+        src, dst = c.dtype, e.dtype
+
+        def fn(batch):
+            col = c.fn(batch)
+            if src.kind is TypeKind.DECIMAL and dst.kind is TypeKind.DECIMAL:
+                return Column(_decimal_rescale(col.data, src.scale, dst.scale), col.validity)
+            if src.kind is TypeKind.DECIMAL and dst.kind in (TypeKind.FLOAT32, TypeKind.FLOAT64):
+                return Column((col.data.astype(dst.jnp_dtype) / (10 ** src.scale)), col.validity)
+            if dst.kind is TypeKind.DECIMAL and src.is_integer:
+                return Column(col.data.astype(jnp.int64) * (10 ** dst.scale), col.validity)
+            if dst.kind is TypeKind.DECIMAL and src.kind in (TypeKind.FLOAT32, TypeKind.FLOAT64):
+                return Column(jnp.round(col.data * (10 ** dst.scale)).astype(jnp.int64), col.validity)
+            return Column(col.data.astype(dst.jnp_dtype), col.validity)
+        return Bound(dst, c.nullable, fn)
+
+    if isinstance(e, BinOp):
+        # constant-fold date +/- interval
+        if isinstance(e.right, IntervalLit) and e.op in ("+", "-"):
+            l = bind_expr(e.left, schema)
+            iv = e.right
+            months = iv.months if e.op == "+" else -iv.months
+            days = iv.days if e.op == "+" else -iv.days
+            if isinstance(e.left, Lit):
+                base = bind_expr(e.left, schema)
+                # evaluate on host
+                day0 = e.left.value
+                if isinstance(day0, str):
+                    day0 = parse_date(day0)
+                folded = add_months(day0, months) + days
+                return Bound(DATE32, False, _const_column(folded, DATE32))
+            raise NotImplementedError("interval arithmetic on non-literal dates")
+        l = bind_expr(e.left, schema)
+        r = bind_expr(e.right, schema)
+        # string vs literal: translate literal into code space
+        if l.dtype.kind is TypeKind.STRING and isinstance(e.right, Lit):
+            dic = _dict_for(e.left, schema)
+            pos, exact = _string_lit_to_code(str(e.right.value), dic, e.op)
+            if e.op == "=" and not exact:
+                return Bound(BOOL, False, _const_column(False, BOOL))
+            if e.op in ("!=", "<>") and not exact:
+                return Bound(BOOL, False, _const_column(True, BOOL))
+            # for range ops on a sorted dict, searchsorted pos works:
+            #   col < lit  <=>  code < pos       (strings >= lit start at pos)
+            #   col <= lit <=>  code <= pos-1+exact
+            code = pos if e.op in ("<", ">=", "=", "!=", "<>") else (pos - 1 + (1 if exact else 0))
+            r = Bound(STRING, False, _const_column(code, STRING))
+        if r.dtype.kind is TypeKind.STRING and isinstance(e.left, Lit):
+            # mirror: lit OP col -> col flipped-OP lit
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "!=": "!=", "<>": "<>"}
+            return bind_expr(BinOp(flip[e.op], e.right, e.left), schema)
+        # date vs string literal
+        if l.dtype.kind is TypeKind.DATE32 and r.dtype.kind is TypeKind.STRING and isinstance(e.right, Lit):
+            r = bind_expr(Lit(parse_date(str(e.right.value)), DATE32), schema)
+        if e.op in ("+", "-", "*", "/"):
+            return _bind_arith(e.op, l, r)
+        if e.op in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            return _bind_compare(e.op, l, r)
+        if e.op in ("and", "or"):
+            return _bind_bool(e.op, l, r)
+        raise ValueError(f"unknown op {e.op}")
+
+    if isinstance(e, Not):
+        c = bind_expr(e.child, schema)
+
+        def fn(batch):
+            col = c.fn(batch)
+            return Column(~col.data.astype(jnp.bool_) & col.validity, col.validity)
+        return Bound(BOOL, c.nullable, fn)
+
+    if isinstance(e, Neg):
+        c = bind_expr(e.child, schema)
+
+        def fn(batch):
+            col = c.fn(batch)
+            return Column(-col.data, col.validity)
+        return Bound(c.dtype, c.nullable, fn)
+
+    if isinstance(e, IsNull):
+        c = bind_expr(e.child, schema)
+        neg = e.negated
+
+        def fn(batch):
+            col = c.fn(batch)
+            d = col.validity if neg else ~col.validity
+            return Column(d, jnp.ones_like(col.validity))
+        return Bound(BOOL, False, fn)
+
+    if isinstance(e, Between):
+        lo = BinOp(">=", e.child, e.low)
+        hi = BinOp("<=", e.child, e.high)
+        both = BinOp("and", lo, hi)
+        return bind_expr(Not(both) if e.negated else both, schema)
+
+    if isinstance(e, InList):
+        c = bind_expr(e.child, schema)
+        if c.dtype.kind is TypeKind.STRING:
+            dic = _dict_for(e.child, schema)
+            codes = []
+            for v in e.values:
+                assert isinstance(v, Lit)
+                pos, exact = _string_lit_to_code(str(v.value), dic, "=")
+                if exact:
+                    codes.append(pos)
+            lut = np.zeros(max(len(dic) if dic is not None else 0, 1), dtype=bool)
+            for code in codes:
+                lut[code] = True
+            lut_dev = jnp.asarray(lut)
+            neg = e.negated
+
+            def fn(batch):
+                col = c.fn(batch)
+                idx = jnp.clip(col.data, 0, lut_dev.shape[0] - 1)
+                d = lut_dev[idx]
+                d = ~d if neg else d
+                return Column(d & col.validity, col.validity)
+            return Bound(BOOL, c.nullable, fn)
+        vals = []
+        for v in e.values:
+            assert isinstance(v, Lit)
+            b = bind_expr(Lit(v.value, v.dtype or c.dtype if c.dtype.kind is TypeKind.DATE32 else v.dtype), schema)
+            vals.append(v.value if not isinstance(v.value, str) else parse_date(v.value))
+        arr = jnp.asarray(np.array(vals))
+        neg = e.negated
+
+        def fn(batch):
+            col = c.fn(batch)
+            d = jnp.isin(col.data, arr)
+            d = ~d if neg else d
+            return Column(d & col.validity, col.validity)
+        return Bound(BOOL, c.nullable, fn)
+
+    if isinstance(e, Like):
+        c = bind_expr(e.child, schema)
+        if c.dtype.kind is not TypeKind.STRING:
+            raise TypeError("LIKE on non-string")
+        dic = _dict_for(e.child, schema)
+        # SQL LIKE -> regex, evaluated over the (host) dictionary
+        pat = re.escape(e.pattern).replace(r"%", ".*").replace(r"_", ".")
+        rx = re.compile("^" + pat + "$", re.S)
+        n = len(dic) if dic is not None else 0
+        lut = np.zeros(max(n, 1), dtype=bool)
+        for i in range(n):
+            if rx.match(str(dic[i])):
+                lut[i] = True
+        if e.negated:
+            lut = ~lut
+        lut_dev = jnp.asarray(lut)
+
+        def fn(batch):
+            col = c.fn(batch)
+            idx = jnp.clip(col.data, 0, lut_dev.shape[0] - 1)
+            return Column(lut_dev[idx] & col.validity, col.validity)
+        return Bound(BOOL, c.nullable, fn)
+
+    if isinstance(e, Case):
+        whens = [(bind_expr(c, schema), bind_expr(v, schema)) for c, v in e.whens]
+        otherwise = bind_expr(e.otherwise, schema) if e.otherwise is not None else None
+        # unify result dtype
+        dtypes = [v.dtype for _, v in whens] + ([otherwise.dtype] if otherwise else [])
+        out = _common_dtype(dtypes)
+
+        def fn(batch):
+            if otherwise is not None:
+                oc = _cast_col(otherwise.fn(batch), otherwise.dtype, out)
+                data, valid = oc.data, oc.validity
+            else:
+                first = whens[0][1]
+                fc = _cast_col(first.fn(batch), first.dtype, out)
+                data = jnp.zeros_like(fc.data)
+                valid = jnp.zeros_like(fc.validity)
+            for cond, val in reversed(whens):
+                cc = cond.fn(batch)
+                vc = _cast_col(val.fn(batch), val.dtype, out)
+                take = cc.data.astype(jnp.bool_) & cc.validity
+                data = jnp.where(take, vc.data, data)
+                valid = jnp.where(take, vc.validity, valid)
+            return Column(data, valid)
+        return Bound(out, True, fn)
+
+    if isinstance(e, ScalarFn):
+        return _bind_scalar_fn(e, schema)
+
+    raise TypeError(f"cannot bind {e!r}")
+
+
+def _dict_for(e: Expr, schema: Schema):
+    if isinstance(e, Alias):
+        return _dict_for(e.child, schema)
+    if isinstance(e, Col):
+        return schema.dictionary(e.name)
+    return None
+
+
+def _common_dtype(dtypes):
+    out = dtypes[0]
+    for d in dtypes[1:]:
+        if d == out:
+            continue
+        if d.kind is TypeKind.DECIMAL and out.kind is TypeKind.DECIMAL:
+            out = decimal(18, max(d.scale, out.scale))
+        elif d.kind is TypeKind.DECIMAL and out.is_integer:
+            out = d
+        elif out.kind is TypeKind.DECIMAL and d.is_integer:
+            pass
+        elif d.kind is TypeKind.FLOAT64 or out.kind is TypeKind.FLOAT64:
+            out = FLOAT64
+        elif d.kind is TypeKind.FLOAT32 or out.kind is TypeKind.FLOAT32:
+            out = FLOAT32
+        elif d.kind is TypeKind.INT64 or out.kind is TypeKind.INT64:
+            out = INT64
+    return out
+
+
+def _cast_col(col: Column, src: DataType, dst: DataType) -> Column:
+    if src == dst:
+        return col
+    if src.kind is TypeKind.DECIMAL and dst.kind is TypeKind.DECIMAL:
+        return Column(_decimal_rescale(col.data, src.scale, dst.scale), col.validity)
+    if src.is_integer and dst.kind is TypeKind.DECIMAL:
+        return Column(col.data.astype(jnp.int64) * (10 ** dst.scale), col.validity)
+    return Column(col.data.astype(dst.jnp_dtype), col.validity)
+
+
+def _bind_scalar_fn(e: ScalarFn, schema: Schema) -> Bound:
+    name = e.name.lower()
+    if name == "extract_year":
+        c = bind_expr(e.args[0], schema)
+
+        def fn(batch):
+            col = c.fn(batch)
+            # days since 1970-01-01 -> year, civil-calendar algorithm
+            # (Howard Hinnant's days->ymd, vectorized; no Python date objects)
+            z = col.data.astype(jnp.int32) + 719468
+            era = jnp.where(z >= 0, z, z - 146096) // 146097
+            doe = z - era * 146097
+            yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+            y = yoe + era * 400
+            doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+            mp = (5 * doy + 2) // 153
+            m = jnp.where(mp < 10, mp + 3, mp - 9)
+            year = jnp.where(m <= 2, y + 1, y)
+            return Column(year.astype(jnp.int32), col.validity)
+        return Bound(INT32, c.nullable, fn)
+    if name == "abs":
+        c = bind_expr(e.args[0], schema)
+        return Bound(c.dtype, c.nullable,
+                     lambda batch: Column(jnp.abs(c.fn(batch).data), c.fn(batch).validity))
+    if name == "coalesce":
+        parts = [bind_expr(a, schema) for a in e.args]
+        out = _common_dtype([p.dtype for p in parts])
+
+        def fn(batch):
+            cols = [_cast_col(p.fn(batch), p.dtype, out) for p in parts]
+            data = cols[-1].data
+            valid = cols[-1].validity
+            for col in reversed(cols[:-1]):
+                data = jnp.where(col.validity, col.data, data)
+                valid = valid | col.validity
+            return Column(data, valid)
+        return Bound(out, all(p.nullable for p in parts), fn)
+    raise NotImplementedError(f"scalar function {e.name}")
+
+
+def output_field(e: Expr, schema: Schema) -> Field:
+    b = bind_expr(e, schema)
+    return Field(expr_name(e), b.dtype, b.nullable)

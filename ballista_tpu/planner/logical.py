@@ -1,0 +1,187 @@
+"""Logical plan nodes.
+
+Reference parity: DataFusion's LogicalPlan, which Ballista serializes to the
+scheduler (`execute_query`, grpc.rs:400-420). Ours is a small dataclass tree;
+the SQL frontend and DataFrame API both produce it, and
+`planner.physical.create_physical_plan` lowers it to ExecNodes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+from ..exprs import Expr, bind_expr, expr_name
+from ..schema import Field, Schema
+from ..exec.aggregate import AggExpr, BoundAgg
+
+
+class LogicalPlan:
+    def schema(self) -> Schema:
+        raise NotImplementedError
+
+    def children(self) -> Tuple["LogicalPlan", ...]:
+        return ()
+
+    def display(self, indent: int = 0) -> str:
+        s = "  " * indent + self._label() + "\n"
+        for c in self.children():
+            s += c.display(indent + 1)
+        return s
+
+    def _label(self) -> str:
+        return type(self).__name__
+
+
+@dataclasses.dataclass
+class TableScan(LogicalPlan):
+    table_name: str
+    table_schema: Schema
+    projection: Optional[Tuple[str, ...]] = None
+
+    def schema(self) -> Schema:
+        if self.projection is None:
+            return self.table_schema
+        return self.table_schema.select(self.projection)
+
+    def _label(self):
+        proj = list(self.projection) if self.projection else "*"
+        return f"TableScan({self.table_name}, projection={proj})"
+
+
+@dataclasses.dataclass
+class Filter(LogicalPlan):
+    input: LogicalPlan
+    predicate: Expr
+
+    def schema(self):
+        return self.input.schema()
+
+    def children(self):
+        return (self.input,)
+
+    def _label(self):
+        return f"Filter({self.predicate})"
+
+
+@dataclasses.dataclass
+class Projection(LogicalPlan):
+    input: LogicalPlan
+    exprs: Tuple[Expr, ...]
+    names: Optional[Tuple[str, ...]] = None
+
+    def schema(self) -> Schema:
+        in_schema = self.input.schema()
+        names = self.names or tuple(expr_name(e) for e in self.exprs)
+        fields = []
+        dicts = {}
+        from ..exprs import Alias, Col
+        for n, e in zip(names, self.exprs):
+            b = bind_expr(e, in_schema)
+            fields.append(Field(n, b.dtype, b.nullable))
+            base = e.child if isinstance(e, Alias) else e
+            if isinstance(base, Col) and in_schema.dictionary(base.name) is not None:
+                dicts[n] = in_schema.dictionary(base.name)
+        return Schema(tuple(fields), dicts)
+
+    def children(self):
+        return (self.input,)
+
+    def _label(self):
+        return f"Projection({', '.join(map(str, self.exprs))})"
+
+
+@dataclasses.dataclass
+class Aggregate(LogicalPlan):
+    input: LogicalPlan
+    group_exprs: Tuple[Expr, ...]
+    aggs: Tuple[AggExpr, ...]
+    group_names: Optional[Tuple[str, ...]] = None
+
+    def schema(self) -> Schema:
+        in_schema = self.input.schema()
+        names = self.group_names or tuple(expr_name(e) for e in self.group_exprs)
+        fields = []
+        dicts = {}
+        from ..exprs import Alias, Col
+        for n, e in zip(names, self.group_exprs):
+            b = bind_expr(e, in_schema)
+            fields.append(Field(n, b.dtype, b.nullable))
+            base = e.child if isinstance(e, Alias) else e
+            if isinstance(base, Col) and in_schema.dictionary(base.name) is not None:
+                dicts[n] = in_schema.dictionary(base.name)
+        for a in self.aggs:
+            ba = BoundAgg(a, in_schema)
+            fields.append(ba.out_field)
+        return Schema(tuple(fields), dicts)
+
+    def children(self):
+        return (self.input,)
+
+    def _label(self):
+        return (f"Aggregate(keys={[str(e) for e in self.group_exprs]}, "
+                f"aggs={[a.name for a in self.aggs]})")
+
+
+@dataclasses.dataclass
+class Sort(LogicalPlan):
+    input: LogicalPlan
+    keys: Tuple[Tuple[Expr, bool, Optional[bool]], ...]  # (expr, asc, nulls_first)
+
+    def schema(self):
+        return self.input.schema()
+
+    def children(self):
+        return (self.input,)
+
+    def _label(self):
+        return f"Sort({[(str(e), asc) for e, asc, _ in self.keys]})"
+
+
+@dataclasses.dataclass
+class Limit(LogicalPlan):
+    input: LogicalPlan
+    n: int
+
+    def schema(self):
+        return self.input.schema()
+
+    def children(self):
+        return (self.input,)
+
+    def _label(self):
+        return f"Limit({self.n})"
+
+
+@dataclasses.dataclass
+class Join(LogicalPlan):
+    left: LogicalPlan
+    right: LogicalPlan
+    on: Tuple[Tuple[str, str], ...]
+    how: str = "inner"  # inner | left_outer | semi | anti
+
+    def schema(self) -> Schema:
+        if self.how in ("semi", "anti"):
+            return self.right.schema()  # probe side survives
+        ls, rs = self.left.schema(), self.right.schema()
+        fields = ls.fields + rs.fields
+        dicts = dict(ls.dictionaries)
+        dicts.update(rs.dictionaries)
+        return Schema(fields, dicts)
+
+    def children(self):
+        return (self.left, self.right)
+
+    def _label(self):
+        return f"Join[{self.how}](on={list(self.on)})"
+
+
+@dataclasses.dataclass
+class Distinct(LogicalPlan):
+    input: LogicalPlan
+
+    def schema(self):
+        return self.input.schema()
+
+    def children(self):
+        return (self.input,)

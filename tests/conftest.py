@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding paths are exercised without TPU hardware (the driver
+separately dry-runs the multichip path)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the kernel while_loops are compile-heavy;
+# cache across test runs to keep the suite fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
