@@ -24,11 +24,13 @@ from .dataframe import DataFrame
 class TableProvider:
     """A registered table: pyarrow Table + lazily-converted device batch."""
 
-    def __init__(self, name: str, arrow_table):
+    def __init__(self, name: str, arrow_table, primary_key=None):
         self.name = name
         self.arrow_table = arrow_table
+        self.primary_key = tuple(primary_key) if primary_key else None
         self._batch = None
         self._schema = None
+        self._inferred_unique = None
 
     @property
     def schema(self):
@@ -56,24 +58,47 @@ class SessionContext:
         self._stage_cache: Dict[int, object] = {}
 
     # -- registration (BallistaContext::register_* parity) --
-    def register_arrow(self, name: str, table) -> None:
-        self.tables[name] = TableProvider(name, table)
+    def register_arrow(self, name: str, table, primary_key=None) -> None:
+        self.tables[name] = TableProvider(name, table, primary_key)
 
-    def register_pandas(self, name: str, df) -> None:
+    def register_pandas(self, name: str, df, primary_key=None) -> None:
         import pyarrow as pa
-        self.register_arrow(name, pa.Table.from_pandas(df, preserve_index=False))
+        self.register_arrow(name, pa.Table.from_pandas(df, preserve_index=False),
+                            primary_key)
 
-    def register_csv(self, name: str, path: str, schema=None, **kwargs) -> None:
+    def register_csv(self, name: str, path: str, schema=None,
+                     primary_key=None, **kwargs) -> None:
         import pyarrow.csv as pacsv
         opts = {}
         if schema is not None:
             opts["convert_options"] = pacsv.ConvertOptions(column_types=schema)
         table = pacsv.read_csv(path, **opts)
-        self.register_arrow(name, table)
+        self.register_arrow(name, table, primary_key)
 
-    def register_parquet(self, name: str, path: str) -> None:
+    def register_parquet(self, name: str, path: str, primary_key=None) -> None:
         import pyarrow.parquet as pq
-        self.register_arrow(name, pq.read_table(path))
+        self.register_arrow(name, pq.read_table(path), primary_key)
+
+    def unique_keys(self, name: str):
+        """Unique column sets for join build-side selection (declared PK,
+        else inferred for small tables)."""
+        tp = self.tables[name]
+        if tp.primary_key:
+            return [tp.primary_key]
+        if tp._inferred_unique is None:
+            import pyarrow.compute as pc
+            uniq = []
+            t = tp.arrow_table
+            if t.num_rows <= 1_000_000:
+                for field in t.schema:
+                    col = t.column(field.name)
+                    try:
+                        if len(pc.unique(col)) == t.num_rows:
+                            uniq.append((field.name,))
+                    except Exception:
+                        pass
+            tp._inferred_unique = uniq
+        return tp._inferred_unique
 
     # -- plan creation --
     def table(self, name: str) -> DataFrame:

@@ -13,7 +13,7 @@ from typing import Callable, List, Optional, Tuple
 import jax.numpy as jnp
 
 from ..batch import Batch, Column
-from ..exprs import Bound, Expr, _div_round_half, bind_expr, expr_name
+from ..exprs import Bound, Expr, _div_scaled, bind_expr, expr_name
 from ..schema import DataType, Field, FLOAT32, FLOAT64, INT64, Schema, TypeKind, decimal
 
 
@@ -137,8 +137,8 @@ class BoundAgg:
             out = self.out_field.dtype
             if out.kind is TypeKind.DECIMAL:
                 in_scale = self.state_dtypes[0].scale
-                num = s.data.astype(jnp.int64) * jnp.int64(10 ** (out.scale - in_scale))
-                q = _div_round_half(num, jnp.maximum(c.data, 1))
+                q = _div_scaled(s.data, jnp.maximum(c.data, 1),
+                                out.scale - in_scale)
                 return Column(q, s.validity & (c.data > 0))
             d = s.data.astype(out.jnp_dtype) / jnp.maximum(c.data, 1).astype(out.jnp_dtype)
             return Column(d, s.validity & (c.data > 0))

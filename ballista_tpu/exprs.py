@@ -260,6 +260,36 @@ def _div_round_half(num, den):
     return sign * q
 
 
+_POW10 = np.array([10 ** i for i in range(19)], dtype=np.int64)
+
+
+def _div_scaled(a, b, m: int):
+    """round(a * 10^m / b) for int64 mantissas without overflowing int64.
+
+    Splits the 10^m multiplier per element: scale `a` up by as many digits
+    as safely fit (exact), and round the remaining digits off `b`. Exact
+    whenever a*10^m fits in int64 (the common case); otherwise keeps ~15
+    significant digits. TODO(round2+): two-limb int128 for SF100 sums.
+    """
+    a = a.astype(jnp.int64)
+    b = b.astype(jnp.int64)
+    if m == 0:
+        return _div_round_half(a, b)
+    pow10 = jnp.asarray(_POW10)
+    sign = jnp.where((a < 0) != (b < 0), -1, 1).astype(jnp.int64)
+    aa = jnp.abs(a)
+    ab = jnp.abs(b)
+    # number of decimal digits of aa (0 for aa=0)
+    digits = jnp.sum(aa[..., None] >= pow10[None, 1:], axis=-1).astype(jnp.int32)
+    k1 = jnp.clip(18 - digits, 0, m)
+    a1 = aa * jnp.take(pow10, k1, mode="clip")
+    rem = (m - k1).astype(jnp.int32)
+    bden = jnp.take(pow10, rem, mode="clip")
+    b1 = (ab + bden // 2) // bden  # round low digits off the denominator
+    q = (a1 + jnp.maximum(b1, 1) // 2) // jnp.maximum(b1, 1)
+    return sign * q
+
+
 def _coerce_numeric(l: Bound, r: Bound):
     """Promote two numeric bound exprs to a common dtype; returns (dtype, fl, fr)
     where fl/fr map raw Columns to promoted data arrays."""
@@ -317,15 +347,15 @@ def _bind_arith(op: str, l: Bound, r: Bound) -> Bound:
                               lc.validity & rc.validity)
             return Bound(out, l.nullable or r.nullable, fn)
         if op == "/":
-            # result scale: keep 4 extra digits beyond numerator scale
+            # result scale: keep 4 extra digits beyond the wider input scale
             ts = min(max(ls, rs) + 4, 12)
             out = decimal(18, ts)
+            m = ts - ls + rs  # result = a * 10^m / b
 
             def fn(batch):
                 lc, rc = l.fn(batch), r.fn(batch)
-                num = lc.data.astype(jnp.int64) * jnp.int64(10 ** (ts - ls + rs))
                 den = rc.data.astype(jnp.int64)
-                q = _div_round_half(num, den)
+                q = _div_scaled(lc.data, den, m)
                 v = lc.validity & rc.validity & (den != 0)
                 return Column(q, v)
             return Bound(out, True, fn)
@@ -449,6 +479,13 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
         elif dtype.kind is TypeKind.DECIMAL:
             from decimal import Decimal
             v = int(Decimal(str(v)).scaleb(dtype.scale).to_integral_value())
+            # strip trailing zeros (100.00 -> 100 scale 0): keeps downstream
+            # arithmetic scales — and int64 headroom — as small as possible
+            scale = dtype.scale
+            while scale > 0 and v % 10 == 0:
+                v //= 10
+                scale -= 1
+            dtype = decimal(dtype.precision, scale)
         return Bound(dtype, False, _const_column(v, dtype))
 
     if isinstance(e, Cast):

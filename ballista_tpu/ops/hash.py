@@ -27,13 +27,17 @@ UINT = jnp.uint32
 
 
 def hash_columns(key_datas: Sequence[jax.Array],
-                 key_valids: Sequence[jax.Array]) -> jax.Array:
+                 key_valids: Sequence[jax.Array],
+                 seed: int = 0x9E3779B9) -> jax.Array:
     """Combine key columns into a uint32 hash (murmur3-style finalizer).
 
     NULLs hash as a distinct value (SQL GROUP BY puts all NULLs in one
-    group), so validity participates in the hash.
+    group), so validity participates in the hash. `seed` decorrelates
+    different uses (shuffle destination vs table slot) of the same keys —
+    without it a post-shuffle group table would only populate 1/P of its
+    slots.
     """
-    h = jnp.full(key_datas[0].shape, 0x9E3779B9, dtype=UINT)
+    h = jnp.full(key_datas[0].shape, seed, dtype=UINT)
     for data, valid in zip(key_datas, key_valids):
         d = data.astype(jnp.int64)
         lo = (d & 0xFFFFFFFF).astype(UINT)

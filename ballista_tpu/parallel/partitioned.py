@@ -1,0 +1,131 @@
+"""Partitioned (sharded) batches: a Batch with a leading partition axis,
+sharded over the mesh's partition axis.
+
+Reference parity: a Ballista table scan's partitions (one file-partition per
+task); here each mesh shard owns row-range partition i, stored as device
+arrays with shape (P, cap_per_shard) laid out so shard i holds row block i.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..batch import Batch, Column, round_capacity
+from ..schema import Schema
+from .mesh import PARTITION_AXIS
+
+
+class PartitionedBatch(NamedTuple):
+    """columns[i].data: (P, cap) arrays; num_rows: (P,) int32 per shard."""
+    columns: Tuple[Column, ...]
+    num_rows: jax.Array
+
+    @property
+    def n_partitions(self) -> int:
+        return int(self.columns[0].data.shape[0])
+
+    @property
+    def capacity(self) -> int:
+        return int(self.columns[0].data.shape[1])
+
+
+def shard_batch_sharding(mesh):
+    return NamedSharding(mesh, P(PARTITION_AXIS))
+
+
+def partition_arrow(table, n_partitions: int, mesh=None,
+                    capacity: int | None = None):
+    """Split a pyarrow table row-wise into P shards -> PartitionedBatch.
+
+    Row order is preserved across shard boundaries (shard i gets rows
+    [i*rows/P, (i+1)*rows/P)) — same contract as Ballista CSV partition
+    splits.
+    """
+    from ..batch import from_arrow
+
+    n = table.num_rows
+    per = -(-n // n_partitions)
+    cap = round_capacity(max(per, 1) if capacity is None else capacity)
+    shard_cols = None
+    schema = None
+    num_rows = np.zeros(n_partitions, dtype=np.int32)
+    all_data = []
+    for p in range(n_partitions):
+        chunk = table.slice(p * per, per)
+        b, s = from_arrow(chunk, capacity=cap)
+        if schema is None:
+            schema = s
+            shard_cols = [([], []) for _ in b.columns]
+        else:
+            # merge dictionaries: re-encode against the union dictionary
+            schema, b = _align_dictionaries(schema, s, b)
+        num_rows[p] = chunk.num_rows
+        for i, c in enumerate(b.columns):
+            shard_cols[i][0].append(np.asarray(c.data))
+            shard_cols[i][1].append(np.asarray(c.validity))
+        all_data.append(b)
+    cols = []
+    sharding = shard_batch_sharding(mesh) if mesh is not None else None
+    for datas, valids in shard_cols:
+        d = np.stack(datas)
+        v = np.stack(valids)
+        if sharding is not None:
+            cols.append(Column(jax.device_put(d, sharding),
+                               jax.device_put(v, sharding)))
+        else:
+            cols.append(Column(jnp.asarray(d), jnp.asarray(v)))
+    nr = jnp.asarray(num_rows)
+    if sharding is not None:
+        nr = jax.device_put(nr, sharding)
+    return PartitionedBatch(tuple(cols), nr), schema
+
+
+def _align_dictionaries(schema_acc: Schema, schema_new: Schema, b: Batch):
+    """Per-shard from_arrow builds per-shard dictionaries; rebuild codes
+    against the running union dictionary (kept sorted)."""
+    import numpy as np
+
+    new_cols = list(b.columns)
+    for idx, f in enumerate(schema_acc.fields):
+        d_old = schema_acc.dictionary(f.name)
+        d_new = schema_new.dictionary(f.name)
+        if d_new is None and d_old is None:
+            continue
+        d_old = d_old if d_old is not None else np.array([], dtype=object)
+        d_new = d_new if d_new is not None else np.array([], dtype=object)
+        union = np.unique(np.concatenate([d_old.astype(str), d_new.astype(str)]))
+        union_obj = union.astype(object)
+        remap = np.searchsorted(union, d_new.astype(str)).astype(np.int32)
+        c = b.columns[idx]
+        codes = np.asarray(c.data)
+        codes = remap[np.clip(codes, 0, max(len(remap) - 1, 0))] if len(remap) else codes
+        new_cols[idx] = Column(jnp.asarray(codes.astype(np.int32)), c.validity)
+        schema_acc = schema_acc.with_dictionary(f.name, union_obj)
+    return schema_acc, Batch(tuple(new_cols), b.num_rows)
+
+
+def gather_partitions(pb: PartitionedBatch, schema: Schema) -> Batch:
+    """Collect all shards into one host-side Batch (result egress — the
+    analog of the client Flight-fetching final partitions)."""
+    P_, cap = pb.n_partitions, pb.capacity
+    total_cap = round_capacity(P_ * cap)
+    nrows = np.asarray(pb.num_rows)
+    cols = []
+    for c in pb.columns:
+        data = np.asarray(c.data)
+        valid = np.asarray(c.validity)
+        out_d = np.zeros(total_cap, dtype=data.dtype)
+        out_v = np.zeros(total_cap, dtype=bool)
+        off = 0
+        for p in range(P_):
+            k = int(nrows[p])
+            out_d[off:off + k] = data[p, :k]
+            out_v[off:off + k] = valid[p, :k]
+            off += k
+        cols.append(Column(jnp.asarray(out_d), jnp.asarray(out_v)))
+    return Batch(tuple(cols), jnp.int32(int(nrows.sum())))

@@ -1,0 +1,118 @@
+"""Distributed hash-repartition shuffle as an in-program collective.
+
+Reference parity: ShuffleWriterExec's hash path (BatchPartitioner + per-
+partition IPC files, `shuffle_writer.rs:328-449`) plus ShuffleReaderExec's
+fetch (`shuffle_reader.rs:226`) — the entire write-to-disk / Flight-fetch /
+object-store-fallback machinery collapses into ONE `lax.all_to_all` over
+the mesh's ICI links, fused into the surrounding stage XLA program
+(SURVEY.md §2.5 "TPU-native equivalent").
+
+Mechanics (per shard, inside shard_map):
+  dest  = salted_hash(keys) % P           for live rows
+  sort rows by dest (grouped runs), rank within run
+  scatter into a (P * quota) send buffer; counts per dest
+  all_to_all(send), all_to_all(counts)
+  compact received runs -> output Batch, num_rows = sum(recv_counts)
+
+`quota` bounds rows any one shard sends to any one destination; overflow
+is detected and surfaced so the driver can retry with a bigger quota
+(capacity-with-retry, SURVEY.md §7 hard parts; skew splitting is the
+planned follow-up).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Batch, Column, row_mask
+from ..ops.compact import compaction_perm, gather_batch
+from ..ops.hash import hash_columns
+from .mesh import PARTITION_AXIS
+
+SHUFFLE_SEED = 0x7F4A7C15
+
+
+def shuffle_dest(batch: Batch, key_indices: Sequence[int], n_parts: int):
+    """Destination partition per live row (dead rows -> n_parts)."""
+    live = row_mask(batch)
+    keys = [batch.columns[i] for i in key_indices]
+    h = hash_columns(tuple(k.data for k in keys),
+                     tuple(k.validity for k in keys), seed=SHUFFLE_SEED)
+    dest = (h % jnp.uint32(n_parts)).astype(jnp.int32)
+    return jnp.where(live, dest, n_parts), live
+
+
+def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
+                            n_parts: int, quota: int,
+                            axis_name: str = PARTITION_AXIS):
+    """Inside shard_map: repartition rows by key hash across the mesh.
+
+    Returns (out_batch, overflow) where out_batch has capacity
+    n_parts*quota and overflow is a per-shard bool (quota exceeded; rows
+    dropped — caller must retry with a larger quota).
+    """
+    P = n_parts
+    cap = batch.capacity
+    dest, live = shuffle_dest(batch, key_indices, P)
+
+    # group rows by destination (stable)
+    order = jnp.argsort(dest, stable=True)            # dead rows (dest=P) last
+    sorted_dest = jnp.take(dest, order)
+    counts = jnp.zeros(P + 1, dtype=jnp.int32).at[dest].add(1)[:P]
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    rank = pos - jnp.take(offsets, jnp.clip(sorted_dest, 0, P - 1))
+    overflow = jnp.any(counts > quota)
+
+    # scatter sorted rows into the (P*quota) send buffer
+    valid_send = (sorted_dest < P) & (rank < quota)
+    send_idx = jnp.where(valid_send, sorted_dest * quota + rank, P * quota)
+    send_counts = jnp.minimum(counts, quota)
+
+    out_cols = []
+    recv_counts = jax.lax.all_to_all(
+        send_counts, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    for c in batch.columns:
+        sd = jnp.take(c.data, order)
+        sv = jnp.take(c.validity, order)
+        send_d = jnp.zeros(P * quota, dtype=c.data.dtype).at[send_idx].set(
+            sd, mode="drop")
+        send_v = jnp.zeros(P * quota, dtype=jnp.bool_).at[send_idx].set(
+            sv & valid_send, mode="drop")
+        recv_d = jax.lax.all_to_all(send_d, axis_name, 0, 0, tiled=True)
+        recv_v = jax.lax.all_to_all(send_v, axis_name, 0, 0, tiled=True)
+        out_cols.append(Column(recv_d, recv_v))
+
+    # compact received runs: row j of sender-chunk k is live iff j < recv_counts[k]
+    j = jnp.arange(P * quota, dtype=jnp.int32)
+    keep = (j % quota) < jnp.take(recv_counts, j // quota)
+    perm, total = compaction_perm(keep)
+    interim = Batch(tuple(out_cols), total)
+    out = gather_batch(interim, perm, total)
+    livemask = jnp.arange(P * quota, dtype=jnp.int32) < total
+    cols = [Column(c.data, c.validity & livemask) for c in out.columns]
+    return Batch(tuple(cols), total), overflow
+
+
+def all_gather_batch(batch: Batch, n_parts: int,
+                     axis_name: str = PARTITION_AXIS) -> Batch:
+    """Inside shard_map: gather every shard's rows onto every shard
+    (Ballista CoalescePartitionsExec analog for the final merge stage).
+    Output capacity = n_parts * capacity."""
+    cap = batch.capacity
+    nrows = jax.lax.all_gather(batch.num_rows, axis_name)  # (P,)
+    cols = []
+    j = jnp.arange(n_parts * cap, dtype=jnp.int32)
+    keep = (j % cap) < jnp.take(nrows, j // cap)
+    perm, total = compaction_perm(keep)
+    for c in batch.columns:
+        d = jax.lax.all_gather(c.data, axis_name, tiled=True)
+        v = jax.lax.all_gather(c.validity, axis_name, tiled=True)
+        cols.append(Column(jnp.take(d, perm), jnp.take(v, perm) & keep[perm]))
+    livemask = j < total
+    cols = [Column(c.data, c.validity & livemask) for c in cols]
+    return Batch(tuple(cols), total)

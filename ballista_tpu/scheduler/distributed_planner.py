@@ -1,0 +1,208 @@
+"""DistributedPlanner: split a logical plan into a stage DAG.
+
+Reference parity: `ballista/scheduler/src/planner.rs:44-310` — the reference
+walks the physical plan and cuts stages at repartition boundaries
+(RepartitionExec(Hash) -> shuffle stage, CoalescePartitionsExec /
+SortPreservingMergeExec -> merge stage). Here we cut at the logical level:
+
+  Aggregate  -> partial agg | shuffle(group keys) | final agg
+             -> (global agg) partial | all-gather | final (replicated->shard0)
+  Join       -> shuffle both sides by join keys | local join
+             -> (small build) all-gather broadcast build | local join in the
+                probe's stage (DataFusion CollectLeft analog; Ballista lacks
+                broadcast joins — strictly better on TPC-H dimension tables)
+  Sort/Limit -> local sort[+limit] | all-gather | final merge sort[+limit]
+
+Each stage's shuffle is an ExchangeExec fused at the stage root, so a stage
+compiles to ONE shard_map'd XLA program whose epilogue is the all_to_all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+from ..exprs import Col
+from ..exec.plan import (ExecNode, FilterExec, HashAggregateExec, HashJoinExec,
+                         InputLeaf, LimitExec, ProjectExec, SortExec,
+                         _next_pow2)
+from ..exec.distributed import ExchangeExec, GatherExec, PartitionPruneExec
+from ..planner import logical as L
+from ..batch import round_capacity
+
+
+@dataclasses.dataclass
+class Source:
+    kind: str          # 'table' | 'stage'
+    name: str          # table name or producer stage id
+
+
+@dataclasses.dataclass
+class Stage:
+    stage_id: int
+    root: ExecNode
+    sources: Dict[str, Source]
+
+    def display(self) -> str:
+        hdr = f"Stage {self.stage_id} (inputs: " + ", ".join(
+            f"{k}<-{v.kind}:{v.name}" for k, v in self.sources.items()) + ")\n"
+        return hdr + self.root.display(1)
+
+
+@dataclasses.dataclass
+class DistributedPlan:
+    stages: List[Stage]
+    final_stage: int
+
+    @property
+    def final_schema(self):
+        return self.stages[-1].root.schema
+
+    def display(self) -> str:
+        return "\n".join(s.display() for s in self.stages)
+
+
+@dataclasses.dataclass
+class DistOptions:
+    n_partitions: int = 8
+    broadcast_threshold: int = 1 << 17   # build rows below this: broadcast join
+    min_quota: int = 256
+    quota_headroom: float = 2.0          # x average rows/dest
+    max_group_table: int = 1 << 16
+
+
+class DistributedPlanner:
+    def __init__(self, ctx, options: DistOptions):
+        self.ctx = ctx
+        self.opts = options
+        self._stages: List[Stage] = []
+        self._sources: Dict[str, Source] = {}
+        self._next_stage = 0
+
+    # -- stage cutting --
+    def _close_stage(self, root: ExecNode) -> int:
+        sid = self._next_stage
+        self._next_stage += 1
+        sources = {}
+        for leaf in root.leaves():
+            sources[leaf.input_id] = self._sources[leaf.input_id]
+        self._stages.append(Stage(sid, root, sources))
+        return sid
+
+    def _cut(self, root: ExecNode) -> InputLeaf:
+        sid = self._close_stage(root)
+        leaf_id = f"stage_{sid}"
+        leaf = InputLeaf(leaf_id, root.schema, root.capacity)
+        self._sources[leaf_id] = Source("stage", str(sid))
+        return leaf
+
+    def _cut_shuffle(self, root: ExecNode, key_names, expected_rows: int) -> InputLeaf:
+        P = self.opts.n_partitions
+        quota = max(self.opts.min_quota,
+                    round_capacity(int(self.opts.quota_headroom * expected_rows / P)))
+        return self._cut(ExchangeExec(root, key_names, P, quota))
+
+    def _cut_gather(self, root: ExecNode) -> InputLeaf:
+        return self._cut(GatherExec(root, self.opts.n_partitions))
+
+    # -- lowering --
+    def plan(self, plan: L.LogicalPlan) -> DistributedPlan:
+        root = self._lower(plan)
+        final = self._close_stage(root)
+        return DistributedPlan(self._stages, final)
+
+    def _agg_table(self, child_cap: int) -> int:
+        return min(_next_pow2(max(child_cap // 4, 16)), self.opts.max_group_table)
+
+    def _lower(self, p: L.LogicalPlan) -> ExecNode:
+        if isinstance(p, L.TableScan):
+            tp = self.ctx.tables[p.table_name]
+            per_shard = round_capacity(-(-tp.capacity // self.opts.n_partitions))
+            leaf = InputLeaf(p.table_name, tp.schema, per_shard)
+            self._sources[p.table_name] = Source("table", p.table_name)
+            if p.projection is not None:
+                return ProjectExec(leaf, [Col(n) for n in p.projection],
+                                   names=list(p.projection))
+            return leaf
+        if isinstance(p, L.Filter):
+            return FilterExec(self._lower(p.input), p.predicate)
+        if isinstance(p, L.Projection):
+            return ProjectExec(self._lower(p.input), list(p.exprs),
+                               names=list(p.names) if p.names else None)
+        if isinstance(p, (L.Aggregate, L.Distinct)):
+            if isinstance(p, L.Distinct):
+                child = self._lower(p.input)
+                group_exprs = [Col(f.name) for f in child.schema.fields]
+                aggs = []
+                group_names = [f.name for f in child.schema.fields]
+            else:
+                child = self._lower(p.input)
+                group_exprs = list(p.group_exprs)
+                aggs = list(p.aggs)
+                group_names = (list(p.group_names) if p.group_names
+                               else None)
+            T = self._agg_table(child.capacity)
+            partial = HashAggregateExec(child, group_exprs, aggs,
+                                        mode="partial", table_size=T,
+                                        group_names=group_names)
+            if group_exprs:
+                key_names = [f.name for f in
+                             partial.schema.fields[:len(group_exprs)]]
+                leaf = self._cut_shuffle(partial, key_names, expected_rows=T)
+                Tf = min(_next_pow2(max(leaf.capacity // 2, 16)),
+                         self.opts.max_group_table * self.opts.n_partitions)
+                return HashAggregateExec(leaf, [Col(k) for k in key_names],
+                                         aggs, mode="final", table_size=Tf,
+                                         group_names=key_names)
+            # global aggregate: states are tiny -> all-gather + replicated final
+            leaf = self._cut_gather(partial)
+            final = HashAggregateExec(leaf, [], aggs, mode="final",
+                                      table_size=16)
+            return PartitionPruneExec(final)
+        if isinstance(p, L.Join):
+            build = self._lower(p.left)
+            probe = self._lower(p.right)
+            on = list(p.on)
+            if build.capacity <= self.opts.broadcast_threshold // max(self.opts.n_partitions, 1):
+                bleaf = self._cut_gather(build)
+                return HashJoinExec(bleaf, probe, on, p.how)
+            bkeys = [a for a, _ in on]
+            pkeys = [b for _, b in on]
+            bleaf = self._cut_shuffle(build, bkeys, expected_rows=build.capacity)
+            pleaf = self._cut_shuffle(probe, pkeys, expected_rows=probe.capacity)
+            return HashJoinExec(bleaf, pleaf, on, p.how)
+        if isinstance(p, L.Sort):
+            if _single_partition(p.input):
+                return SortExec(self._lower(p.input), list(p.keys))
+            child = self._lower(p.input)
+            local = SortExec(child, list(p.keys))
+            leaf = self._cut_gather(local)
+            final = SortExec(leaf, list(p.keys))
+            return PartitionPruneExec(final)
+        if isinstance(p, L.Limit):
+            if isinstance(p.input, L.Sort) and not _single_partition(p.input.input):
+                # top-k: local sort+limit, gather, merge sort+limit
+                child = self._lower(p.input.input)
+                local = LimitExec(SortExec(child, list(p.input.keys)), p.n)
+                leaf = self._cut_gather(local)
+                final = LimitExec(SortExec(leaf, list(p.input.keys)), p.n)
+                return PartitionPruneExec(final)
+            child = self._lower(p.input)
+            if _single_partition(p.input):
+                return LimitExec(child, p.n)
+            local = LimitExec(child, p.n)
+            leaf = self._cut_gather(local)
+            return PartitionPruneExec(LimitExec(leaf, p.n))
+        raise NotImplementedError(type(p).__name__)
+
+
+def _single_partition(p: L.LogicalPlan) -> bool:
+    """True if the plan's distributed output is already on one shard
+    (replicated-pruned), so no merge stage is needed."""
+    if isinstance(p, (L.Sort, L.Limit)):
+        return _single_partition(p.input)
+    if isinstance(p, L.Aggregate):
+        return not p.group_exprs
+    if isinstance(p, (L.Projection, L.Filter)):
+        return _single_partition(p.input)
+    return False

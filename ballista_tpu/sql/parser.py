@@ -1,0 +1,508 @@
+"""SQL lexer + recursive-descent parser (TPC-H dialect).
+
+Produces a SelectStmt AST over `ballista_tpu.exprs` expression nodes, with
+SQL-only extensions (aggregate calls, subqueries) defined here and lowered
+by `sql.planner`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import List, Optional, Tuple, Union
+
+from ..exprs import (Between, BinOp, Case, Cast, Col, Expr, InList,
+                     IntervalLit, IsNull, Like, Lit, Neg, Not, ScalarFn)
+from ..schema import DATE32, DataType, decimal as decimal_type
+
+# ---------------------------------------------------------------------------
+# SQL-only AST nodes
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AggCall(Expr):
+    kind: str                 # sum|avg|count|min|max|count_star
+    arg: Optional[Expr]
+    distinct: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class SubqueryExpr(Expr):
+    """Scalar subquery usable where an expression is expected."""
+    query: "SelectStmt"
+
+
+@dataclasses.dataclass(frozen=True)
+class ExistsExpr(Expr):
+    query: "SelectStmt"
+    negated: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class InSubquery(Expr):
+    child: Expr
+    query: "SelectStmt"
+    negated: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Star(Expr):
+    pass
+
+
+@dataclasses.dataclass
+class TableRef:
+    # either a named table or a derived table (subquery)
+    name: Optional[str] = None
+    subquery: Optional["SelectStmt"] = None
+    alias: Optional[str] = None
+
+
+@dataclasses.dataclass
+class JoinClause:
+    table: TableRef
+    how: str          # inner | left | right | full
+    on: Optional[Expr]
+
+
+@dataclasses.dataclass
+class SelectStmt:
+    projections: List[Tuple[Expr, Optional[str]]] = dataclasses.field(default_factory=list)
+    from_tables: List[TableRef] = dataclasses.field(default_factory=list)
+    joins: List[JoinClause] = dataclasses.field(default_factory=list)
+    where: Optional[Expr] = None
+    group_by: List[Union[Expr, int]] = dataclasses.field(default_factory=list)
+    having: Optional[Expr] = None
+    order_by: List[Tuple[Union[Expr, int], bool, Optional[bool]]] = dataclasses.field(default_factory=list)
+    limit: Optional[int] = None
+    distinct: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+# ---------------------------------------------------------------------------
+
+TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|--[^\n]*\n?)
+  | (?P<num>\d+\.\d*|\.\d+|\d+)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<op><>|!=|<=|>=|\|\||[-+*/%(),.;<>=])
+""", re.X)
+
+KEYWORDS = {
+    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "as", "and", "or", "not", "in", "like", "between", "is", "null",
+    "case", "when", "then", "else", "end", "cast", "date", "interval",
+    "exists", "distinct", "join", "inner", "left", "right", "full", "outer",
+    "on", "asc", "desc", "nulls", "first", "last", "union", "all",
+    "true", "false", "extract", "year",
+}
+
+
+@dataclasses.dataclass
+class Token:
+    kind: str   # num | str | id | kw | op | eof
+    value: str
+
+
+def tokenize(sql: str) -> List[Token]:
+    out = []
+    pos = 0
+    while pos < len(sql):
+        m = TOKEN_RE.match(sql, pos)
+        if not m:
+            raise SyntaxError(f"unexpected character {sql[pos]!r} at {pos}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        text = m.group()
+        if m.lastgroup == "id":
+            low = text.lower()
+            out.append(Token("kw" if low in KEYWORDS else "id", low if low in KEYWORDS else text))
+        elif m.lastgroup == "str":
+            out.append(Token("str", text[1:-1].replace("''", "'")))
+        else:
+            out.append(Token(m.lastgroup, text))
+    out.append(Token("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+class Parser:
+    def __init__(self, tokens: List[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    # -- token helpers --
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, value: Optional[str] = None) -> Optional[Token]:
+        t = self.peek()
+        if t.kind == kind and (value is None or t.value == value):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, value: Optional[str] = None) -> Token:
+        t = self.accept(kind, value)
+        if t is None:
+            got = self.peek()
+            raise SyntaxError(f"expected {value or kind}, got {got.kind} {got.value!r} (pos {self.i})")
+        return t
+
+    def at_kw(self, *words) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.value in words
+
+    # -- statement --
+    def parse_select(self) -> SelectStmt:
+        self.expect("kw", "select")
+        stmt = SelectStmt()
+        if self.accept("kw", "distinct"):
+            stmt.distinct = True
+        # projections
+        while True:
+            if self.accept("op", "*"):
+                stmt.projections.append((Star(), None))
+            else:
+                e = self.parse_expr()
+                alias = None
+                if self.accept("kw", "as"):
+                    alias = self._name()
+                elif self.peek().kind == "id":
+                    alias = self.next().value
+                stmt.projections.append((e, alias))
+            if not self.accept("op", ","):
+                break
+        # FROM
+        if self.accept("kw", "from"):
+            stmt.from_tables.append(self.parse_table_ref())
+            while True:
+                if self.accept("op", ","):
+                    stmt.from_tables.append(self.parse_table_ref())
+                    continue
+                how = self._try_join_kw()
+                if how:
+                    tref = self.parse_table_ref()
+                    on = None
+                    if self.accept("kw", "on"):
+                        on = self.parse_expr()
+                    stmt.joins.append(JoinClause(tref, how, on))
+                    continue
+                break
+        if self.accept("kw", "where"):
+            stmt.where = self.parse_expr()
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            while True:
+                if self.peek().kind == "num":
+                    stmt.group_by.append(int(self.next().value))
+                else:
+                    stmt.group_by.append(self.parse_expr())
+                if not self.accept("op", ","):
+                    break
+        if self.accept("kw", "having"):
+            stmt.having = self.parse_expr()
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                if self.peek().kind == "num" and self.peek(1).kind in ("op", "kw", "eof") \
+                        and self.peek(1).value not in ("(", ".", "*", "/", "+", "-"):
+                    key: Union[Expr, int] = int(self.next().value)
+                else:
+                    key = self.parse_expr()
+                asc = True
+                if self.accept("kw", "desc"):
+                    asc = False
+                else:
+                    self.accept("kw", "asc")
+                nulls_first = None
+                if self.accept("kw", "nulls"):
+                    if self.accept("kw", "first"):
+                        nulls_first = True
+                    else:
+                        self.expect("kw", "last")
+                        nulls_first = False
+                stmt.order_by.append((key, asc, nulls_first))
+                if not self.accept("op", ","):
+                    break
+        if self.accept("kw", "limit"):
+            stmt.limit = int(self.expect("num").value)
+        self.accept("op", ";")
+        return stmt
+
+    def _try_join_kw(self) -> Optional[str]:
+        if self.accept("kw", "join"):
+            return "inner"
+        if self.at_kw("inner") and self.peek(1).value == "join":
+            self.next(); self.next()
+            return "inner"
+        for how in ("left", "right", "full"):
+            if self.at_kw(how):
+                j = 1
+                if self.peek(1).kind == "kw" and self.peek(1).value == "outer":
+                    j = 2
+                if self.peek(j).kind == "kw" and self.peek(j).value == "join":
+                    for _ in range(j + 1):
+                        self.next()
+                    return how
+        return None
+
+    def parse_table_ref(self) -> TableRef:
+        if self.accept("op", "("):
+            sub = self.parse_select()
+            self.expect("op", ")")
+            alias = None
+            if self.accept("kw", "as"):
+                alias = self._name()
+            elif self.peek().kind == "id":
+                alias = self.next().value
+            return TableRef(subquery=sub, alias=alias)
+        name = self._name()
+        alias = None
+        if self.accept("kw", "as"):
+            alias = self._name()
+        elif self.peek().kind == "id":
+            alias = self.next().value
+        return TableRef(name=name, alias=alias)
+
+    def _name(self) -> str:
+        t = self.peek()
+        if t.kind in ("id",):
+            return self.next().value
+        raise SyntaxError(f"expected name, got {t.kind} {t.value!r}")
+
+    # -- expressions (precedence climbing) --
+    def parse_expr(self) -> Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> Expr:
+        e = self.parse_and()
+        while self.accept("kw", "or"):
+            e = BinOp("or", e, self.parse_and())
+        return e
+
+    def parse_and(self) -> Expr:
+        e = self.parse_not()
+        while self.accept("kw", "and"):
+            e = BinOp("and", e, self.parse_not())
+        return e
+
+    def parse_not(self) -> Expr:
+        if self.accept("kw", "not"):
+            return Not(self.parse_not())
+        return self.parse_predicate()
+
+    def parse_predicate(self) -> Expr:
+        e = self.parse_add()
+        while True:
+            if self.at_kw("is"):
+                self.next()
+                negated = bool(self.accept("kw", "not"))
+                self.expect("kw", "null")
+                e = IsNull(e, negated=negated)
+                continue
+            negated = False
+            if self.at_kw("not") and self.peek(1).kind == "kw" and \
+                    self.peek(1).value in ("in", "like", "between"):
+                self.next()
+                negated = True
+            if self.accept("kw", "between"):
+                low = self.parse_add()
+                self.expect("kw", "and")
+                high = self.parse_add()
+                e = Between(e, low, high, negated=negated)
+                continue
+            if self.accept("kw", "in"):
+                self.expect("op", "(")
+                if self.at_kw("select"):
+                    sub = self.parse_select()
+                    self.expect("op", ")")
+                    e = InSubquery(e, sub, negated=negated)
+                else:
+                    vals = [self.parse_add()]
+                    while self.accept("op", ","):
+                        vals.append(self.parse_add())
+                    self.expect("op", ")")
+                    e = InList(e, tuple(vals), negated=negated)
+                continue
+            if self.accept("kw", "like"):
+                pat = self.expect("str").value
+                e = Like(e, pat, negated=negated)
+                continue
+            t = self.peek()
+            if t.kind == "op" and t.value in ("=", "!=", "<>", "<", "<=", ">", ">="):
+                self.next()
+                e = BinOp(t.value, e, self.parse_add())
+                continue
+            return e
+
+    def parse_add(self) -> Expr:
+        e = self.parse_mul()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("+", "-"):
+                self.next()
+                e = BinOp(t.value, e, self.parse_mul())
+            else:
+                return e
+
+    def parse_mul(self) -> Expr:
+        e = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("*", "/", "%"):
+                self.next()
+                e = BinOp(t.value, e, self.parse_unary())
+            else:
+                return e
+
+    def parse_unary(self) -> Expr:
+        if self.accept("op", "-"):
+            return Neg(self.parse_unary())
+        self.accept("op", "+")
+        return self.parse_primary()
+
+    def parse_primary(self) -> Expr:
+        t = self.peek()
+        if self.accept("op", "("):
+            if self.at_kw("select"):
+                sub = self.parse_select()
+                self.expect("op", ")")
+                return SubqueryExpr(sub)
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return e
+        if t.kind == "num":
+            self.next()
+            if "." in t.value:
+                scale = len(t.value.split(".")[1])
+                digits = len(t.value.replace(".", "").lstrip("0")) or 1
+                return Lit(t.value, decimal_type(max(digits, scale + 1), scale))
+            return Lit(int(t.value))
+        if t.kind == "str":
+            self.next()
+            return Lit(t.value)
+        if self.accept("kw", "true"):
+            return Lit(True)
+        if self.accept("kw", "false"):
+            return Lit(False)
+        if self.accept("kw", "null"):
+            return Lit(None, DATE32) if False else Lit(None, None)
+        if self.accept("kw", "date"):
+            s = self.expect("str").value
+            return Lit(s, DATE32)
+        if self.accept("kw", "interval"):
+            s = self.expect("str").value
+            unit = self._name().lower() if self.peek().kind == "id" else self.expect("kw", "year").value
+            qty = int(s.split()[0])
+            unit = unit.rstrip("s")
+            if unit == "year":
+                return IntervalLit(months=12 * qty)
+            if unit == "month":
+                return IntervalLit(months=qty)
+            if unit == "day":
+                return IntervalLit(days=qty)
+            raise SyntaxError(f"unsupported interval unit {unit}")
+        if self.accept("kw", "exists"):
+            self.expect("op", "(")
+            sub = self.parse_select()
+            self.expect("op", ")")
+            return ExistsExpr(sub)
+        if self.accept("kw", "case"):
+            whens = []
+            otherwise = None
+            operand = None
+            if not self.at_kw("when"):
+                operand = self.parse_expr()
+            while self.accept("kw", "when"):
+                cond = self.parse_expr()
+                self.expect("kw", "then")
+                val = self.parse_expr()
+                if operand is not None:
+                    cond = BinOp("=", operand, cond)
+                whens.append((cond, val))
+            if self.accept("kw", "else"):
+                otherwise = self.parse_expr()
+            self.expect("kw", "end")
+            return Case(tuple(whens), otherwise)
+        if self.accept("kw", "cast"):
+            self.expect("op", "(")
+            e = self.parse_expr()
+            self.expect("kw", "as")
+            dtype = self.parse_type()
+            self.expect("op", ")")
+            return Cast(e, dtype)
+        if self.accept("kw", "extract"):
+            self.expect("op", "(")
+            self.expect("kw", "year")
+            self.expect("kw", "from")
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return ScalarFn("extract_year", (e,))
+        if t.kind == "id":
+            name = self.next().value
+            # function call?
+            if self.peek().kind == "op" and self.peek().value == "(":
+                self.next()
+                low = name.lower()
+                if low in ("sum", "avg", "min", "max", "count"):
+                    distinct = bool(self.accept("kw", "distinct"))
+                    if self.accept("op", "*"):
+                        self.expect("op", ")")
+                        return AggCall("count_star", None)
+                    arg = self.parse_expr()
+                    self.expect("op", ")")
+                    return AggCall(low, arg, distinct=distinct)
+                args = []
+                if not self.accept("op", ")"):
+                    args.append(self.parse_expr())
+                    while self.accept("op", ","):
+                        args.append(self.parse_expr())
+                    self.expect("op", ")")
+                return ScalarFn(low, tuple(args))
+            # qualified name?
+            if self.peek().kind == "op" and self.peek().value == ".":
+                self.next()
+                col = self._name()
+                return Col(f"{name}.{col}")
+            return Col(name)
+        raise SyntaxError(f"unexpected token {t.kind} {t.value!r}")
+
+    def parse_type(self) -> DataType:
+        from ..schema import FLOAT64, INT32, INT64, STRING
+        t = self._name().lower() if self.peek().kind == "id" else self.next().value
+        if t in ("int", "integer"):
+            return INT32
+        if t == "bigint":
+            return INT64
+        if t in ("double", "float8"):
+            return FLOAT64
+        if t in ("varchar", "text", "string"):
+            return STRING
+        if t == "decimal":
+            if self.accept("op", "("):
+                p = int(self.expect("num").value)
+                self.expect("op", ",")
+                s = int(self.expect("num").value)
+                self.expect("op", ")")
+                return decimal_type(p, s)
+            return decimal_type(18, 2)
+        if t == "date":
+            return DATE32
+        raise SyntaxError(f"unknown type {t}")
+
+
+def parse_sql(sql: str) -> SelectStmt:
+    return Parser(tokenize(sql)).parse_select()

@@ -1,0 +1,48 @@
+"""TPC-H query correctness vs the pandas oracle (row-exact diff harness —
+SURVEY.md §4 item (d): result diffs are the north-star correctness check)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ballista_tpu import batch as B
+from ballista_tpu.benchmarks import TPCH_QUERIES
+from ballista_tpu.client import SessionContext
+from ballista_tpu.datagen import generate_tpch, register_tpch
+
+from tpch_oracle import ORACLES, to_pd
+
+SF = 0.002  # lineitem ~12k rows: fast CPU compiles, all query shapes exercised
+
+
+@pytest.fixture(scope="module")
+def env():
+    data = generate_tpch(SF)
+    ctx = SessionContext()
+    register_tpch(ctx, SF, data=data)
+    return ctx, to_pd(data)
+
+
+def assert_frames_match(got: pd.DataFrame, exp: pd.DataFrame, query: int):
+    assert list(got.columns) == list(exp.columns), \
+        f"q{query} columns: {list(got.columns)} vs {list(exp.columns)}"
+    assert len(got) == len(exp), f"q{query} rows: {len(got)} vs {len(exp)}"
+    for col in exp.columns:
+        g, e = got[col], exp[col]
+        if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(g):
+            np.testing.assert_allclose(
+                g.astype(float).to_numpy(), e.astype(float).to_numpy(),
+                rtol=1e-6, atol=1e-4, err_msg=f"q{query} col {col}")
+        elif pd.api.types.is_datetime64_any_dtype(e):
+            assert list(pd.to_datetime(g)) == list(e), f"q{query} col {col}"
+        else:
+            assert list(g) == list(e), f"q{query} col {col}"
+
+
+@pytest.mark.parametrize("query", sorted(ORACLES))
+def test_tpch_query(env, query):
+    ctx, pdt = env
+    got = ctx.sql(TPCH_QUERIES[query]).to_pandas()
+    exp = ORACLES[query](pdt)
+    exp.columns = list(got.columns)[:len(exp.columns)] if False else exp.columns
+    assert_frames_match(got, exp, query)
