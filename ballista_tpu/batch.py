@@ -128,11 +128,27 @@ def schema_from_arrow(arrow_schema) -> Schema:
     return Schema(tuple(fields))
 
 
-def from_arrow(table, capacity: int | None = None) -> tuple[Batch, Schema]:
+def compute_dictionaries(table) -> dict:
+    """Global sorted dictionaries for every string column of a table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = {}
+    for field in table.schema:
+        if pa.types.is_string(field.type) or pa.types.is_large_string(field.type):
+            uniq = pc.unique(pc.drop_null(table.column(field.name)))
+            out[field.name] = np.sort(np.asarray(uniq, dtype=object)).astype(object)
+    return out
+
+
+def from_arrow(table, capacity: int | None = None,
+               dictionaries: dict | None = None) -> tuple[Batch, Schema]:
     """Convert a pyarrow Table to a device Batch + Schema.
 
     Strings are dictionary-encoded against a *sorted* dictionary so that
     code order == lexicographic order (ORDER BY / min / max work on codes).
+    Pass `dictionaries` to encode against precomputed global dictionaries
+    (required when converting shards of one table so codes agree).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -150,19 +166,23 @@ def from_arrow(table, capacity: int | None = None) -> tuple[Batch, Schema]:
         if arr.null_count:
             validity = np.asarray(pc.is_valid(arr))
         if f.dtype.kind is TypeKind.STRING:
-            # sorted dictionary encode
-            uniq = pc.unique(pc.drop_null(arr))
-            dict_np = np.sort(np.asarray(uniq, dtype=object))
+            if dictionaries is not None and f.name in dictionaries:
+                dict_np = dictionaries[f.name]
+            else:
+                uniq = pc.unique(pc.drop_null(arr))
+                dict_np = np.sort(np.asarray(uniq, dtype=object))
             dicts[f.name] = dict_np.astype(object)
             str_np = np.asarray(arr, dtype=object)
             codes = np.searchsorted(dict_np.astype(str), np.where(validity, str_np, dict_np[0] if len(dict_np) else ""))
             codes = codes.astype(np.int32)
             values = np.where(validity, codes, 0).astype(np.int32)
         elif f.dtype.kind is TypeKind.DECIMAL:
-            # arrow decimal -> scaled int64
-            ints = np.array([int(v.as_py().scaleb(f.dtype.scale)) if v.is_valid else 0
-                             for v in arr], dtype=np.int64)
-            values = ints
+            # arrow decimal128 -> scaled int64: view the 128-bit mantissa
+            # buffer directly (low limb; |v| < 2^63 guaranteed by p<=18)
+            buf = arr.buffers()[1]
+            limbs = np.frombuffer(buf, dtype=np.int64)
+            values = np.ascontiguousarray(
+                limbs.reshape(-1, 2)[arr.offset:arr.offset + n, 0])
         elif f.dtype.kind is TypeKind.DATE32:
             values = np.asarray(arr.cast(pa.int32()), dtype=np.int32)
             values = np.where(validity, values, 0)

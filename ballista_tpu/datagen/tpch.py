@@ -145,14 +145,14 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
         return pa.table({
             "r_regionkey": pa.array(range(5), type=pa.int64()),
             "r_name": pa.array(REGIONS),
-            "r_comment": pa.array(list(_comment_pool(rng, 5))),
+            "r_comment": pa.array(_comment_pool(rng, 5)),
         })
     if name == "nation":
         return pa.table({
             "n_nationkey": pa.array(range(25), type=pa.int64()),
             "n_name": pa.array([n for n, _ in NATIONS]),
             "n_regionkey": pa.array([r for _, r in NATIONS], type=pa.int64()),
-            "n_comment": pa.array(list(_comment_pool(rng, 25))),
+            "n_comment": pa.array(_comment_pool(rng, 25)),
         })
     if name == "supplier":
         n = TPCH_TABLES[name][0](sf)
@@ -166,11 +166,11 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
         return pa.table({
             "s_suppkey": pa.array(keys, type=pa.int64()),
             "s_name": pa.array([f"Supplier#{k:09d}" for k in keys]),
-            "s_address": pa.array(list(pool[rng.integers(0, 1000, n)])),
+            "s_address": pa.array(pool[rng.integers(0, 1000, n)]),
             "s_nationkey": pa.array(nk, type=pa.int64()),
-            "s_phone": pa.array(list(_phone(rng, nk))),
+            "s_phone": pa.array(_phone(rng, nk)),
             "s_acctbal": _dec(rng.integers(-99999, 999999, n)),
-            "s_comment": pa.array(list(comments)),
+            "s_comment": pa.array(comments),
         })
     if name == "customer":
         n = TPCH_TABLES[name][0](sf)
@@ -180,12 +180,12 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
         return pa.table({
             "c_custkey": pa.array(keys, type=pa.int64()),
             "c_name": pa.array([f"Customer#{k:09d}" for k in keys]),
-            "c_address": pa.array(list(pool[rng.integers(0, 1000, n)])),
+            "c_address": pa.array(pool[rng.integers(0, 1000, n)]),
             "c_nationkey": pa.array(nk, type=pa.int64()),
-            "c_phone": pa.array(list(_phone(rng, nk))),
+            "c_phone": pa.array(_phone(rng, nk)),
             "c_acctbal": _dec(rng.integers(-99999, 999999, n)),
-            "c_mktsegment": pa.array(list(np.array(SEGMENTS, dtype=object)[rng.integers(0, 5, n)])),
-            "c_comment": pa.array(list(pool[rng.integers(0, 1000, n)])),
+            "c_mktsegment": pa.array(np.array(SEGMENTS, dtype=object)[rng.integers(0, 5, n)]),
+            "c_comment": pa.array(pool[rng.integers(0, 1000, n)]),
         })
     if name == "part":
         n = TPCH_TABLES[name][0](sf)
@@ -205,15 +205,15 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
         price = (90000 + (keys % 20001) / 10 + 100 * (keys % 1000)).astype(np.int64)
         return pa.table({
             "p_partkey": pa.array(keys, type=pa.int64()),
-            "p_name": pa.array(list(names)),
+            "p_name": pa.array(names),
             "p_mfgr": pa.array([f"Manufacturer#{m}" for m in rng.integers(1, 6, n)]),
             "p_brand": pa.array([f"Brand#{m}{x}" for m, x in
                                  zip(rng.integers(1, 6, n), rng.integers(1, 6, n))]),
-            "p_type": pa.array(list(types)),
+            "p_type": pa.array(types),
             "p_size": pa.array(rng.integers(1, 51, n), type=pa.int32()),
-            "p_container": pa.array(list(containers)),
+            "p_container": pa.array(containers),
             "p_retailprice": _dec(price),
-            "p_comment": pa.array(list(pool[rng.integers(0, 1000, n)])),
+            "p_comment": pa.array(pool[rng.integers(0, 1000, n)]),
         })
     if name == "partsupp":
         n_part = TPCH_TABLES["part"][0](sf)
@@ -227,7 +227,7 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
             "ps_suppkey": pa.array(sk, type=pa.int64()),
             "ps_availqty": pa.array(rng.integers(1, 10000, n), type=pa.int32()),
             "ps_supplycost": _dec(rng.integers(100, 100100, n)),
-            "ps_comment": pa.array(list(pool[rng.integers(0, 1000, n)])),
+            "ps_comment": pa.array(pool[rng.integers(0, 1000, n)]),
         })
     if name == "orders":
         n = TPCH_TABLES[name][0](sf)
@@ -245,18 +245,16 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
         return pa.table({
             "o_orderkey": pa.array(keys, type=pa.int64()),
             "o_custkey": pa.array(ck, type=pa.int64()),
-            "o_orderstatus": pa.array(
-                list(np.array(["F", "O", "P"], dtype=object)[
-                    np.where(odate + 151 < CURRENTDATE, 0,
-                             np.where(odate > CURRENTDATE, 1, 2))])),
+            "o_orderstatus": pa.array(np.array(["F", "O", "P"], dtype=object)[
+                np.where(odate + 151 < CURRENTDATE, 0,
+                         np.where(odate > CURRENTDATE, 1, 2))]),
             "o_totalprice": _dec(total),
             "o_orderdate": _dates(odate),
-            "o_orderpriority": pa.array(
-                list(np.array(PRIORITIES, dtype=object)[rng.integers(0, 5, n)])),
+            "o_orderpriority": pa.array(np.array(PRIORITIES, dtype=object)[rng.integers(0, 5, n)]),
             "o_clerk": pa.array([f"Clerk#{c:09d}"
                                  for c in rng.integers(1, max(int(sf * 1000), 2), n)]),
             "o_shippriority": pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
-            "o_comment": pa.array(list(pool[rng.integers(0, 2000, n)])),
+            "o_comment": pa.array(pool[rng.integers(0, 2000, n)]),
         })
     if name == "lineitem":
         orders = generate_table("orders", sf, seed)
@@ -286,7 +284,7 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
         returnflag = np.where(receiptdate <= CURRENTDATE,
                               np.array(["R", "A"], dtype=object)[rng.integers(0, 2, n)],
                               "N")
-        linestatus = np.where(shipdate > CURRENTDATE, "O", "F")
+        linestatus = np.where(shipdate > CURRENTDATE, "O", "F").astype(object)
         pool = _comment_pool(rng, 2000)
         return pa.table({
             "l_orderkey": pa.array(l_ok, type=pa.int64()),
@@ -297,16 +295,14 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
             "l_extendedprice": _dec(eprice),
             "l_discount": _dec(disc),
             "l_tax": _dec(tax),
-            "l_returnflag": pa.array(list(returnflag)),
-            "l_linestatus": pa.array(list(linestatus)),
+            "l_returnflag": pa.array(returnflag),
+            "l_linestatus": pa.array(linestatus),
             "l_shipdate": _dates(shipdate),
             "l_commitdate": _dates(commitdate),
             "l_receiptdate": _dates(receiptdate),
-            "l_shipinstruct": pa.array(
-                list(np.array(INSTRUCTIONS, dtype=object)[rng.integers(0, 4, n)])),
-            "l_shipmode": pa.array(
-                list(np.array(SHIPMODES, dtype=object)[rng.integers(0, 7, n)])),
-            "l_comment": pa.array(list(pool[rng.integers(0, 2000, n)])),
+            "l_shipinstruct": pa.array(np.array(INSTRUCTIONS, dtype=object)[rng.integers(0, 4, n)]),
+            "l_shipmode": pa.array(np.array(SHIPMODES, dtype=object)[rng.integers(0, 7, n)]),
+            "l_comment": pa.array(pool[rng.integers(0, 2000, n)]),
         })
     raise KeyError(name)
 

@@ -46,29 +46,26 @@ def partition_arrow(table, n_partitions: int, mesh=None,
     [i*rows/P, (i+1)*rows/P)) — same contract as Ballista CSV partition
     splits.
     """
-    from ..batch import from_arrow
+    from ..batch import compute_dictionaries, from_arrow
 
     n = table.num_rows
     per = -(-n // n_partitions)
     cap = round_capacity(max(per, 1) if capacity is None else capacity)
+    # one GLOBAL dictionary per string column so all shards' codes agree
+    global_dicts = compute_dictionaries(table)
     shard_cols = None
     schema = None
     num_rows = np.zeros(n_partitions, dtype=np.int32)
-    all_data = []
     for p in range(n_partitions):
         chunk = table.slice(p * per, per)
-        b, s = from_arrow(chunk, capacity=cap)
+        b, s = from_arrow(chunk, capacity=cap, dictionaries=global_dicts)
         if schema is None:
             schema = s
             shard_cols = [([], []) for _ in b.columns]
-        else:
-            # merge dictionaries: re-encode against the union dictionary
-            schema, b = _align_dictionaries(schema, s, b)
         num_rows[p] = chunk.num_rows
         for i, c in enumerate(b.columns):
             shard_cols[i][0].append(np.asarray(c.data))
             shard_cols[i][1].append(np.asarray(c.validity))
-        all_data.append(b)
     cols = []
     sharding = shard_batch_sharding(mesh) if mesh is not None else None
     for datas, valids in shard_cols:
@@ -83,30 +80,6 @@ def partition_arrow(table, n_partitions: int, mesh=None,
     if sharding is not None:
         nr = jax.device_put(nr, sharding)
     return PartitionedBatch(tuple(cols), nr), schema
-
-
-def _align_dictionaries(schema_acc: Schema, schema_new: Schema, b: Batch):
-    """Per-shard from_arrow builds per-shard dictionaries; rebuild codes
-    against the running union dictionary (kept sorted)."""
-    import numpy as np
-
-    new_cols = list(b.columns)
-    for idx, f in enumerate(schema_acc.fields):
-        d_old = schema_acc.dictionary(f.name)
-        d_new = schema_new.dictionary(f.name)
-        if d_new is None and d_old is None:
-            continue
-        d_old = d_old if d_old is not None else np.array([], dtype=object)
-        d_new = d_new if d_new is not None else np.array([], dtype=object)
-        union = np.unique(np.concatenate([d_old.astype(str), d_new.astype(str)]))
-        union_obj = union.astype(object)
-        remap = np.searchsorted(union, d_new.astype(str)).astype(np.int32)
-        c = b.columns[idx]
-        codes = np.asarray(c.data)
-        codes = remap[np.clip(codes, 0, max(len(remap) - 1, 0))] if len(remap) else codes
-        new_cols[idx] = Column(jnp.asarray(codes.astype(np.int32)), c.validity)
-        schema_acc = schema_acc.with_dictionary(f.name, union_obj)
-    return schema_acc, Batch(tuple(new_cols), b.num_rows)
 
 
 def gather_partitions(pb: PartitionedBatch, schema: Schema) -> Batch:

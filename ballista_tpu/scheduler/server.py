@@ -1,0 +1,302 @@
+"""Scheduler control plane: executor registry, task manager, event loop.
+
+Reference parity (SURVEY.md §2.2):
+- ExecutorManager (`executor_manager.rs`): registration, task slots,
+  heartbeats, dead-executor expiry (60s alive window / 180s timeout).
+- TaskManager (`task_manager.rs`): active-job round-robin queue,
+  fill_reservations -> pop_next_task per executor.
+- QueryStageScheduler event loop (`query_stage_scheduler.rs`): JobQueued ->
+  JobSubmitted -> Tick -> reserve slots -> launch -> TaskUpdating -> ...
+- SchedulerServer (`scheduler_server/mod.rs`): submit_job, update_task_status,
+  expire_dead_executors sweep.
+
+The data plane is pluggable via TaskLauncher (the reference's TaskLauncher
+trait, task_manager.rs:162): production uses the mesh runtime; tests use a
+VirtualTaskLauncher that fabricates completions (test_utils.rs:357 analog).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import enum
+import logging
+import random
+import string
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+from .execution_graph import (ExecutionGraph, JobEvent, JobState,
+                              TaskDescription, TaskStatus)
+
+log = logging.getLogger("ballista_tpu.scheduler")
+
+DEFAULT_EXECUTOR_TIMEOUT_S = 180.0   # executor_manager.rs:450
+ALIVE_WINDOW_S = 60.0                # executor_manager.rs:427
+TASKS_PER_TICK = 256                 # scheduler config tasks_per_tick
+
+
+@dataclasses.dataclass
+class ExecutorMetadata:
+    executor_id: str
+    host: str = "localhost"
+    port: int = 0
+    task_slots: int = 1
+
+
+class ExecutorStatus(enum.Enum):
+    ACTIVE = "active"
+    TERMINATING = "terminating"
+    DEAD = "dead"
+
+
+@dataclasses.dataclass
+class ExecutorState:
+    meta: ExecutorMetadata
+    free_slots: int
+    status: ExecutorStatus = ExecutorStatus.ACTIVE
+    last_heartbeat: float = dataclasses.field(default_factory=time.time)
+
+
+class ExecutorManager:
+    def __init__(self, timeout_s: float = DEFAULT_EXECUTOR_TIMEOUT_S):
+        self.executors: Dict[str, ExecutorState] = {}
+        self.timeout_s = timeout_s
+        self._dead: set = set()   # dead-executor cache (moka analog)
+
+    def register(self, meta: ExecutorMetadata):
+        self.executors[meta.executor_id] = ExecutorState(
+            meta, free_slots=meta.task_slots)
+
+    def heartbeat(self, executor_id: str):
+        ex = self.executors.get(executor_id)
+        if ex is not None:
+            ex.last_heartbeat = time.time()
+
+    def is_dead(self, executor_id: str) -> bool:
+        return executor_id in self._dead
+
+    def alive_executors(self) -> List[ExecutorState]:
+        now = time.time()
+        return [e for e in self.executors.values()
+                if e.status is ExecutorStatus.ACTIVE
+                and now - e.last_heartbeat < ALIVE_WINDOW_S]
+
+    def expired_executors(self) -> List[str]:
+        now = time.time()
+        return [eid for eid, e in self.executors.items()
+                if e.status is not ExecutorStatus.DEAD
+                and now - e.last_heartbeat > self.timeout_s]
+
+    def remove_executor(self, executor_id: str):
+        ex = self.executors.pop(executor_id, None)
+        if ex is not None:
+            self._dead.add(executor_id)
+
+    def reserve_slots(self, n: int, round_robin: bool = True) -> List[str]:
+        """Claim up to n slots across alive executors (TaskDistribution::
+        RoundRobin, cluster/mod.rs:449; Bias = greedy fill)."""
+        out: List[str] = []
+        pool = sorted(self.alive_executors(), key=lambda e: -e.free_slots)
+        if not pool:
+            return out
+        if round_robin:
+            i = 0
+            while len(out) < n and any(e.free_slots > 0 for e in pool):
+                e = pool[i % len(pool)]
+                if e.free_slots > 0:
+                    e.free_slots -= 1
+                    out.append(e.meta.executor_id)
+                i += 1
+        else:
+            for e in pool:
+                while e.free_slots > 0 and len(out) < n:
+                    e.free_slots -= 1
+                    out.append(e.meta.executor_id)
+        return out
+
+    def cancel_reservations(self, executor_ids: List[str]):
+        for eid in executor_ids:
+            e = self.executors.get(eid)
+            if e is not None:
+                e.free_slots = min(e.free_slots + 1, e.meta.task_slots)
+
+
+class TaskLauncher:
+    """Data-plane hook (TaskLauncher trait, task_manager.rs:162)."""
+
+    def launch(self, tasks: List[TaskDescription],
+               report: Callable[[List[TaskStatus]], None]) -> None:
+        raise NotImplementedError
+
+
+class TaskManager:
+    """Active jobs with round-robin fairness (ActiveJobQueue,
+    task_manager.rs:60-133)."""
+
+    def __init__(self, launcher: TaskLauncher):
+        self.launcher = launcher
+        self.jobs: Dict[str, ExecutionGraph] = {}
+        self.queue: collections.deque = collections.deque()
+
+    def submit(self, graph: ExecutionGraph):
+        self.jobs[graph.job_id] = graph
+        self.queue.append(graph.job_id)
+
+    def fill_reservations(self, executor_ids: List[str]
+                          ) -> Tuple[List[TaskDescription], List[str]]:
+        """Rotate through active jobs claiming tasks per reserved slot
+        (task_manager.rs:585). Returns (tasks, unfilled_executor_ids)."""
+        tasks: List[TaskDescription] = []
+        unfilled: List[str] = []
+        for eid in executor_ids:
+            task = None
+            for _ in range(len(self.queue)):
+                jid = self.queue[0]
+                self.queue.rotate(-1)
+                g = self.jobs.get(jid)
+                if g is None or g.state is not JobState.RUNNING:
+                    continue
+                task = g.pop_next_task(eid)
+                if task is not None:
+                    break
+            if task is None:
+                unfilled.append(eid)
+            else:
+                tasks.append(task)
+        return tasks, unfilled
+
+    def prune_finished(self):
+        done = [j for j, g in self.jobs.items()
+                if g.state in (JobState.SUCCESSFUL, JobState.FAILED,
+                               JobState.CANCELLED)]
+        for j in done:
+            try:
+                self.queue.remove(j)
+            except ValueError:
+                pass
+
+
+class SchedulerEvent(enum.Enum):
+    JOB_QUEUED = "job_queued"
+    JOB_SUBMITTED = "job_submitted"
+    TASK_UPDATING = "task_updating"
+    TICK = "tick"
+    EXECUTOR_LOST = "executor_lost"
+    JOB_FINISHED = "job_finished"
+    JOB_FAILED = "job_failed"
+
+
+def random_job_id() -> str:
+    """7-char alphanumeric job id (grpc.rs job id generation parity)."""
+    return "".join(random.choices(string.ascii_lowercase + string.digits, k=7))
+
+
+class SchedulerServer:
+    """Single-controller scheduler: event-driven, deterministic-steppable
+    (the event loop is pumped synchronously — tests drive it tick by tick
+    like SchedulerTest, test_utils.rs:409)."""
+
+    def __init__(self, launcher: TaskLauncher,
+                 executor_timeout_s: float = DEFAULT_EXECUTOR_TIMEOUT_S):
+        self.executor_manager = ExecutorManager(executor_timeout_s)
+        self.task_manager = TaskManager(launcher)
+        self.events: collections.deque = collections.deque()
+        self.job_events: Dict[str, List[JobEvent]] = {}
+        self._pending_statuses: List[TaskStatus] = []
+
+    # -- public API (SchedulerGrpc analog) --
+    def register_executor(self, meta: ExecutorMetadata):
+        self.executor_manager.register(meta)
+        self.events.append((SchedulerEvent.TICK, None))
+
+    def submit_job(self, graph: ExecutionGraph) -> str:
+        self.task_manager.submit(graph)
+        self.job_events.setdefault(graph.job_id, [])
+        self.events.append((SchedulerEvent.JOB_SUBMITTED, graph.job_id))
+        self.events.append((SchedulerEvent.TICK, None))
+        return graph.job_id
+
+    def update_task_status(self, executor_id: str,
+                           statuses: List[TaskStatus]):
+        """Drops updates from executors already marked dead
+        (scheduler_server/mod.rs:228-240)."""
+        if self.executor_manager.is_dead(executor_id):
+            log.warning("dropping %d statuses from dead executor %s",
+                        len(statuses), executor_id)
+            return
+        self._pending_statuses.extend(statuses)
+        # freed slots return to the pool
+        self.executor_manager.cancel_reservations(
+            [s.executor_id for s in statuses])
+        self.events.append((SchedulerEvent.TASK_UPDATING, None))
+        self.events.append((SchedulerEvent.TICK, None))
+
+    def executor_lost(self, executor_id: str):
+        self.executor_manager.remove_executor(executor_id)
+        self.events.append((SchedulerEvent.EXECUTOR_LOST, executor_id))
+        self.events.append((SchedulerEvent.TICK, None))
+
+    def expire_dead_executors(self):
+        """Periodic sweep (scheduler_server/mod.rs:268)."""
+        for eid in self.executor_manager.expired_executors():
+            log.warning("executor %s expired", eid)
+            self.executor_lost(eid)
+
+    def job_status(self, job_id: str) -> dict:
+        g = self.task_manager.jobs.get(job_id)
+        return g.status() if g else {"state": "not_found"}
+
+    # -- event pump --
+    def run_until_idle(self, max_events: int = 100_000):
+        n = 0
+        while self.events and n < max_events:
+            kind, payload = self.events.popleft()
+            self._process(kind, payload)
+            n += 1
+
+    def _process(self, kind: SchedulerEvent, payload):
+        if kind is SchedulerEvent.TASK_UPDATING:
+            statuses, self._pending_statuses = self._pending_statuses, []
+            by_job: Dict[str, List[TaskStatus]] = {}
+            for s in statuses:
+                by_job.setdefault(s.job_id, []).append(s)
+            for jid, sts in by_job.items():
+                g = self.task_manager.jobs.get(jid)
+                if g is None:
+                    continue
+                evs = g.update_task_status(sts)
+                self.job_events[jid].extend(evs)
+            self.task_manager.prune_finished()
+        elif kind is SchedulerEvent.EXECUTOR_LOST:
+            for g in self.task_manager.jobs.values():
+                g.reset_stages_on_lost_executor(payload)
+        elif kind is SchedulerEvent.TICK:
+            pending = sum(g.available_tasks()
+                          for g in self.task_manager.jobs.values()
+                          if g.state is JobState.RUNNING)
+            if pending == 0:
+                return
+            reserved = self.executor_manager.reserve_slots(
+                min(pending, TASKS_PER_TICK))
+            if not reserved:
+                return
+            tasks, unfilled = self.task_manager.fill_reservations(reserved)
+            self.executor_manager.cancel_reservations(unfilled)
+            if tasks:
+                self.task_manager.launcher.launch(
+                    tasks, lambda sts: self._report(sts))
+                self.events.append((SchedulerEvent.TICK, None))
+
+    def _report(self, statuses: List[TaskStatus]):
+        if statuses:
+            self.update_task_status(statuses[0].executor_id, statuses)
+
+    # -- KEDA autoscaler metric (scheduler_server/external_scaler.rs) --
+    def pending_task_count(self) -> int:
+        return sum(g.available_tasks() for g in self.task_manager.jobs.values()
+                   if g.state is JobState.RUNNING)
+
+    def is_active(self) -> bool:
+        return any(g.state in (JobState.RUNNING, JobState.QUEUED)
+                   for g in self.task_manager.jobs.values())

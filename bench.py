@@ -1,0 +1,112 @@
+"""Headline benchmark: TPC-H Q1 at SF1 on one chip.
+
+Prints ONE JSON line:
+  {"metric": "tpch_q1_sf1_rows_per_s", "value": N, "unit": "rows/s",
+   "vs_baseline": R}
+
+vs_baseline compares against a single-threaded pandas implementation of the
+same query on this host (the reference's own numbers are unpublished and
+its Rust toolchain is unavailable here — see BASELINE.md; pandas stands in
+as the CPU columnar baseline).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+SF = float(__import__("os").environ.get("BENCH_SF", "1.0"))
+QUERY = 1
+
+
+def bench_engine(data):
+    import ballista_tpu  # noqa: x64
+    import jax
+    from ballista_tpu import batch as B
+    from ballista_tpu.benchmarks import TPCH_QUERIES
+    from ballista_tpu.client import SessionContext
+    from ballista_tpu.client.context import _rebind_scans
+    from ballista_tpu.datagen import register_tpch
+    from ballista_tpu.exec.plan import compile_stage
+    from ballista_tpu.planner.physical import create_physical_plan
+
+    ctx = SessionContext()
+    register_tpch(ctx, SF, data=data)
+
+    t0 = time.time()
+    plan = _rebind_scans(ctx.sql(TPCH_QUERIES[QUERY]).plan, ctx)
+    capacities = {name: tp.capacity for name, tp in ctx.tables.items()}
+    exec_plan = create_physical_plan(plan, capacities, ctx.options)
+    fn, input_ids = compile_stage(exec_plan)
+    inputs = {i: ctx.tables[i].batch for i in set(input_ids)}
+    ingest_s = time.time() - t0
+
+    # warmup/compile
+    t0 = time.time()
+    out = fn(inputs)
+    out.num_rows.block_until_ready()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        out = fn(inputs)
+        out.num_rows.block_until_ready()
+        times.append(time.time() - t0)
+    best = min(times)
+    df = B.to_pandas(out, exec_plan.schema)
+    return best, df, {"ingest_s": round(ingest_s, 2),
+                      "compile_s": round(compile_s, 2),
+                      "times": [round(t, 4) for t in times]}
+
+
+def bench_pandas(data):
+    sys.path.insert(0, "tests")
+    from tpch_oracle import ORACLES, to_pd
+
+    pdt = to_pd({"lineitem": data["lineitem"]})
+    # warm caches
+    ORACLES[QUERY](pdt)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        exp = ORACLES[QUERY](pdt)
+        times.append(time.time() - t0)
+    return min(times), exp
+
+
+def main():
+    from ballista_tpu.datagen import generate_tpch
+
+    data = generate_tpch(SF, tables=["lineitem"])
+    n_rows = data["lineitem"].num_rows
+
+    engine_s, got, info = bench_engine(data)
+    pandas_s, exp = bench_pandas(data)
+
+    # sanity: results must agree with the oracle
+    ok = len(got) == len(exp)
+    if ok:
+        for col in ("sum_qty", "sum_base_price", "count_order"):
+            if not np.allclose(got[col].astype(float), exp[col].astype(float),
+                               rtol=1e-9):
+                ok = False
+
+    rows_per_s = n_rows / engine_s
+    result = {
+        "metric": f"tpch_q{QUERY}_sf{SF:g}_rows_per_s",
+        "value": round(rows_per_s),
+        "unit": "rows/s",
+        "vs_baseline": round(pandas_s / engine_s, 3),
+    }
+    print(json.dumps(result))
+    print(f"# engine={engine_s * 1000:.1f}ms pandas={pandas_s * 1000:.1f}ms "
+          f"rows={n_rows} correct={ok} {info}", file=sys.stderr)
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers the axon TPU plugin at
+# interpreter start and captures JAX_PLATFORMS before conftest runs, so the
+# env var alone doesn't stick — override through the config API.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the kernel while_loops are compile-heavy;
 # cache across test runs to keep the suite fast.

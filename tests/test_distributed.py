@@ -1,0 +1,74 @@
+"""Distributed execution on the virtual 8-device CPU mesh: results must be
+row-identical to the single-partition local path (and to the oracle)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from ballista_tpu import batch as B
+from ballista_tpu.benchmarks import TPCH_QUERIES
+from ballista_tpu.client import SessionContext
+from ballista_tpu.datagen import generate_tpch, register_tpch
+from ballista_tpu.parallel.mesh import make_mesh
+from ballista_tpu.scheduler import DistributedPlanner
+from ballista_tpu.scheduler.distributed_planner import DistOptions
+from ballista_tpu.scheduler.runtime import execute_distributed
+
+from tpch_oracle import ORACLES, to_pd
+
+SF = 0.002
+
+
+@pytest.fixture(scope="module")
+def env():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    data = generate_tpch(SF)
+    ctx = SessionContext()
+    register_tpch(ctx, SF, data=data)
+    mesh = make_mesh(8)
+    return ctx, to_pd(data), mesh
+
+
+def run_distributed(ctx, mesh, sql):
+    plan = ctx.sql(sql).plan
+    batch, schema = execute_distributed(ctx, plan, mesh,
+                                        DistOptions(n_partitions=8))
+    return B.to_pandas(batch, schema)
+
+
+def assert_frames_match(got, exp, label):
+    assert list(got.columns) == list(exp.columns), label
+    assert len(got) == len(exp), f"{label}: {len(got)} vs {len(exp)} rows"
+    for col in exp.columns:
+        g, e = got[col], exp[col]
+        if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(g):
+            np.testing.assert_allclose(g.astype(float).to_numpy(),
+                                       e.astype(float).to_numpy(),
+                                       rtol=1e-6, atol=1e-4, err_msg=f"{label} {col}")
+        elif pd.api.types.is_datetime64_any_dtype(e):
+            assert list(pd.to_datetime(g)) == list(e), f"{label} {col}"
+        else:
+            assert list(g) == list(e), f"{label} {col}"
+
+
+def test_stage_decomposition_q1(env):
+    """Planner parity test (planner.rs:336-520 analog): Q1 = scan+filter+
+    partial agg | shuffle | final agg+sort -> 3 stages incl. merge."""
+    ctx, _, mesh = env
+    plan = ctx.sql(TPCH_QUERIES[1]).plan
+    dplan = DistributedPlanner(ctx, DistOptions(n_partitions=8)).plan(plan)
+    labels = [s.root._label() for s in dplan.stages]
+    assert len(dplan.stages) == 3, dplan.display()
+    assert "ExchangeExec" in labels[0]
+    assert "GatherExec" in labels[1]  # local sort -> gather
+    assert "PartitionPruneExec" in labels[2]  # final merge sort
+
+
+@pytest.mark.parametrize("query", sorted(ORACLES))
+def test_distributed_matches_oracle(env, query):
+    ctx, pdt, mesh = env
+    got = run_distributed(ctx, mesh, TPCH_QUERIES[query])
+    exp = ORACLES[query](pdt)
+    assert_frames_match(got, exp, f"q{query} distributed")

@@ -1,0 +1,239 @@
+"""Scheduler control-plane tests with virtual executors — the deterministic
+zero-device harness the reference builds its most important suite on
+(SchedulerTest + VirtualTaskLauncher + mock completions, SURVEY.md §4.3-4.4).
+"""
+
+import pytest
+
+from ballista_tpu.scheduler.execution_graph import (
+    ExecutionGraph, JobState, StageState, TASK_MAX_FAILURES,
+    STAGE_MAX_FAILURES, TaskStatus)
+from ballista_tpu.scheduler.server import (ExecutorMetadata, SchedulerServer,
+                                           TaskLauncher)
+
+
+def diamond_graph(job_id="job1", parts=4):
+    # 0 -> 2, 1 -> 2, 2 -> 3 (two scans feeding a join stage, then merge)
+    return ExecutionGraph(job_id, [
+        (0, parts, []), (1, parts, []), (2, parts, [0, 1]), (3, 1, [2]),
+    ])
+
+
+def ok(task, error=None):
+    return TaskStatus(task.task_id, task.job_id, task.stage_id,
+                      task.partitions, task.executor_id, "successful")
+
+
+def fail(task, error="boom"):
+    return TaskStatus(task.task_id, task.job_id, task.stage_id,
+                      task.partitions, task.executor_id, "failed", error)
+
+
+def fetch_fail(task, input_stage, error="fetch"):
+    return TaskStatus(task.task_id, task.job_id, task.stage_id,
+                      task.partitions, task.executor_id, "fetch_failed",
+                      error, failed_input_stage=input_stage)
+
+
+def drain(graph, executor="e1", fail_first_of_stage=None):
+    """drain_tasks analog (execution_graph.rs tests): pop every task and
+    feed mock completions until no work remains."""
+    failed_once = set()
+    while True:
+        task = graph.pop_next_task(executor)
+        if task is None:
+            break
+        if fail_first_of_stage == task.stage_id and \
+                task.stage_id not in failed_once:
+            failed_once.add(task.stage_id)
+            graph.update_task_status([fail(task)])
+        else:
+            graph.update_task_status([ok(task)])
+    return graph
+
+
+class TestExecutionGraph:
+    def test_happy_path(self):
+        g = diamond_graph()
+        assert g.stages[0].state is StageState.RUNNING
+        assert g.stages[2].state is StageState.UNRESOLVED
+        drain(g)
+        assert g.state is JobState.SUCCESSFUL
+        assert all(s.state is StageState.SUCCESSFUL for s in g.stages.values())
+
+    def test_multi_partition_task_group(self):
+        g = diamond_graph(parts=8)
+        t = g.pop_next_task("e1", max_partitions=3)
+        assert t.stage_id == 0 and len(t.partitions) == 3
+        t2 = g.pop_next_task("e2", max_partitions=8)
+        assert t2.stage_id == 0 and len(t2.partitions) == 5
+
+    def test_stage_resolution_gating(self):
+        g = diamond_graph()
+        # stage 2 must not hand out tasks until 0 and 1 complete
+        seen = set()
+        while True:
+            t = g.pop_next_task("e1")
+            if t is None:
+                break
+            seen.add(t.stage_id)
+            g.update_task_status([ok(t)])
+            if g.stages[0].state is not StageState.SUCCESSFUL or \
+               g.stages[1].state is not StageState.SUCCESSFUL:
+                assert 2 not in seen
+
+    def test_task_retry_within_limit(self):
+        g = diamond_graph()
+        t = g.pop_next_task("e1")
+        g.update_task_status([fail(t)])
+        assert g.state is JobState.RUNNING  # retryable
+        drain(g)
+        assert g.state is JobState.SUCCESSFUL
+
+    def test_task_failure_limit_fails_job(self):
+        g = diamond_graph()
+        for i in range(TASK_MAX_FAILURES + 1):
+            t = g.pop_next_task("e1")
+            g.update_task_status([fail(t)])
+        assert g.state is JobState.FAILED
+        assert "task failures" in g.error
+
+    def test_fetch_failure_rolls_back_and_reruns_producer(self):
+        g = diamond_graph()
+        # complete stages 0 and 1
+        while g.stages[0].state is not StageState.SUCCESSFUL or \
+                g.stages[1].state is not StageState.SUCCESSFUL:
+            t = g.pop_next_task("e1")
+            assert t.stage_id in (0, 1)
+            g.update_task_status([ok(t)])
+        # stage 2 starts, then reports it couldn't read stage 0's output
+        t = g.pop_next_task("e1")
+        assert t.stage_id == 2
+        g.update_task_status([fetch_fail(t, input_stage=0)])
+        assert g.stages[2].state is StageState.UNRESOLVED
+        assert g.stages[0].state is StageState.RUNNING  # re-running lost parts
+        drain(g)
+        assert g.state is JobState.SUCCESSFUL
+
+    def test_consecutive_stage_failures_fail_job(self):
+        g = diamond_graph()
+        for _ in range(STAGE_MAX_FAILURES + 1):
+            if g.state is JobState.FAILED:
+                break
+            while True:
+                t = g.pop_next_task("e1")
+                if t is None:
+                    break
+                if t.stage_id == 2:
+                    g.update_task_status([fetch_fail(t, input_stage=0)])
+                    break
+                g.update_task_status([ok(t)])
+        assert g.state is JobState.FAILED
+
+    def test_executor_loss_resets_stages(self):
+        g = diamond_graph()
+        # e1 completes stage 0, e2 completes stage 1
+        while True:
+            t = g.pop_next_task("e1" if len(
+                [1 for ti in g.stages[0].task_infos if ti is None]) else "e2")
+            if t is None or t.stage_id == 2:
+                break
+            g.update_task_status([ok(t)])
+        assert g.stages[0].state is StageState.SUCCESSFUL
+        affected = g.reset_stages_on_lost_executor("e1")
+        assert 0 in affected
+        assert g.stages[0].state is StageState.RUNNING
+        # stage 2 rolled back since its input went missing
+        assert g.stages[2].state is StageState.UNRESOLVED
+        drain(g, "e2")
+        assert g.state is JobState.SUCCESSFUL
+
+    def test_delayed_success_after_rollback_ignored(self):
+        """Race: a stale success arrives for a stage already rolled back
+        (test_long_delayed_fetch_failures_race_condition analog,
+        execution_graph.rs:2576)."""
+        g = diamond_graph()
+        t0 = g.pop_next_task("e1")
+        g.reset_stages_on_lost_executor("e1")
+        g.update_task_status([ok(t0)])  # stale: task ids won't match
+        assert g.stages[t0.stage_id].successful_partitions <= len(t0.partitions)
+        drain(g, "e2")
+        assert g.state is JobState.SUCCESSFUL
+
+
+class VirtualLauncher(TaskLauncher):
+    """Sends tasks to virtual executors that complete instantly
+    (VirtualTaskLauncher, test_utils.rs:357)."""
+
+    def __init__(self, behavior=None):
+        self.launched = []
+        self.behavior = behavior or (lambda task: ok(task))
+
+    def launch(self, tasks, report):
+        self.launched.extend(tasks)
+        report([self.behavior(t) for t in tasks])
+
+
+class TestSchedulerServer:
+    def test_push_scheduling_completes_job(self):
+        launcher = VirtualLauncher()
+        s = SchedulerServer(launcher)
+        s.register_executor(ExecutorMetadata("e1", task_slots=2))
+        s.register_executor(ExecutorMetadata("e2", task_slots=2))
+        g = diamond_graph()
+        s.submit_job(g)
+        s.run_until_idle()
+        assert g.state is JobState.SUCCESSFUL
+        # all 4 executors' slots returned
+        assert all(e.free_slots == e.meta.task_slots
+                   for e in s.executor_manager.executors.values())
+
+    def test_round_robin_across_jobs(self):
+        launcher = VirtualLauncher()
+        s = SchedulerServer(launcher)
+        s.register_executor(ExecutorMetadata("e1", task_slots=1))
+        g1 = diamond_graph("job1")
+        g2 = diamond_graph("job2")
+        s.submit_job(g1)
+        s.submit_job(g2)
+        s.run_until_idle()
+        assert g1.state is JobState.SUCCESSFUL
+        assert g2.state is JobState.SUCCESSFUL
+        jobs_in_order = [t.job_id for t in launcher.launched]
+        assert "job1" in jobs_in_order and "job2" in jobs_in_order
+
+    def test_statuses_from_dead_executor_dropped(self):
+        launcher = VirtualLauncher()
+        s = SchedulerServer(launcher)
+        s.register_executor(ExecutorMetadata("e1", task_slots=4))
+        g = diamond_graph()
+        s.submit_job(g)
+        s.run_until_idle()
+        s.executor_lost("zombie")
+        before = g.status()
+        s.update_task_status("zombie", [TaskStatus(
+            999, "job1", 0, (0,), "zombie", "failed", "late")])
+        s.run_until_idle()
+        assert g.status() == before
+
+    def test_executor_expiry_sweep(self):
+        launcher = VirtualLauncher()
+        s = SchedulerServer(launcher, executor_timeout_s=0.0)
+        s.register_executor(ExecutorMetadata("e1", task_slots=1))
+        import time
+        time.sleep(0.01)
+        s.expire_dead_executors()
+        assert "e1" not in s.executor_manager.executors
+        assert s.executor_manager.is_dead("e1")
+
+    def test_keda_metrics(self):
+        launcher = VirtualLauncher()
+        s = SchedulerServer(launcher)
+        g = diamond_graph()
+        s.submit_job(g)
+        assert s.is_active()
+        assert s.pending_task_count() > 0
+        s.register_executor(ExecutorMetadata("e1", task_slots=8))
+        s.run_until_idle()
+        assert not s.is_active()
+        assert s.pending_task_count() == 0
