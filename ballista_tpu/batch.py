@@ -166,16 +166,28 @@ def from_arrow(table, capacity: int | None = None,
         if arr.null_count:
             validity = np.asarray(pc.is_valid(arr))
         if f.dtype.kind is TypeKind.STRING:
+            from . import native
+            filled = arr.fill_null("") if arr.null_count else arr
+            values = None
             if dictionaries is not None and f.name in dictionaries:
                 dict_np = dictionaries[f.name]
+                codes = native.dict_encode_against_arrow(filled, dict_np)
+                if codes is not None:
+                    values = np.where(validity & (codes >= 0), codes, 0).astype(np.int32)
             else:
-                uniq = pc.unique(pc.drop_null(arr))
-                dict_np = np.sort(np.asarray(uniq, dtype=object))
+                res = native.dict_encode_arrow(filled) if not arr.null_count else None
+                if res is not None:
+                    codes, dict_np = res
+                    values = np.where(validity, codes, 0).astype(np.int32)
+                else:
+                    uniq = pc.unique(pc.drop_null(arr))
+                    dict_np = np.sort(np.asarray(uniq, dtype=object))
             dicts[f.name] = dict_np.astype(object)
-            str_np = np.asarray(arr, dtype=object)
-            codes = np.searchsorted(dict_np.astype(str), np.where(validity, str_np, dict_np[0] if len(dict_np) else ""))
-            codes = codes.astype(np.int32)
-            values = np.where(validity, codes, 0).astype(np.int32)
+            if values is None:
+                str_np = np.asarray(arr, dtype=object)
+                codes = np.searchsorted(dict_np.astype(str), np.where(validity, str_np, dict_np[0] if len(dict_np) else ""))
+                codes = codes.astype(np.int32)
+                values = np.where(validity, codes, 0).astype(np.int32)
         elif f.dtype.kind is TypeKind.DECIMAL:
             # arrow decimal128 -> scaled int64: view the 128-bit mantissa
             # buffer directly (low limb; |v| < 2^63 guaranteed by p<=18)

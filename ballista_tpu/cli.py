@@ -1,0 +1,188 @@
+"""Interactive SQL REPL.
+
+Reference parity: `ballista-cli` (SURVEY.md §2.4 — a datafusion-cli-based
+REPL with meta commands). Same command surface:
+
+  \\q                quit            \\?                help
+  \\d                list tables     \\d <table>        describe table
+  \\timing on|off    toggle timing   \\pset format ...  output format
+  \\set key value    session config  \\explain <sql>    show plans
+
+Run:  python -m ballista_tpu.cli [--sf F] [--parquet DIR] [--distributed]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+HELP = __doc__.split("Run:")[0]
+
+
+class Repl:
+    def __init__(self, ctx, distributed: bool = False, mesh=None):
+        self.ctx = ctx
+        self.distributed = distributed
+        self.mesh = mesh
+        self.timing = True
+        self.fmt = "table"
+
+    def execute_sql(self, sql: str):
+        from . import batch as B
+
+        t0 = time.time()
+        df_api = self.ctx.sql(sql)
+        if self.distributed:
+            from .scheduler.runtime import execute_distributed
+            b, schema = execute_distributed(self.ctx, df_api.plan, self.mesh)
+            df = B.to_pandas(b, schema)
+        else:
+            df = df_api.to_pandas()
+        elapsed = time.time() - t0
+        self.print_df(df)
+        if self.timing:
+            print(f"{len(df)} row(s) in {elapsed:.3f}s")
+
+    def print_df(self, df):
+        if self.fmt == "csv":
+            print(df.to_csv(index=False), end="")
+        elif self.fmt == "json":
+            print(df.to_json(orient="records", lines=True))
+        else:
+            print(df.to_string(index=False))
+
+    def handle_meta(self, line: str) -> bool:
+        """Returns False to quit."""
+        parts = line.split()
+        cmd = parts[0]
+        if cmd in ("\\q", "\\quit"):
+            return False
+        if cmd == "\\?":
+            print(HELP)
+        elif cmd == "\\d":
+            if len(parts) == 1:
+                for name in sorted(self.ctx.tables):
+                    tp = self.ctx.tables[name]
+                    print(f"{name}  ({tp.arrow_table.num_rows} rows)")
+                for name in sorted(getattr(self.ctx, "views", {})):
+                    print(f"{name}  (view)")
+            else:
+                tp = self.ctx.tables.get(parts[1])
+                if tp is None:
+                    print(f"no such table: {parts[1]}")
+                else:
+                    for f in tp.schema.fields:
+                        print(f"  {f.name}: {f.dtype!r}"
+                              f"{'' if f.nullable else ' not null'}")
+        elif cmd == "\\timing":
+            self.timing = len(parts) < 2 or parts[1] == "on"
+            print(f"timing {'on' if self.timing else 'off'}")
+        elif cmd == "\\pset":
+            if len(parts) >= 3 and parts[1] == "format":
+                self.fmt = parts[2]
+        elif cmd == "\\set":
+            # session config (BallistaConfig surface)
+            from .config import BallistaConfig
+            cfg = getattr(self.ctx, "config", None) or BallistaConfig()
+            try:
+                cfg.set(parts[1], parts[2])
+                self.ctx.config = cfg
+                print(f"{parts[1]} = {parts[2]}")
+            except KeyError as e:
+                print(e)
+        elif cmd == "\\explain":
+            sql = line[len("\\explain"):].strip()
+            df_api = self.ctx.sql(sql)
+            print("Logical plan:")
+            print(df_api.plan.display())
+            if self.distributed:
+                from .scheduler.distributed_planner import (DistOptions,
+                                                            DistributedPlanner)
+                n = self.mesh.devices.size if self.mesh else 8
+                dp = DistributedPlanner(self.ctx, DistOptions(n_partitions=n))
+                print("Distributed stages:")
+                print(dp.plan(df_api.plan).display())
+        else:
+            print(f"unknown command {cmd}; try \\?")
+        return True
+
+    def run(self):
+        buf = []
+        while True:
+            try:
+                prompt = "ballista> " if not buf else "      -> "
+                line = input(prompt)
+            except (EOFError, KeyboardInterrupt):
+                print()
+                break
+            if not line.strip():
+                continue
+            if line.strip().startswith("\\") and not buf:
+                if not self.handle_meta(line.strip()):
+                    break
+                continue
+            buf.append(line)
+            if line.rstrip().endswith(";"):
+                sql = "\n".join(buf)
+                buf = []
+                try:
+                    self.execute_sql(sql)
+                except Exception as e:  # noqa: BLE001 - REPL survives errors
+                    print(f"Error: {type(e).__name__}: {e}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="ballista_tpu SQL REPL")
+    ap.add_argument("--sf", type=float, default=None,
+                    help="generate + register TPC-H data at this scale factor")
+    ap.add_argument("--parquet", default=None,
+                    help="register every parquet file in DIR as a table")
+    ap.add_argument("--csv", default=None,
+                    help="register every csv file in DIR as a table")
+    ap.add_argument("--distributed", action="store_true",
+                    help="execute over the device mesh (all local devices)")
+    ap.add_argument("-c", "--command", default=None,
+                    help="run one SQL command and exit")
+    ap.add_argument("--format", default="table",
+                    choices=["table", "csv", "json"])
+    args = ap.parse_args(argv)
+
+    from .client import SessionContext
+
+    ctx = SessionContext()
+    if args.sf:
+        from .datagen import register_tpch
+        print(f"generating TPC-H SF{args.sf} ...", file=sys.stderr)
+        register_tpch(ctx, args.sf)
+    if args.parquet:
+        import glob
+        import os
+        for path in sorted(glob.glob(os.path.join(args.parquet, "*.parquet"))):
+            name = os.path.splitext(os.path.basename(path))[0]
+            ctx.register_parquet(name, path)
+            print(f"registered {name}", file=sys.stderr)
+    if args.csv:
+        import glob
+        import os
+        for path in sorted(glob.glob(os.path.join(args.csv, "*.csv"))):
+            name = os.path.splitext(os.path.basename(path))[0]
+            ctx.register_csv(name, path)
+            print(f"registered {name}", file=sys.stderr)
+
+    mesh = None
+    if args.distributed:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh()
+    repl = Repl(ctx, args.distributed, mesh)
+    repl.fmt = args.format
+    if args.command:
+        repl.execute_sql(args.command)
+        return
+    print("ballista_tpu SQL REPL — \\? for help, \\q to quit")
+    repl.run()
+
+
+if __name__ == "__main__":
+    main()

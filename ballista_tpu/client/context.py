@@ -54,6 +54,7 @@ class TableProvider:
 class SessionContext:
     def __init__(self, options: Optional[PhysicalOptions] = None):
         self.tables: Dict[str, TableProvider] = {}
+        self.views: Dict[str, tuple] = {}   # name -> (SelectStmt, col_aliases)
         self.options = options or PhysicalOptions()
         self._stage_cache: Dict[int, object] = {}
 
@@ -106,19 +107,43 @@ class SessionContext:
         return DataFrame(self, L.TableScan(name, tp.schema))
 
     def sql(self, query: str) -> DataFrame:
-        from ..sql import plan_sql
-        return DataFrame(self, plan_sql(query, self))
+        """Run a SQL script: SELECTs plus CREATE/DROP VIEW statements
+        (the TPC-H Q15 shape; BallistaContext::sql similarly intercepts
+        DDL, context.rs:362). Returns the last SELECT as a DataFrame."""
+        from ..sql.parser import CreateView, DropView, parse_statements
+        from ..sql.planner import SqlPlanner
+
+        last = None
+        for stmt in parse_statements(query):
+            if isinstance(stmt, CreateView):
+                self.views[stmt.name] = (stmt.query, stmt.columns)
+            elif isinstance(stmt, DropView):
+                self.views.pop(stmt.name, None)
+            else:
+                last = DataFrame(self, SqlPlanner(self).plan_select(stmt))
+        if last is None:
+            raise ValueError("no SELECT statement in script")
+        return last
 
     # -- execution (local single-partition path) --
-    def collect(self, plan: L.LogicalPlan):
+    def collect(self, plan: L.LogicalPlan, max_retries: int = 3):
+        import dataclasses as dc
+
         capacities = {name: tp.capacity for name, tp in self.tables.items()}
         # refresh scan schemas to include ingest-time dictionaries
         plan = _rebind_scans(plan, self)
-        exec_plan = create_physical_plan(plan, capacities, self.options)
-        fn, input_ids = compile_stage(exec_plan)
-        inputs = {i: self.tables[i].batch for i in set(input_ids)}
-        out = fn(inputs)
-        return out, exec_plan.schema
+        opts = self.options
+        for attempt in range(max_retries):
+            exec_plan = create_physical_plan(plan, capacities, opts)
+            fn, input_ids = compile_stage(exec_plan, with_overflow=True)
+            inputs = {i: self.tables[i].batch for i in set(input_ids)}
+            out, overflow = fn(inputs)
+            if not bool(overflow) or attempt == max_retries - 1:
+                return out, exec_plan.schema
+            # capacity-with-overflow-retry (expanding-join output or group
+            # table too small)
+            opts = dc.replace(opts, join_out_factor=opts.join_out_factor * 4,
+                              max_group_table=opts.max_group_table * 4)
 
 
 def _rebind_scans(plan: L.LogicalPlan, ctx: SessionContext) -> L.LogicalPlan:

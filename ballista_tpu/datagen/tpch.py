@@ -140,7 +140,9 @@ TPCH_TABLES = {
 
 
 def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
-    rng = np.random.default_rng(seed + hash(name) % 100000)
+    import zlib
+    # NOTE: stable per-table seed — Python's hash() is salted per process
+    rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % 100000)
     if name == "region":
         return pa.table({
             "r_regionkey": pa.array(range(5), type=pa.int64()),

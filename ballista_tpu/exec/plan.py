@@ -21,7 +21,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..batch import Batch, Column, row_mask
+from ..batch import Batch, Column, round_capacity, row_mask
 from ..exprs import Bound, Expr, bind_expr, expr_name, output_field
 from ..schema import Field, Schema, TypeKind
 from ..ops import hash as H
@@ -107,10 +107,13 @@ class ProjectExec(ExecNode):
         names = list(names) if names else [expr_name(e) for e in exprs]
         fields = tuple(Field(n, b.dtype, b.nullable)
                        for n, b in zip(names, self._bounds))
-        # propagate dictionaries for passthrough string columns
+        # propagate dictionaries: passthrough columns + derived (substring)
         dicts = {}
         from ..exprs import Alias, Col
-        for n, e in zip(names, exprs):
+        for n, e, b in zip(names, exprs, self._bounds):
+            if b.dictionary is not None:
+                dicts[n] = b.dictionary
+                continue
             base = e.child if isinstance(e, Alias) else e
             if isinstance(base, Col) and child.schema.dictionary(base.name) is not None:
                 dicts[n] = child.schema.dictionary(base.name)
@@ -137,12 +140,19 @@ class HashAggregateExec(ExecNode):
     def __init__(self, child: ExecNode, group_exprs: Sequence[Expr],
                  aggs: Sequence[AggExpr], mode: str = "single",
                  table_size: Optional[int] = None,
-                 group_names: Optional[Sequence[str]] = None):
+                 group_names: Optional[Sequence[str]] = None,
+                 pre_filter: Optional[Expr] = None):
         assert mode in ("partial", "final", "single")
         self.children = (child,)
         self.mode = mode
         self.group_exprs = tuple(group_exprs)
         self.aggs = tuple(aggs)
+        # fused predicate: filtering via the aggregation live-mask skips the
+        # FilterExec compaction (argsort + full-width gather) entirely —
+        # the aggregate only reads masked rows anyway
+        self.pre_filter = pre_filter
+        self._pre_bound = (bind_expr(pre_filter, child.schema)
+                           if pre_filter is not None else None)
         in_schema = child.schema
         self._group_bounds = [bind_expr(e, in_schema) for e in group_exprs]
         self._group_names = (list(group_names) if group_names
@@ -156,7 +166,10 @@ class HashAggregateExec(ExecNode):
                            for n, b in zip(self._group_names, self._group_bounds))
         dicts = {}
         from ..exprs import Alias, Col
-        for n, e in zip(self._group_names, group_exprs):
+        for n, e, b in zip(self._group_names, group_exprs, self._group_bounds):
+            if b.dictionary is not None:
+                dicts[n] = b.dictionary
+                continue
             base = e.child if isinstance(e, Alias) else e
             if isinstance(base, Col) and in_schema.dictionary(base.name) is not None:
                 dicts[n] = in_schema.dictionary(base.name)
@@ -199,13 +212,21 @@ class HashAggregateExec(ExecNode):
         self.schema = Schema(key_fields + agg_fields, dicts)
 
     def evaluate(self, inputs):
+        from .distributed import _TraceCtx
+
         b = self.children[0].evaluate(inputs)
         live = row_mask(b)
+        if self._pre_bound is not None:
+            mc = self._pre_bound.fn(b)
+            live = live & mc.data.astype(jnp.bool_) & mc.validity
         T = self.table_size
         if self._group_bounds:
             key_cols = [g.fn(b) for g in self._group_bounds]
             gt = H.group_codes(tuple(c.data for c in key_cols),
                                tuple(c.validity for c in key_cols), live, T)
+            # more distinct groups than table slots: rows would be silently
+            # dropped — surface for the capacity-retry driver
+            _TraceCtx.record_overflow(gt.overflow)
             row_slot, slot_used, slot_row = gt.row_slot, gt.slot_used, gt.slot_row
         else:
             # global aggregate: single group in slot 0
@@ -271,14 +292,23 @@ class HashJoinExec(ExecNode):
 
     def __init__(self, build: ExecNode, probe: ExecNode,
                  on: Sequence[Tuple[str, str]], join_type: str = "inner",
-                 table_size: Optional[int] = None):
+                 table_size: Optional[int] = None, unique_build: bool = True,
+                 out_capacity: Optional[int] = None):
         self.children = (build, probe)
         self.on = tuple(on)
         self.join_type = join_type
+        # semi/anti only test existence: the unique-key probe handles
+        # duplicate build keys correctly (first-installer slot wins)
+        self.unique_build = unique_build or join_type in ("semi", "anti")
         if table_size is None:
             table_size = min(_next_pow2(max(2 * build.capacity, 16)), 1 << 22)
         self.table_size = table_size
-        self.capacity = probe.capacity
+        if self.unique_build:
+            self.capacity = probe.capacity
+        else:
+            self.out_capacity = out_capacity or round_capacity(
+                build.capacity + probe.capacity)
+            self.capacity = self.out_capacity
         self._build_idx = [build.schema.index_of(a) for a, _ in on]
         self._probe_idx = [probe.schema.index_of(b) for _, b in on]
         if join_type in ("semi", "anti"):
@@ -300,8 +330,13 @@ class HashJoinExec(ExecNode):
         pkeys = [probe_b.columns[i] for i in self._probe_idx]
         blive = row_mask(build_b)
         plive = row_mask(probe_b)
+        if not self.unique_build:
+            return self._evaluate_expanding(build_b, probe_b, bkeys, pkeys,
+                                            blive, plive)
+        from .distributed import _TraceCtx
         jt = H.build_join_table(tuple(c.data for c in bkeys),
                                 tuple(c.validity for c in bkeys), blive, T)
+        _TraceCtx.record_overflow(jt.overflow)
         match = H.probe_join_table(
             jt.slot_used, jt.slot_row,
             tuple(c.data for c in bkeys), tuple(c.validity for c in bkeys),
@@ -335,8 +370,35 @@ class HashJoinExec(ExecNode):
             return joined
         raise ValueError(self.join_type)
 
+    def _evaluate_expanding(self, build_b, probe_b, bkeys, pkeys, blive, plive):
+        """Duplicate-build-key path (ops.expand_join); output slots map
+        (probe row, k-th build match) via a parallel prefix-sum expand."""
+        from ..ops.expand_join import expand_join
+        from .distributed import _TraceCtx
+
+        em = expand_join(tuple(c.data for c in bkeys),
+                         tuple(c.validity for c in bkeys), blive,
+                         tuple(c.data for c in pkeys),
+                         tuple(c.validity for c in pkeys), plive,
+                         self.table_size, self.out_capacity,
+                         left_outer=self.join_type == "left_outer")
+        _TraceCtx.record_overflow(em.overflow)
+        matched = em.build_row >= 0
+        bsafe = jnp.clip(em.build_row, 0, build_b.capacity - 1)
+        psafe = jnp.clip(em.probe_row, 0, probe_b.capacity - 1)
+        cols = []
+        for c in build_b.columns:
+            cols.append(Column(jnp.take(c.data, bsafe, mode="clip"),
+                               jnp.take(c.validity, bsafe, mode="clip") & matched))
+        for c in probe_b.columns:
+            cols.append(Column(jnp.take(c.data, psafe, mode="clip"),
+                               jnp.take(c.validity, psafe, mode="clip") & em.valid))
+        return Batch(tuple(cols), em.total)
+
     def _label(self):
-        return f"HashJoinExec[{self.join_type}](on={list(self.on)}, T={self.table_size})"
+        mode = "unique" if self.unique_build else "expanding"
+        return (f"HashJoinExec[{self.join_type},{mode}]"
+                f"(on={list(self.on)}, T={self.table_size})")
 
 
 def _mask_after(b: Batch, count) -> Batch:
@@ -427,16 +489,27 @@ def concat_batches(batches: List[Batch], capacity: int) -> Batch:
     return Batch(tuple(cols), total)
 
 
-def compile_stage(root: ExecNode, donate: bool = False):
+def compile_stage(root: ExecNode, donate: bool = False,
+                  with_overflow: bool = False):
     """Jit the whole operator tree into one XLA program.
 
     Returns (fn, input_ids): fn takes {input_id: Batch} and returns the
-    root Batch.
-    """
+    root Batch (or (Batch, overflow_flag) when with_overflow, for the
+    capacity-retry driver)."""
+    from .distributed import _TraceCtx
+
     input_ids = [l.input_id for l in root.leaves()]
 
     @jax.jit
-    def run(inputs: Dict[str, Batch]) -> Batch:
-        return root.evaluate(inputs)
+    def run(inputs: Dict[str, Batch]):
+        with _TraceCtx() as tc:
+            out = root.evaluate(inputs)
+            flags = tc.overflow
+        if not with_overflow:
+            return out
+        overflow = flags[0] if flags else jnp.bool_(False)
+        for f in flags[1:]:
+            overflow = overflow | f
+        return out, overflow
 
     return run, input_ids

@@ -155,6 +155,13 @@ def expr_name(e: Expr) -> str:
         return f"{expr_name(e.child)} IN (...)"
     if isinstance(e, Between):
         return f"{expr_name(e.child)} BETWEEN"
+    # SQL-layer nodes (e.g. AggCall) duck-type through kind/arg
+    kind = getattr(e, "kind", None)
+    if kind is not None:
+        if kind == "count_star":
+            return "count(*)"
+        arg = getattr(e, "arg", None)
+        return f"{kind}({expr_name(arg) if arg is not None else '*'})"
     return type(e).__name__.lower()
 
 
@@ -227,6 +234,9 @@ class Bound:
     nullable: bool
     # fn(batch) -> Column; closure over column indices / folded constants
     fn: Callable[[Batch], Column]
+    # for string-producing exprs (e.g. substring): the derived sorted
+    # dictionary the output codes index into
+    dictionary: Optional[np.ndarray] = None
 
 
 def _const_column(value, dtype: DataType, valid: bool = True):
@@ -525,7 +535,7 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
         r = bind_expr(e.right, schema)
         # string vs literal: translate literal into code space
         if l.dtype.kind is TypeKind.STRING and isinstance(e.right, Lit):
-            dic = _dict_for(e.left, schema)
+            dic = l.dictionary if l.dictionary is not None else _dict_for(e.left, schema)
             pos, exact = _string_lit_to_code(str(e.right.value), dic, e.op)
             if e.op == "=" and not exact:
                 return Bound(BOOL, False, _const_column(False, BOOL))
@@ -586,7 +596,7 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
     if isinstance(e, InList):
         c = bind_expr(e.child, schema)
         if c.dtype.kind is TypeKind.STRING:
-            dic = _dict_for(e.child, schema)
+            dic = c.dictionary if c.dictionary is not None else _dict_for(e.child, schema)
             codes = []
             for v in e.values:
                 assert isinstance(v, Lit)
@@ -625,7 +635,7 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
         c = bind_expr(e.child, schema)
         if c.dtype.kind is not TypeKind.STRING:
             raise TypeError("LIKE on non-string")
-        dic = _dict_for(e.child, schema)
+        dic = c.dictionary if c.dictionary is not None else _dict_for(e.child, schema)
         # SQL LIKE -> regex, evaluated over the (host) dictionary
         pat = re.escape(e.pattern).replace(r"%", ".*").replace(r"_", ".")
         rx = re.compile("^" + pat + "$", re.S)
@@ -737,6 +747,28 @@ def _bind_scalar_fn(e: ScalarFn, schema: Schema) -> Bound:
         c = bind_expr(e.args[0], schema)
         return Bound(c.dtype, c.nullable,
                      lambda batch: Column(jnp.abs(c.fn(batch).data), c.fn(batch).validity))
+    if name == "substring":
+        c = bind_expr(e.args[0], schema)
+        if c.dtype.kind is not TypeKind.STRING:
+            raise TypeError("substring on non-string")
+        dic = _dict_for(e.args[0], schema)
+        if dic is None:
+            raise TypeError("substring requires a dictionary-encoded column")
+        start = e.args[1].value  # 1-based
+        length = e.args[2].value
+        subs = np.array([
+            (str(s)[start - 1:] if length < 0
+             else str(s)[start - 1:start - 1 + length]) for s in dic],
+            dtype=object)
+        new_dict = np.unique(subs.astype(str)).astype(object)
+        lut = np.searchsorted(new_dict.astype(str), subs.astype(str)).astype(np.int32)
+        lut_dev = jnp.asarray(lut)
+
+        def fn(batch):
+            col = c.fn(batch)
+            idx = jnp.clip(col.data, 0, lut_dev.shape[0] - 1)
+            return Column(lut_dev[idx], col.validity)
+        return Bound(STRING, c.nullable, fn, dictionary=new_dict)
     if name == "coalesce":
         parts = [bind_expr(a, schema) for a in e.args]
         out = _common_dtype([p.dtype for p in parts])

@@ -79,6 +79,9 @@ class Projection(LogicalPlan):
         for n, e in zip(names, self.exprs):
             b = bind_expr(e, in_schema)
             fields.append(Field(n, b.dtype, b.nullable))
+            if b.dictionary is not None:
+                dicts[n] = b.dictionary
+                continue
             base = e.child if isinstance(e, Alias) else e
             if isinstance(base, Col) and in_schema.dictionary(base.name) is not None:
                 dicts[n] = in_schema.dictionary(base.name)
@@ -107,6 +110,9 @@ class Aggregate(LogicalPlan):
         for n, e in zip(names, self.group_exprs):
             b = bind_expr(e, in_schema)
             fields.append(Field(n, b.dtype, b.nullable))
+            if b.dictionary is not None:
+                dicts[n] = b.dictionary
+                continue
             base = e.child if isinstance(e, Alias) else e
             if isinstance(base, Col) and in_schema.dictionary(base.name) is not None:
                 dicts[n] = in_schema.dictionary(base.name)
@@ -159,6 +165,7 @@ class Join(LogicalPlan):
     right: LogicalPlan
     on: Tuple[Tuple[str, str], ...]
     how: str = "inner"  # inner | left_outer | semi | anti
+    unique_build: bool = True  # left side has unique join keys
 
     def schema(self) -> Schema:
         if self.how in ("semi", "anti"):

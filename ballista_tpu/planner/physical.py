@@ -20,10 +20,30 @@ from . import logical as L
 
 @dataclasses.dataclass
 class PhysicalOptions:
-    # cap on group hash-table slots (power of two); queries with more
-    # distinct groups trip the overflow flag and retry bigger
-    max_group_table: int = 1 << 16
+    # cap on group hash-table slots (power of two); tables sized 2x input
+    # capacity never overflow (load <= 0.5); the cap bounds memory and
+    # overflow past it trips the retry flag
+    max_group_table: int = 1 << 21
     group_table_hint: Optional[int] = None
+    # expanding-join output capacity = factor * (build_cap + probe_cap);
+    # overflow triggers a retry with 4x the factor
+    join_out_factor: float = 1.0
+
+
+def _strip_filters(p: L.LogicalPlan):
+    """Peel Filter nodes off a plan; returns (inner, conjoined predicate).
+    Used to fuse filtering into the aggregation live-mask."""
+    from ..exprs import BinOp
+    preds = []
+    while isinstance(p, L.Filter):
+        preds.append(p.predicate)
+        p = p.input
+    if not preds:
+        return p, None
+    out = preds[0]
+    for q in preds[1:]:
+        out = BinOp("and", out, q)
+    return p, out
 
 
 def create_physical_plan(plan: L.LogicalPlan,
@@ -45,16 +65,18 @@ def create_physical_plan(plan: L.LogicalPlan,
             return ProjectExec(lower(p.input), list(p.exprs),
                                names=list(p.names) if p.names else None)
         if isinstance(p, L.Aggregate):
-            child = lower(p.input)
+            inp, pred = _strip_filters(p.input)
+            child = lower(inp)
             T = opts.group_table_hint or min(
-                _next_pow2(max(child.capacity // 4, 16)), opts.max_group_table)
+                _next_pow2(max(2 * child.capacity, 16)), opts.max_group_table)
             return HashAggregateExec(child, list(p.group_exprs), list(p.aggs),
                                      mode="single", table_size=T,
-                                     group_names=list(p.group_names) if p.group_names else None)
+                                     group_names=list(p.group_names) if p.group_names else None,
+                                     pre_filter=pred)
         if isinstance(p, L.Distinct):
             child = lower(p.input)
             T = opts.group_table_hint or min(
-                _next_pow2(max(child.capacity, 16)), opts.max_group_table)
+                _next_pow2(max(2 * child.capacity, 16)), opts.max_group_table)
             return HashAggregateExec(child, [Col(f.name) for f in child.schema.fields],
                                      [], mode="single", table_size=T)
         if isinstance(p, L.Sort):
@@ -62,8 +84,15 @@ def create_physical_plan(plan: L.LogicalPlan,
         if isinstance(p, L.Limit):
             return LimitExec(lower(p.input), p.n)
         if isinstance(p, L.Join):
-            return HashJoinExec(lower(p.left), lower(p.right),
-                                list(p.on), p.how)
+            build, probe = lower(p.left), lower(p.right)
+            out_cap = None
+            if not p.unique_build and p.how not in ("semi", "anti"):
+                from ..batch import round_capacity
+                out_cap = round_capacity(int(
+                    opts.join_out_factor * (build.capacity + probe.capacity)))
+            return HashJoinExec(build, probe, list(p.on), p.how,
+                                unique_build=p.unique_build,
+                                out_capacity=out_cap)
         raise NotImplementedError(type(p).__name__)
 
     return lower(plan)

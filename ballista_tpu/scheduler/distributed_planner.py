@@ -68,7 +68,9 @@ class DistOptions:
     broadcast_threshold: int = 1 << 17   # build rows below this: broadcast join
     min_quota: int = 256
     quota_headroom: float = 2.0          # x average rows/dest
-    max_group_table: int = 1 << 16
+    # group tables sized 2x input capacity never overflow (load <= 0.5);
+    # the cap bounds memory — overflow past it triggers driver retry
+    max_group_table: int = 1 << 21
 
 
 class DistributedPlanner:
@@ -112,7 +114,7 @@ class DistributedPlanner:
         return DistributedPlan(self._stages, final)
 
     def _agg_table(self, child_cap: int) -> int:
-        return min(_next_pow2(max(child_cap // 4, 16)), self.opts.max_group_table)
+        return min(_next_pow2(max(2 * child_cap, 16)), self.opts.max_group_table)
 
     def _lower(self, p: L.LogicalPlan) -> ExecNode:
         if isinstance(p, L.TableScan):
@@ -130,13 +132,16 @@ class DistributedPlanner:
             return ProjectExec(self._lower(p.input), list(p.exprs),
                                names=list(p.names) if p.names else None)
         if isinstance(p, (L.Aggregate, L.Distinct)):
+            from ..planner.physical import _strip_filters
             if isinstance(p, L.Distinct):
                 child = self._lower(p.input)
+                pred = None
                 group_exprs = [Col(f.name) for f in child.schema.fields]
                 aggs = []
                 group_names = [f.name for f in child.schema.fields]
             else:
-                child = self._lower(p.input)
+                inp, pred = _strip_filters(p.input)
+                child = self._lower(inp)
                 group_exprs = list(p.group_exprs)
                 aggs = list(p.aggs)
                 group_names = (list(p.group_names) if p.group_names
@@ -144,12 +149,13 @@ class DistributedPlanner:
             T = self._agg_table(child.capacity)
             partial = HashAggregateExec(child, group_exprs, aggs,
                                         mode="partial", table_size=T,
-                                        group_names=group_names)
+                                        group_names=group_names,
+                                        pre_filter=pred)
             if group_exprs:
                 key_names = [f.name for f in
                              partial.schema.fields[:len(group_exprs)]]
                 leaf = self._cut_shuffle(partial, key_names, expected_rows=T)
-                Tf = min(_next_pow2(max(leaf.capacity // 2, 16)),
+                Tf = min(_next_pow2(max(2 * leaf.capacity, 16)),
                          self.opts.max_group_table * self.opts.n_partitions)
                 return HashAggregateExec(leaf, [Col(k) for k in key_names],
                                          aggs, mode="final", table_size=Tf,
@@ -165,12 +171,14 @@ class DistributedPlanner:
             on = list(p.on)
             if build.capacity <= self.opts.broadcast_threshold // max(self.opts.n_partitions, 1):
                 bleaf = self._cut_gather(build)
-                return HashJoinExec(bleaf, probe, on, p.how)
+                return HashJoinExec(bleaf, probe, on, p.how,
+                                    unique_build=p.unique_build)
             bkeys = [a for a, _ in on]
             pkeys = [b for _, b in on]
             bleaf = self._cut_shuffle(build, bkeys, expected_rows=build.capacity)
             pleaf = self._cut_shuffle(probe, pkeys, expected_rows=probe.capacity)
-            return HashJoinExec(bleaf, pleaf, on, p.how)
+            return HashJoinExec(bleaf, pleaf, on, p.how,
+                                unique_build=p.unique_build)
         if isinstance(p, L.Sort):
             if _single_partition(p.input):
                 return SortExec(self._lower(p.input), list(p.keys))

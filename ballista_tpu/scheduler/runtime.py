@@ -154,7 +154,8 @@ def execute_distributed(ctx, plan, mesh=None, options: Optional[DistOptions] = N
             if attempt == max_retries - 1:
                 raise
             import dataclasses as dc
-            opts = dc.replace(opts, quota_headroom=opts.quota_headroom * 4)
+            opts = dc.replace(opts, quota_headroom=opts.quota_headroom * 4,
+                              max_group_table=opts.max_group_table * 4)
             rt.opts = opts
             log.warning("shuffle overflow; retrying with headroom %.1f",
                         opts.quota_headroom)

@@ -57,6 +57,19 @@ class TableRef:
     name: Optional[str] = None
     subquery: Optional["SelectStmt"] = None
     alias: Optional[str] = None
+    col_aliases: Optional[Tuple[str, ...]] = None  # "as t (c1, c2)"
+
+
+@dataclasses.dataclass
+class CreateView:
+    name: str
+    columns: Optional[Tuple[str, ...]]
+    query: "SelectStmt"
+
+
+@dataclasses.dataclass
+class DropView:
+    name: str
 
 
 @dataclasses.dataclass
@@ -97,7 +110,7 @@ KEYWORDS = {
     "case", "when", "then", "else", "end", "cast", "date", "interval",
     "exists", "distinct", "join", "inner", "left", "right", "full", "outer",
     "on", "asc", "desc", "nulls", "first", "last", "union", "all",
-    "true", "false", "extract", "year",
+    "true", "false", "extract", "year", "create", "drop", "view", "for",
 }
 
 
@@ -263,19 +276,41 @@ class Parser:
         if self.accept("op", "("):
             sub = self.parse_select()
             self.expect("op", ")")
-            alias = None
-            if self.accept("kw", "as"):
-                alias = self._name()
-            elif self.peek().kind == "id":
-                alias = self.next().value
-            return TableRef(subquery=sub, alias=alias)
+            alias, cols = self._alias_with_columns()
+            return TableRef(subquery=sub, alias=alias, col_aliases=cols)
         name = self._name()
+        alias, cols = self._alias_with_columns()
+        return TableRef(name=name, alias=alias, col_aliases=cols)
+
+    def _alias_with_columns(self):
         alias = None
         if self.accept("kw", "as"):
             alias = self._name()
         elif self.peek().kind == "id":
             alias = self.next().value
-        return TableRef(name=name, alias=alias)
+        cols = None
+        if alias is not None and self.peek().kind == "op" and self.peek().value == "(":
+            # "as t (c1, c2)" column alias list — but don't swallow a
+            # function call; only identifiers separated by commas
+            save = self.i
+            self.next()
+            names = []
+            ok = True
+            while True:
+                if self.peek().kind != "id":
+                    ok = False
+                    break
+                names.append(self.next().value)
+                if self.accept("op", ")"):
+                    break
+                if not self.accept("op", ","):
+                    ok = False
+                    break
+            if ok:
+                cols = tuple(names)
+            else:
+                self.i = save
+        return alias, cols
 
     def _name(self) -> str:
         t = self.peek()
@@ -457,6 +492,22 @@ class Parser:
             if self.peek().kind == "op" and self.peek().value == "(":
                 self.next()
                 low = name.lower()
+                if low == "substring":
+                    e = self.parse_expr()
+                    if self.accept("kw", "from"):
+                        start = int(self.expect("num").value)
+                        length = None
+                        if self.accept("kw", "for"):
+                            length = int(self.expect("num").value)
+                    else:
+                        self.expect("op", ",")
+                        start = int(self.expect("num").value)
+                        length = None
+                        if self.accept("op", ","):
+                            length = int(self.expect("num").value)
+                    self.expect("op", ")")
+                    return ScalarFn("substring",
+                                    (e, Lit(start), Lit(length if length is not None else -1)))
                 if low in ("sum", "avg", "min", "max", "count"):
                     distinct = bool(self.accept("kw", "distinct"))
                     if self.accept("op", "*"):
@@ -502,6 +553,34 @@ class Parser:
         if t == "date":
             return DATE32
         raise SyntaxError(f"unknown type {t}")
+
+
+def parse_statements(sql: str):
+    """Parse a script of ;-separated statements: SELECTs, CREATE VIEW,
+    DROP VIEW (the TPC-H Q15 shape)."""
+    p = Parser(tokenize(sql))
+    out = []
+    while p.peek().kind != "eof":
+        if p.accept("kw", "create"):
+            p.expect("kw", "view")
+            name = p._name()
+            cols = None
+            if p.accept("op", "("):
+                names = [p._name()]
+                while p.accept("op", ","):
+                    names.append(p._name())
+                p.expect("op", ")")
+                cols = tuple(names)
+            p.expect("kw", "as")
+            q = p.parse_select()
+            out.append(CreateView(name, cols, q))
+        elif p.accept("kw", "drop"):
+            p.expect("kw", "view")
+            out.append(DropView(p._name()))
+            p.accept("op", ";")
+        else:
+            out.append(p.parse_select())
+    return out
 
 
 def parse_sql(sql: str) -> SelectStmt:

@@ -1,14 +1,22 @@
 """SQL AST -> LogicalPlan.
 
-Reference parity: DataFusion's SQL planner + the subset of its optimizer
-rules that matter for TPC-H shapes (predicate pushdown into scans,
-equi-join extraction from WHERE conjuncts, EXISTS/IN decorrelation to
-semi/anti joins, two-phase aggregate preparation).
+Reference parity: DataFusion's SQL planner + the optimizer rules TPC-H
+leans on (predicate pushdown into scans, equi-join extraction from WHERE
+conjuncts, OR-factoring, subquery decorrelation, distinct-aggregate
+rewrite, two-phase aggregate preparation).
 
-Join build-side selection is uniqueness-driven: HashJoinExec requires
-unique build keys (FK->PK), so we track which column sets are unique per
-relation (registered PKs, group-by keys, Distinct outputs) and always put
-the unique side on the build.
+Join build-side selection is uniqueness-driven: the unique-key hash join is
+the fast path (FK->PK), tracked via registered PKs / group-by keys; joins
+with no unique side use the expanding join (ops.expand_join).
+
+Subquery handling (all decorrelated to joins — no per-row re-execution):
+- EXISTS/NOT EXISTS, equi-correlated        -> distinct build + semi/anti join
+- EXISTS with extra correlated predicates   -> expand join + residual filter
+  + distinct on the outer relation's unique key + semi/anti join (Q21)
+- IN (subquery), uncorrelated               -> full subplan + semi/anti join
+- scalar subquery, uncorrelated             -> eager evaluation to a literal
+- scalar subquery, equi-correlated          -> aggregate grouped by the
+  correlation keys + join + comparison filter (Q2/Q17/Q20)
 """
 
 from __future__ import annotations
@@ -62,7 +70,6 @@ class Scope:
         self.outer = outer
 
     def resolve(self, name: str) -> Optional[str]:
-        """Resolve a (possibly qualified) column reference to an output name."""
         if "." in name:
             qual, col = name.split(".", 1)
             for r in self.relations:
@@ -77,7 +84,6 @@ class Scope:
         return None
 
     def resolve_or_outer(self, name: str):
-        """Returns ('local', out_name) | ('outer', out_name) | (None, None)."""
         local = self.resolve(name)
         if local is not None:
             return "local", local
@@ -89,7 +95,6 @@ class Scope:
 
 
 def _rewrite_cols(e: Expr, mapping) -> Expr:
-    """Rewrite Col names through `mapping: str -> str`（raising on misses)."""
     if isinstance(e, Col):
         return Col(mapping(e.name))
     if isinstance(e, Alias):
@@ -127,8 +132,7 @@ def _split_conjuncts(e: Optional[Expr]) -> List[Expr]:
         return _split_conjuncts(e.left) + _split_conjuncts(e.right)
     if isinstance(e, BinOp) and e.op == "or":
         # factor conjuncts common to every OR branch:
-        #   (A and X) or (A and Y)  ->  A and (X or Y)
-        # (TPC-H Q19 hides its join predicate this way)
+        #   (A and X) or (A and Y)  ->  A and (X or Y)   (TPC-H Q19)
         branches = _split_disjuncts(e)
         branch_conjs = [_split_conjuncts(b) for b in branches]
         common = [c for c in branch_conjs[0]
@@ -206,45 +210,102 @@ def _replace_subtree(e: Expr, target: Expr, replacement: Expr) -> Expr:
     return e
 
 
+def _classify_cols(e: Expr, scope: Scope):
+    """Resolve every column of e: returns (kind, resolved_expr) where kind is
+    'local' (all local), 'outer' (references outer scope), or None
+    (unresolvable)."""
+    has_outer = False
+
+    def mapping(name: str) -> str:
+        nonlocal has_outer
+        kind, out = scope.resolve_or_outer(name)
+        if kind is None:
+            raise KeyError(name)
+        if kind == "outer":
+            has_outer = True
+        return out
+
+    try:
+        re_ = _rewrite_cols(e, mapping)
+    except KeyError:
+        return None, None
+    return ("outer" if has_outer else "local"), re_
+
+
 # ---------------------------------------------------------------------------
 # Planner
 # ---------------------------------------------------------------------------
 
 
+@dataclasses.dataclass
+class FromWhere:
+    """Result of planning a statement's FROM + WHERE."""
+    plan: L.LogicalPlan
+    scope: Scope
+    uniq: List[frozenset]
+    corr_equi: List[Tuple[str, str]]     # (local out col, outer out col)
+    corr_residual: List[Expr]            # resolved exprs mixing local+outer cols
+
+
 class SqlPlanner:
     def __init__(self, ctx):
-        self.ctx = ctx  # SessionContext: .tables, .table_unique_keys(name)
+        self.ctx = ctx
+        self._sq_counter = 0
 
-    # -- catalog helpers --
+    # -- catalog --
     def _scan(self, rel_id: int, ref: TableRef, outer: Optional[Scope]) -> Relation:
         if ref.subquery is not None:
             plan = self.plan_select(ref.subquery, outer)
             schema = plan.schema()
             names = [f.name for f in schema.fields]
+            if ref.col_aliases:
+                if len(ref.col_aliases) != len(names):
+                    raise ValueError("derived-table column alias count mismatch")
+                plan = L.Projection(plan, tuple(Col(n) for n in names),
+                                    tuple(ref.col_aliases))
+                names = list(ref.col_aliases)
             uniq = []
-            if isinstance(plan, L.Projection) and isinstance(plan.input, L.Aggregate):
-                gb = plan.input
-                keys = [expr_name(e) for e in gb.group_exprs]
-                if all(k in names for k in keys):
-                    uniq = [frozenset(keys)]
+            inner = plan
+            while isinstance(inner, L.Projection):
+                inner = inner.input
+            if isinstance(inner, (L.Aggregate, L.Distinct)):
+                # group keys are unique; map through projections by position
+                schema2 = plan.schema()
+                if isinstance(inner, L.Aggregate):
+                    nkeys = len(inner.group_exprs)
+                    keys = [f.name for f in schema2.fields[:nkeys]]
+                    if keys:
+                        uniq = [frozenset(keys)]
             return Relation(rel_id, names, plan, ref.alias, uniq)
-        tp = self.ctx.tables[ref.name]
+        name = ref.name
+        if hasattr(self.ctx, "views") and name in self.ctx.views:
+            view_stmt, view_cols = self.ctx.views[name]
+            vref = TableRef(subquery=view_stmt, alias=ref.alias or name,
+                            col_aliases=view_cols)
+            return self._scan(rel_id, vref, outer)
+        tp = self.ctx.tables[name]
         schema = tp.schema
         names = [f.name for f in schema.fields]
-        uniq = [frozenset(k) for k in self.ctx.unique_keys(ref.name)]
-        plan = L.TableScan(ref.name, schema)
-        return Relation(rel_id, names, plan, ref.alias or ref.name, uniq)
+        uniq = [frozenset(k) for k in self.ctx.unique_keys(name)]
+        plan = L.TableScan(name, schema)
+        return Relation(rel_id, names, plan, ref.alias or name, uniq)
 
-    def plan_select(self, stmt: SelectStmt, outer: Optional[Scope] = None) -> L.LogicalPlan:
-        # 1. relations
+    def _mangle(self) -> str:
+        self._sq_counter += 1
+        return f"__sq{self._sq_counter}"
+
+    # -- FROM + WHERE assembly (shared by top level and all subqueries) --
+    def plan_from_where(self, stmt: SelectStmt,
+                        outer: Optional[Scope]) -> FromWhere:
         relations: List[Relation] = []
         for i, ref in enumerate(stmt.from_tables):
             relations.append(self._scan(i, ref, outer))
         explicit_joins = list(stmt.joins)
         for j, jc in enumerate(explicit_joins):
             relations.append(self._scan(len(stmt.from_tables) + j, jc.table, outer))
+        if not relations:
+            raise NotImplementedError("SELECT without FROM")
 
-        # collision renaming (self-joins: nation n1, nation n2)
         seen: Dict[str, int] = {}
         for r in relations:
             for n in r.names:
@@ -255,14 +316,17 @@ class SqlPlanner:
 
         scope = Scope(relations, outer)
 
-        # 2. classify WHERE conjuncts
         conjuncts = _split_conjuncts(stmt.where)
         for jc in explicit_joins:
             conjuncts.extend(_split_conjuncts(jc.on))
-        join_edges: List[Tuple[int, str, int, str]] = []   # (rel_a, col_a, rel_b, col_b)
+
+        join_edges: List[Tuple[int, str, int, str]] = []
         per_rel_filters: Dict[int, List[Expr]] = {r.rel_id: [] for r in relations}
         post_filters: List[Expr] = []
-        semi_joins: List[Tuple[SelectStmt, bool, Optional[Expr]]] = []  # (sub, negated, in_lhs)
+        semi_subqs: List[Tuple[SelectStmt, bool, Optional[Expr]]] = []
+        scalar_conjs: List[Tuple[str, Expr, SelectStmt, bool]] = []  # (op, lhs, sub, lhs_is_left)
+        corr_equi: List[Tuple[str, str]] = []
+        corr_residual: List[Expr] = []
 
         def rel_of(col_out_name: str) -> Optional[int]:
             for r in relations:
@@ -270,18 +334,21 @@ class SqlPlanner:
                     return r.rel_id
             return None
 
-        def resolve_expr(e: Expr) -> Expr:
-            return _rewrite_cols(e, self._resolver(scope))
-
         for c in conjuncts:
             if isinstance(c, ExistsExpr):
-                semi_joins.append((c.query, c.negated, None))
+                semi_subqs.append((c.query, c.negated, None))
                 continue
             if isinstance(c, Not) and isinstance(c.child, ExistsExpr):
-                semi_joins.append((c.child.query, not c.child.negated, None))
+                semi_subqs.append((c.child.query, not c.child.negated, None))
                 continue
             if isinstance(c, InSubquery):
-                semi_joins.append((c.query, c.negated, c.child))
+                semi_subqs.append((c.query, c.negated, c.child))
+                continue
+            if isinstance(c, BinOp) and isinstance(c.right, SubqueryExpr):
+                scalar_conjs.append((c.op, c.left, c.right.query, True))
+                continue
+            if isinstance(c, BinOp) and isinstance(c.left, SubqueryExpr):
+                scalar_conjs.append((c.op, c.right, c.left.query, False))
                 continue
             if isinstance(c, BinOp) and c.op == "=" and isinstance(c.left, Col) \
                     and isinstance(c.right, Col):
@@ -292,24 +359,29 @@ class SqlPlanner:
                     if ra is not None and rb is not None and ra != rb:
                         join_edges.append((ra, ln, rb, rn))
                         continue
-            # single-relation filter?
-            cols = expr_columns(c)
-            resolved = []
-            rels = set()
-            ok = True
-            for name in cols:
-                rn = scope.resolve(name)
-                if rn is None:
-                    ok = False
-                    break
-                resolved.append(rn)
-                rels.add(rel_of(rn))
-            if ok and len(rels) == 1:
-                per_rel_filters[next(iter(rels))].append(resolve_expr(c))
+                # correlated equality?
+                lk, lo = scope.resolve_or_outer(c.left.name)
+                rk, ro = scope.resolve_or_outer(c.right.name)
+                if lk == "local" and rk == "outer":
+                    corr_equi.append((lo, ro))
+                    continue
+                if lk == "outer" and rk == "local":
+                    corr_equi.append((ro, lo))
+                    continue
+            kind, resolved = _classify_cols(c, scope)
+            if kind == "local":
+                cols = expr_columns(resolved)
+                rels = {rel_of(n) for n in cols}
+                if len(rels) == 1 and None not in rels:
+                    per_rel_filters[next(iter(rels))].append(resolved)
+                else:
+                    post_filters.append(resolved)
+            elif kind == "outer":
+                corr_residual.append(resolved)
             else:
-                post_filters.append(resolve_expr(c))
+                raise KeyError(f"cannot resolve columns in {c}")
 
-        # 3. apply pushed-down filters
+        # pushed-down filters
         plans: Dict[int, L.LogicalPlan] = {}
         uniq_by_rel: Dict[int, List[frozenset]] = {}
         for r in relations:
@@ -320,13 +392,13 @@ class SqlPlanner:
             plans[r.rel_id] = p
             uniq_by_rel[r.rel_id] = list(r.unique_sets)
 
-        # 4. greedy join-graph assembly (build side = unique side)
+        # greedy join assembly (build side = unique side; else expanding)
         how_by_rel = {}
         for j, jc in enumerate(explicit_joins):
             how_by_rel[len(stmt.from_tables) + j] = jc.how
-        joined_ids = {relations[0].rel_id} if relations else set()
-        current = plans[relations[0].rel_id] if relations else None
-        current_uniq = uniq_by_rel[relations[0].rel_id] if relations else []
+        joined_ids = {relations[0].rel_id}
+        current = plans[relations[0].rel_id]
+        current_uniq = uniq_by_rel[relations[0].rel_id]
         remaining = [r.rel_id for r in relations[1:]]
 
         def edges_between(done: Set[int], rid: int):
@@ -345,7 +417,6 @@ class SqlPlanner:
                     pick = rid
                     break
             if pick is None:
-                # cartesian product not supported yet
                 raise NotImplementedError(
                     f"no join path to relations {remaining} (cross join unsupported)")
             pairs = edges_between(joined_ids, pick)
@@ -356,136 +427,250 @@ class SqlPlanner:
             new_uniq = uniq_by_rel[pick]
             if how == "inner":
                 if any(s <= new_cols for s in new_uniq):
-                    # build on the new relation; current stays probe
                     current = L.Join(new_plan, current,
                                      tuple((b, a) for a, b in pairs), "inner")
-                    # probe-side uniques survive (build unique -> no duplication)
                 elif any(s <= cur_cols for s in current_uniq):
-                    current = L.Join(current, new_plan,
-                                     tuple(pairs), "inner")
+                    current = L.Join(current, new_plan, tuple(pairs), "inner")
                     current_uniq = list(new_uniq)
                 else:
-                    raise NotImplementedError(
-                        f"join without a unique side: {pairs} "
-                        "(expanding hash join not yet implemented)")
+                    current = L.Join(new_plan, current,
+                                     tuple((b, a) for a, b in pairs), "inner",
+                                     unique_build=False)
+                    current_uniq = []
             elif how == "left":
-                # left outer: preserve current (probe) rows, build on new side
-                if not any(s <= new_cols for s in new_uniq):
-                    raise NotImplementedError("left join with non-unique right side")
+                uniq = any(s <= new_cols for s in new_uniq)
                 current = L.Join(new_plan, current,
-                                 tuple((b, a) for a, b in pairs), "left_outer")
+                                 tuple((b, a) for a, b in pairs), "left_outer",
+                                 unique_build=uniq)
+                if not uniq:
+                    current_uniq = []
             else:
                 raise NotImplementedError(f"join type {how}")
             joined_ids.add(pick)
             remaining.remove(pick)
 
-        if current is None:
-            raise NotImplementedError("SELECT without FROM")
+        # EXISTS / IN -> semi/anti joins
+        for sub_stmt, negated, in_lhs in semi_subqs:
+            current = self._plan_semi(sub_stmt, negated, in_lhs, scope,
+                                      current, current_uniq)
 
-        # 5. EXISTS / IN subqueries -> semi/anti joins
-        for sub_stmt, negated, in_lhs in semi_joins:
-            current, current_uniq = self._plan_semi(
-                stmt, sub_stmt, negated, in_lhs, scope, current, current_uniq)
+        # scalar subqueries -> literal or aggregate join + filter
+        for op, lhs, sub_stmt, lhs_left in scalar_conjs:
+            current, pred = self._plan_scalar(op, lhs, sub_stmt, lhs_left,
+                                              scope, current)
+            post_filters.append(pred)
 
-        # 6. residual post-join filters
         pf = _conjoin(post_filters)
         if pf is not None:
             current = L.Filter(current, pf)
 
-        # 7. projections & aggregation
-        return self._plan_projection(stmt, scope, current)
+        return FromWhere(current, scope, current_uniq, corr_equi, corr_residual)
 
-    # -- helpers --
+    # -- subquery machinery --
+
+    def _plan_semi(self, sub_stmt: SelectStmt, negated: bool,
+                   in_lhs: Optional[Expr], scope: Scope,
+                   current: L.LogicalPlan,
+                   current_uniq: List[frozenset]) -> L.LogicalPlan:
+        how = "anti" if negated else "semi"
+        fw = self.plan_from_where(sub_stmt, scope)
+
+        if in_lhs is not None and not fw.corr_equi and not fw.corr_residual:
+            # uncorrelated IN: full subplan (aggregates/having included)
+            inner = self._plan_projection(sub_stmt, fw)
+            # strip sort/limit (irrelevant for membership)
+            while isinstance(inner, (L.Sort, L.Limit)):
+                inner = inner.input
+            inner_col = inner.schema().fields[0].name
+            lhs = _rewrite_cols(in_lhs, self._resolver(scope))
+            if not isinstance(lhs, Col):
+                raise NotImplementedError("IN (subquery) with non-column lhs")
+            key = self._mangle() + "_k"
+            inner = L.Distinct(L.Projection(inner, (Col(inner_col),), (key,)))
+            return L.Join(inner, current, ((key, lhs.name),), how)
+
+        corr = list(fw.corr_equi)
+        if in_lhs is not None:
+            assert len(sub_stmt.projections) == 1
+            item, _ = sub_stmt.projections[0]
+            item_r = _rewrite_cols(item, self._resolver(fw.scope))
+            if not isinstance(item_r, Col):
+                raise NotImplementedError("correlated IN with expression output")
+            lhs = _rewrite_cols(in_lhs, self._resolver(scope))
+            corr.append((item_r.name, lhs.name))
+        if not corr:
+            raise NotImplementedError("uncorrelated EXISTS not supported")
+
+        tag = self._mangle()
+        inner_keys = [k for k, _ in corr]
+        outer_keys = [k for _, k in corr]
+        mangled = [f"{tag}_k{i}" for i in range(len(inner_keys))]
+
+        if not fw.corr_residual:
+            inner = L.Distinct(L.Projection(
+                fw.plan, tuple(Col(k) for k in inner_keys), tuple(mangled)))
+            return L.Join(inner, current, tuple(zip(mangled, outer_keys)), how)
+
+        # residual-correlated EXISTS (Q21): join pairs, filter residual,
+        # dedupe on the outer relation's unique key, then semi/anti join
+        ukey = next((sorted(s) for s in current_uniq), None)
+        if ukey is None:
+            raise NotImplementedError(
+                "correlated EXISTS with non-equi predicates needs a unique "
+                "key on the outer relation")
+        # project the inner columns the residual needs, mangled
+        residual_inner_cols = set()
+        for rexp in fw.corr_residual:
+            for n in expr_columns(rexp):
+                if any(n in r.out_names.values() for r in fw.scope.relations):
+                    residual_inner_cols.add(n)
+        extra = sorted(residual_inner_cols - set(inner_keys))
+        extra_mangled = {n: f"{tag}_c{i}" for i, n in enumerate(extra)}
+        proj_cols = list(inner_keys) + extra
+        proj_names = list(mangled) + [extra_mangled[n] for n in extra]
+        inner = L.Projection(fw.plan, tuple(Col(c) for c in proj_cols),
+                             tuple(proj_names))
+        pairs = tuple(zip(mangled, outer_keys))
+        joined = L.Join(inner, current, pairs, "inner", unique_build=False)
+
+        def remap(name: str) -> str:
+            if name in extra_mangled:
+                return extra_mangled[name]
+            if name in inner_keys:
+                return mangled[inner_keys.index(name)]
+            return name
+        residual = _conjoin([_rewrite_cols(r, remap) for r in fw.corr_residual])
+        filtered = L.Filter(joined, residual)
+        dedup = L.Distinct(L.Projection(filtered, tuple(Col(c) for c in ukey)))
+        # rename dedup cols to avoid collision in the final semi join
+        dkeys = [f"{tag}_u{i}" for i in range(len(ukey))]
+        dedup = L.Projection(dedup, tuple(Col(c) for c in ukey), tuple(dkeys))
+        return L.Join(dedup, current, tuple(zip(dkeys, ukey)), how)
+
+    def _plan_scalar(self, op: str, lhs: Expr, sub_stmt: SelectStmt,
+                     lhs_left: bool, scope: Scope,
+                     current: L.LogicalPlan) -> Tuple[L.LogicalPlan, Expr]:
+        """Returns (new_current, predicate_expr)."""
+        fw = self.plan_from_where(sub_stmt, scope)
+        if fw.corr_residual:
+            raise NotImplementedError("scalar subquery with non-equi correlation")
+        lhs_r = _rewrite_cols(lhs, self._resolver(scope))
+
+        if not fw.corr_equi:
+            # uncorrelated: evaluate eagerly to a literal (Q11/Q15/Q22)
+            value = self._eval_scalar(sub_stmt)
+            pred = (BinOp(op, lhs_r, value) if lhs_left
+                    else BinOp(op, value, lhs_r))
+            return current, pred
+
+        assert len(sub_stmt.projections) == 1
+        item, _ = sub_stmt.projections[0]
+        aggs: List[AggCall] = []
+        _find_aggs(item, aggs)
+        if not aggs:
+            raise NotImplementedError("correlated scalar subquery without aggregate")
+        tag = self._mangle()
+        inner_keys = [k for k, _ in fw.corr_equi]
+        outer_keys = [k for _, k in fw.corr_equi]
+        mangled = [f"{tag}_k{i}" for i in range(len(inner_keys))]
+        vname = f"{tag}_v"
+
+        agg_specs = []
+        agg_names = {}
+        for i, a in enumerate(aggs):
+            arg = (_rewrite_cols(a.arg, self._resolver(fw.scope))
+                   if a.arg is not None else None)
+            nm = f"{tag}_a{i}"
+            agg_names[a] = nm
+            agg_specs.append(AggExpr(a.kind, arg, alias=nm, distinct=a.distinct))
+        agg_plan = L.Aggregate(fw.plan, tuple(Col(k) for k in inner_keys),
+                               tuple(agg_specs), tuple(mangled))
+        item_r = _rewrite_cols(item, lambda n: n)  # cols inside aggs already handled
+        out_expr = item
+        for a, nm in agg_names.items():
+            out_expr = _replace_subtree(out_expr, a, Col(nm))
+        # remaining columns in out_expr must be agg outputs only
+        proj = L.Projection(agg_plan,
+                            tuple([Col(m) for m in mangled] + [out_expr]),
+                            tuple(mangled + [vname]))
+        # group keys unique -> unique-build join against the outer plan
+        new_current = L.Join(proj, current, tuple(zip(mangled, outer_keys)),
+                             "inner")
+        pred = (BinOp(op, lhs_r, Col(vname)) if lhs_left
+                else BinOp(op, Col(vname), lhs_r))
+        return new_current, pred
+
+    def _fold_scalars(self, e: Expr) -> Expr:
+        """Replace uncorrelated scalar subqueries inside an expression
+        (SELECT list / HAVING position — Q11) with eagerly evaluated
+        literals."""
+        found: List[SubqueryExpr] = []
+
+        def walk(x):
+            if isinstance(x, SubqueryExpr):
+                found.append(x)
+                return
+            for f in dataclasses.fields(x):
+                v = getattr(x, f.name)
+                if isinstance(v, Expr):
+                    walk(v)
+                elif isinstance(v, tuple):
+                    for item in v:
+                        if isinstance(item, Expr):
+                            walk(item)
+                        elif isinstance(item, tuple):
+                            for s in item:
+                                if isinstance(s, Expr):
+                                    walk(s)
+        walk(e)
+        for sq in found:
+            e = _replace_subtree(e, sq, self._eval_scalar(sq.query))
+        return e
+
+    def _eval_scalar(self, sub_stmt: SelectStmt) -> Lit:
+        """Execute an uncorrelated scalar subquery now; fold to a literal."""
+        import numpy as np
+        from .. import batch as B
+        from ..schema import TypeKind
+
+        plan = self.plan_select(sub_stmt, None)
+        batch, schema = self.ctx.collect(plan)
+        f = schema.fields[0]
+        n = int(batch.num_rows)
+        if n == 0:
+            return Lit(None, f.dtype)
+        data, valid = B.to_numpy(batch, schema)[f.name]
+        if not valid[0]:
+            return Lit(None, f.dtype)
+        v = data[0]
+        if f.dtype.kind is TypeKind.DECIMAL:
+            from decimal import Decimal
+            return Lit(Decimal(int(v)).scaleb(-f.dtype.scale), f.dtype)
+        if f.dtype.kind is TypeKind.STRING:
+            return Lit(str(v))
+        if f.dtype.kind is TypeKind.DATE32:
+            return Lit(int(v), f.dtype)
+        return Lit(v.item() if hasattr(v, "item") else v, f.dtype)
+
+    # -- top level --
+
+    def plan_select(self, stmt: SelectStmt, outer: Optional[Scope] = None) -> L.LogicalPlan:
+        fw = self.plan_from_where(stmt, outer)
+        if fw.corr_equi or fw.corr_residual:
+            raise ValueError("unexpected correlated references at top level")
+        return self._plan_projection(stmt, fw)
 
     def _resolver(self, scope: Scope):
         def f(name: str) -> str:
-            out = scope.resolve(name)
-            if out is None:
+            kind, out = scope.resolve_or_outer(name)
+            if kind is None:
                 raise KeyError(f"cannot resolve column {name!r}")
             return out
         return f
 
-    def _plan_semi(self, stmt, sub_stmt: SelectStmt, negated: bool,
-                   in_lhs: Optional[Expr], scope: Scope, current, current_uniq):
-        """Decorrelate EXISTS / IN (subquery) into a semi/anti join.
-
-        The subquery is planned in a child scope; equality conjuncts that
-        reference an outer column become join keys (classic decorrelation
-        of equi-correlated subqueries, covering TPC-H Q4/Q16/Q18/Q20/Q21/Q22
-        shapes).
-        """
-        # plan subquery FROM + local filters, extracting correlated equalities
-        sub_relations: List[Relation] = []
-        for i, ref in enumerate(sub_stmt.from_tables):
-            sub_relations.append(self._scan(i, ref, scope))
-        for j, jc in enumerate(sub_stmt.joins):
-            sub_relations.append(self._scan(len(sub_stmt.from_tables) + j, jc.table, scope))
-        sub_scope = Scope(sub_relations, scope)
-
-        conjuncts = _split_conjuncts(sub_stmt.where)
-        for jc in sub_stmt.joins:
-            conjuncts.extend(_split_conjuncts(jc.on))
-        corr_pairs: List[Tuple[str, str]] = []  # (inner_out, outer_out)
-        local_conjuncts: List[Expr] = []
-        for c in conjuncts:
-            if isinstance(c, BinOp) and c.op == "=" and isinstance(c.left, Col) \
-                    and isinstance(c.right, Col):
-                lk, lo = sub_scope.resolve_or_outer(c.left.name)
-                rk, ro = sub_scope.resolve_or_outer(c.right.name)
-                if lk == "local" and rk == "outer":
-                    corr_pairs.append((lo, ro))
-                    continue
-                if lk == "outer" and rk == "local":
-                    corr_pairs.append((ro, lo))
-                    continue
-            local_conjuncts.append(c)
-
-        inner_stmt = dataclasses.replace(
-            sub_stmt, where=_conjoin(local_conjuncts), from_tables=[], joins=[])
-        # rebuild inner plan manually (relations already scanned)
-        inner = self._assemble_simple(sub_relations, inner_stmt, sub_scope)
-
-        # IN-subquery adds (output col of subquery == lhs expr) as a key
-        if in_lhs is not None:
-            sub_proj = sub_stmt.projections
-            assert len(sub_proj) == 1, "IN subquery must have 1 output column"
-            inner_schema = inner.schema()
-            inner_col = inner_schema.fields[0].name
-            lhs = _rewrite_cols(in_lhs, self._resolver(scope))
-            if not isinstance(lhs, Col):
-                raise NotImplementedError("IN (subquery) with non-column lhs")
-            corr_pairs.append((inner_col, lhs.name))
-
-        if not corr_pairs:
-            raise NotImplementedError("uncorrelated EXISTS not supported yet")
-
-        inner_keys = [p[0] for p in corr_pairs]
-        outer_keys = [p[1] for p in corr_pairs]
-        # distinct build keys (lineitem has many rows per orderkey)
-        inner = L.Aggregate(L.Projection(inner, tuple(Col(k) for k in inner_keys)),
-                            tuple(Col(k) for k in inner_keys), ())
-        how = "anti" if negated else "semi"
-        out = L.Join(inner, current, tuple(zip(inner_keys, outer_keys)), how)
-        return out, current_uniq
-
-    def _assemble_simple(self, relations: List[Relation], stmt: SelectStmt,
-                         scope: Scope) -> L.LogicalPlan:
-        """Join + filter assembly for a subquery whose projections we ignore
-        (used by semi-join planning; single-relation common case)."""
-        conjuncts = _split_conjuncts(stmt.where)
-        if len(relations) == 1:
-            p = relations[0].plan
-            resolved = [_rewrite_cols(c, self._resolver(scope)) for c in conjuncts]
-            f = _conjoin(resolved)
-            return L.Filter(p, f) if f is not None else p
-        # multi-relation subquery: recurse through the full planner
-        sub = dataclasses.replace(stmt)
-        raise NotImplementedError("multi-table EXISTS subquery")
-
-    def _plan_projection(self, stmt: SelectStmt, scope: Scope,
-                         current: L.LogicalPlan) -> L.LogicalPlan:
+    def _plan_projection(self, stmt: SelectStmt, fw: FromWhere) -> L.LogicalPlan:
+        scope, current = fw.scope, fw.plan
         resolver = self._resolver(scope)
-        # expand * and resolve select items
         items: List[Tuple[Expr, str]] = []
         cur_schema = current.schema()
         for e, alias in stmt.projections:
@@ -497,11 +682,12 @@ class SqlPlanner:
             name = alias or expr_name(e)
             items.append((re_, name))
 
-        # aggregate detection
         agg_calls: List[AggCall] = []
+        items = [(self._fold_scalars(e), nm) for e, nm in items]
         for e, _ in items:
             _find_aggs(e, agg_calls)
-        having = _rewrite_cols(stmt.having, resolver) if stmt.having is not None else None
+        having = (self._fold_scalars(_rewrite_cols(stmt.having, resolver))
+                  if stmt.having is not None else None)
         if having is not None:
             _find_aggs(having, agg_calls)
 
@@ -510,7 +696,6 @@ class SqlPlanner:
             if isinstance(g, int):
                 group_exprs.append(items[g - 1][0])
             else:
-                # group-by may reference a select alias
                 if isinstance(g, Col):
                     hit = next((it for it, nm in items if nm == g.name), None)
                     if hit is not None and scope.resolve(g.name) is None:
@@ -519,37 +704,16 @@ class SqlPlanner:
                 group_exprs.append(_rewrite_cols(g, resolver))
 
         if agg_calls or group_exprs:
-            aggs: List[AggExpr] = []
-            agg_names: Dict[AggCall, str] = {}
-            for i, a in enumerate(agg_calls):
-                nm = f"__agg{i}"
-                agg_names[a] = nm
-                aggs.append(AggExpr(a.kind, a.arg, alias=nm, distinct=a.distinct))
-            grp_names = []
-            for i, g in enumerate(group_exprs):
-                grp_names.append(g.name if isinstance(g, Col) else f"__grp{i}")
-            plan = L.Aggregate(current, tuple(group_exprs), tuple(aggs),
-                               tuple(grp_names))
-            # rewrite items over aggregate output
-            def rew(e: Expr) -> Expr:
-                for a, nm in agg_names.items():
-                    e = _replace_subtree(e, a, Col(nm))
-                for g, nm in zip(group_exprs, grp_names):
-                    if not isinstance(g, Col):
-                        e = _replace_subtree(e, g, Col(nm))
-                return e
-            items = [(rew(e), nm) for e, nm in items]
-            if having is not None:
-                plan = L.Filter(plan, rew(having))
-            current = plan
-
+            current = self._plan_aggregate(current, group_exprs, agg_calls,
+                                           items, having)
+            items = self._agg_items
+            having = None
         proj = L.Projection(current, tuple(e for e, _ in items),
                             tuple(nm for _, nm in items))
         out: L.LogicalPlan = proj
         if stmt.distinct:
             out = L.Distinct(out)
 
-        # ORDER BY: positions, aliases, or expressions
         if stmt.order_by:
             keys = []
             out_names = [nm for _, nm in items]
@@ -559,9 +723,9 @@ class SqlPlanner:
                 elif isinstance(key, Col) and key.name in out_names:
                     keys.append((key, asc, nf))
                 else:
-                    # expression over the projection output (or input cols)
                     try:
-                        k = _rewrite_cols(key, lambda n: n if n in out_names else self._resolver(scope)(n))
+                        k = _rewrite_cols(
+                            key, lambda n: n if n in out_names else resolver(n))
                     except KeyError:
                         k = key
                     keys.append((k, asc, nf))
@@ -569,6 +733,64 @@ class SqlPlanner:
         if stmt.limit is not None:
             out = L.Limit(out, stmt.limit)
         return out
+
+    def _plan_aggregate(self, current, group_exprs, agg_calls, items, having):
+        """Build Aggregate (+ distinct-agg rewrite) and rewrite items/having
+        over its output. Leaves rewritten items in self._agg_items."""
+        distinct_aggs = [a for a in agg_calls if a.distinct]
+        if distinct_aggs:
+            if len(agg_calls) != len(distinct_aggs):
+                raise NotImplementedError("mixed DISTINCT/plain aggregates")
+            if len({(a.kind, a.arg) for a in distinct_aggs}) != 1:
+                raise NotImplementedError("multiple distinct aggregate args")
+            a = distinct_aggs[0]
+            if a.kind != "count":
+                raise NotImplementedError(f"{a.kind}(DISTINCT) not supported")
+            # count(distinct x) group by G ->
+            #   inner: distinct(G, x); outer: count(x) group by G
+            grp_names = [g.name if isinstance(g, Col) else f"__grp{i}"
+                         for i, g in enumerate(group_exprs)]
+            xname = "__dx"
+            inner = L.Aggregate(current,
+                                tuple(group_exprs) + (a.arg,), (),
+                                tuple(grp_names) + (xname,))
+            plain = AggCall("count", Col(xname))
+            current = inner
+            group_exprs = [Col(n) for n in grp_names]
+            rewrite_map = {a: plain}
+            agg_calls = [plain]
+            new_items = []
+            for e, nm in items:
+                e2 = _replace_subtree(e, a, plain)
+                new_items.append((e2, nm))
+            items = new_items
+            if having is not None:
+                having = _replace_subtree(having, a, plain)
+
+        aggs: List[AggExpr] = []
+        agg_names: Dict[AggCall, str] = {}
+        for i, a in enumerate(agg_calls):
+            nm = f"__agg{i}"
+            agg_names[a] = nm
+            aggs.append(AggExpr(a.kind, a.arg, alias=nm, distinct=False))
+        grp_names = []
+        for i, g in enumerate(group_exprs):
+            grp_names.append(g.name if isinstance(g, Col) else f"__grp{i}")
+        plan = L.Aggregate(current, tuple(group_exprs), tuple(aggs),
+                           tuple(grp_names))
+
+        def rew(e: Expr) -> Expr:
+            for a, nm in agg_names.items():
+                e = _replace_subtree(e, a, Col(nm))
+            for g, nm in zip(group_exprs, grp_names):
+                if not isinstance(g, Col):
+                    e = _replace_subtree(e, g, Col(nm))
+            return e
+
+        self._agg_items = [(rew(e), nm) for e, nm in items]
+        if having is not None:
+            plan = L.Filter(plan, rew(having))
+        return plan
 
 
 def plan_sql(sql: str, ctx) -> L.LogicalPlan:

@@ -11,19 +11,32 @@ as the CPU columnar baseline).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# persistent compile cache: first-ever run pays ~80s of remote TPU
+# compilation; subsequent runs on this host hit the cache
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-SF = float(__import__("os").environ.get("BENCH_SF", "1.0"))
+SF = float(os.environ.get("BENCH_SF", "1.0"))
 QUERY = 1
+
+
+def _enable_cache():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def bench_engine(data):
     import ballista_tpu  # noqa: x64
     import jax
+    _enable_cache()
     from ballista_tpu import batch as B
     from ballista_tpu.benchmarks import TPCH_QUERIES
     from ballista_tpu.client import SessionContext
@@ -43,23 +56,25 @@ def bench_engine(data):
     inputs = {i: ctx.tables[i].batch for i in set(input_ids)}
     ingest_s = time.time() - t0
 
-    # warmup/compile
+    # warmup/compile (also warms the host<->device transfer path)
     t0 = time.time()
     out = fn(inputs)
-    out.num_rows.block_until_ready()
+    _ = int(out.num_rows)
     compile_s = time.time() - t0
 
-    times = []
-    for _ in range(5):
-        t0 = time.time()
+    # NOTE: block_until_ready through the axon relay does not reliably
+    # fence device execution, so time K dispatches drained by a forced
+    # device->host scalar fetch; per-iter = total / K.
+    K = 10
+    t0 = time.time()
+    for _ in range(K):
         out = fn(inputs)
-        out.num_rows.block_until_ready()
-        times.append(time.time() - t0)
-    best = min(times)
+    n = int(out.num_rows)
+    best = (time.time() - t0) / K
     df = B.to_pandas(out, exec_plan.schema)
     return best, df, {"ingest_s": round(ingest_s, 2),
                       "compile_s": round(compile_s, 2),
-                      "times": [round(t, 4) for t in times]}
+                      "per_iter_ms": round(best * 1000, 3)}
 
 
 def bench_pandas(data):

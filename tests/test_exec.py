@@ -152,3 +152,54 @@ def test_coalesce_and_limit():
     out = fn({"a": b1, "b": b2})
     df = B.to_pandas(out, lim.schema)
     assert list(df["x"]) == [5, 4, 3]
+
+
+def test_expanding_join_duplicates():
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 2, 2, 2, 4], type=pa.int64()),
+        "o_id": pa.array([10, 11, 12, 13, 14, 15], type=pa.int64()),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_name": pa.array(["a", "b", "c"]),
+    })
+    ob, oschema = B.from_arrow(orders)
+    cb, cschema = B.from_arrow(cust)
+    oleaf = InputLeaf("o", oschema, ob.capacity)
+    cleaf = InputLeaf("c", cschema, cb.capacity)
+
+    # inner expanding: build=orders (dup custkeys), probe=customer
+    inner = HashJoinExec(oleaf, cleaf, [("o_custkey", "c_custkey")], "inner",
+                         unique_build=False)
+    fn, _ = compile_stage(inner)
+    out = fn({"o": ob, "c": cb})
+    df = B.to_pandas(out, inner.schema).sort_values("o_id").reset_index(drop=True)
+    assert len(df) == 5
+    assert list(df["o_id"]) == [10, 11, 12, 13, 14]
+    assert list(df["c_name"]) == ["a", "a", "b", "b", "b"]
+
+    # left outer expanding: customer 3 (no orders) kept with null build cols
+    left = HashJoinExec(oleaf, cleaf, [("o_custkey", "c_custkey")], "left_outer",
+                        unique_build=False)
+    fn2, _ = compile_stage(left)
+    out2 = fn2({"o": ob, "c": cb})
+    df2 = B.to_pandas(out2, left.schema)
+    assert len(df2) == 6
+    row = df2[df2["c_custkey"] == 3]
+    assert len(row) == 1 and pd.isna(row["o_id"].iloc[0])
+
+
+def test_expanding_join_overflow_flag():
+    import jax.numpy as jnp
+    t1 = pa.table({"k": pa.array([1] * 50, type=pa.int64())})
+    t2 = pa.table({"j": pa.array([1] * 50, type=pa.int64())})
+    b1, s1 = B.from_arrow(t1)
+    b2, s2 = B.from_arrow(t2)
+    l1 = InputLeaf("a", s1, b1.capacity)
+    l2 = InputLeaf("b", s2, b2.capacity)
+    # 50x50 = 2500 output rows > capacity 256 -> overflow flag
+    j = HashJoinExec(l1, l2, [("k", "j")], "inner", unique_build=False,
+                     out_capacity=256)
+    fn, _ = compile_stage(j, with_overflow=True)
+    out, overflow = fn({"a": b1, "b": b2})
+    assert bool(overflow)
