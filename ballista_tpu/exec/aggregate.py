@@ -78,52 +78,52 @@ class BoundAgg:
         return [Field(f"{self.spec.name}#s{i}", dt, True)
                 for i, dt in enumerate(self.state_dtypes)]
 
-    # --- phase 1: raw rows -> per-slot states ---
-    def partial(self, batch: Batch, row_slot, live, T: int) -> List[Column]:
-        A, k = self.A, self.spec.kind
+    # --- phase 1: raw rows -> per-group states (layout: ops.segagg) ---
+    def partial(self, batch: Batch, layout) -> List[Column]:
+        k = self.spec.kind
         if k == "count_star":
-            cnt, v = A.seg_count_star(row_slot, live, T)
+            cnt, v = layout.count_star()
             return [Column(cnt, v)]
         col = self.arg.fn(batch)
         data = col.data
         if self.spec.kind in ("sum", "avg") and self.state_dtypes[0].kind in (TypeKind.DECIMAL, TypeKind.INT64):
             data = data.astype(jnp.int64)
         if k == "count":
-            cnt, v = A.seg_count(data, col.validity, row_slot, live, T)
+            cnt, v = layout.count(data, col.validity)
             return [Column(cnt, v)]
         if k == "sum":
-            s, v = A.seg_sum(data, col.validity, row_slot, live, T)
+            s, v = layout.sum(data, col.validity)
             return [Column(s, v)]
         if k == "min":
-            m, v = A.seg_min(data, col.validity, row_slot, live, T)
+            m, v = layout.min(data, col.validity)
             return [Column(m, v)]
         if k == "max":
-            m, v = A.seg_max(data, col.validity, row_slot, live, T)
+            m, v = layout.max(data, col.validity)
             return [Column(m, v)]
         if k == "avg":
-            s, sv = A.seg_sum(data, col.validity, row_slot, live, T)
-            c, _ = A.seg_count(data, col.validity, row_slot, live, T)
+            s, sv = layout.sum(data, col.validity)
+            c, _ = layout.count(data, col.validity)
             return [Column(s, sv), Column(c, jnp.ones_like(sv))]
         raise NotImplementedError(k)
 
     # --- phase 2: partial states -> merged states (after shuffle) ---
-    def merge(self, state_cols: List[Column], row_slot, live, T: int) -> List[Column]:
-        A, k = self.A, self.spec.kind
+    def merge(self, state_cols: List[Column], layout) -> List[Column]:
+        k = self.spec.kind
         if k in ("count", "count_star"):
-            s, _ = A.seg_sum(state_cols[0].data, state_cols[0].validity, row_slot, live, T)
+            s, v = layout.sum(state_cols[0].data, state_cols[0].validity)
             return [Column(s, jnp.ones_like(s, dtype=jnp.bool_))]
         if k == "sum":
-            s, v = A.seg_sum(state_cols[0].data, state_cols[0].validity, row_slot, live, T)
+            s, v = layout.sum(state_cols[0].data, state_cols[0].validity)
             return [Column(s, v)]
         if k == "min":
-            m, v = A.seg_min(state_cols[0].data, state_cols[0].validity, row_slot, live, T)
+            m, v = layout.min(state_cols[0].data, state_cols[0].validity)
             return [Column(m, v)]
         if k == "max":
-            m, v = A.seg_max(state_cols[0].data, state_cols[0].validity, row_slot, live, T)
+            m, v = layout.max(state_cols[0].data, state_cols[0].validity)
             return [Column(m, v)]
         if k == "avg":
-            s, sv = A.seg_sum(state_cols[0].data, state_cols[0].validity, row_slot, live, T)
-            c, _ = A.seg_sum(state_cols[1].data, state_cols[1].validity, row_slot, live, T)
+            s, sv = layout.sum(state_cols[0].data, state_cols[0].validity)
+            c, _ = layout.sum(state_cols[1].data, state_cols[1].validity)
             return [Column(s, sv), Column(c, jnp.ones_like(sv, dtype=jnp.bool_))]
         raise NotImplementedError(k)
 

@@ -213,64 +213,89 @@ class HashAggregateExec(ExecNode):
 
     def evaluate(self, inputs):
         from .distributed import _TraceCtx
+        from ..ops import segagg
+        from ..ops.hash import _norm_keys
 
         b = self.children[0].evaluate(inputs)
+        n = b.capacity
         live = row_mask(b)
         if self._pre_bound is not None:
             mc = self._pre_bound.fn(b)
             live = live & mc.data.astype(jnp.bool_) & mc.validity
-        T = self.table_size
-        if self._group_bounds:
-            key_cols = [g.fn(b) for g in self._group_bounds]
-            gt = H.group_codes(tuple(c.data for c in key_cols),
-                               tuple(c.validity for c in key_cols), live, T)
-            # more distinct groups than table slots: rows would be silently
-            # dropped — surface for the capacity-retry driver
-            _TraceCtx.record_overflow(gt.overflow)
-            row_slot, slot_used, slot_row = gt.row_slot, gt.slot_used, gt.slot_row
+
+        # --- choose a scatter-free grouping layout (ops/segagg.py) ---
+        key_cols = [g.fn(b) for g in self._group_bounds]
+        bounds = [g.code_bound for g in self._group_bounds]
+        direct_T = None
+        if self._group_bounds and all(bd is not None for bd in bounds):
+            prod = 1
+            for bd in bounds:
+                prod *= bd + 1
+            if prod <= segagg.DIRECT_MAX:
+                direct_T = prod
+
+        key_out: List[Column] = []
+        if not self._group_bounds:
+            layout = segagg.MaskedLayout(jnp.zeros(n, jnp.int32), live, 1)
+            T_used = 1
+            n_groups = jnp.int32(1)
+            used = jnp.ones(1, dtype=jnp.bool_)
+        elif direct_T is not None and direct_T <= segagg.MASKED_MAX:
+            slot, T_used = segagg.direct_slots(key_cols, bounds, live)
+            layout = segagg.MaskedLayout(slot, live, T_used)
+            counts, _ = layout.count_star()
+            used = counts > 0
+            n_groups = jnp.sum(used).astype(jnp.int32)
+            slot_ids = jnp.arange(T_used, dtype=jnp.int32)
+            for col in segagg.decode_direct_slot(slot_ids, key_cols, bounds):
+                key_out.append(Column(col.data, col.validity & used))
         else:
-            # global aggregate: single group in slot 0
-            key_cols = []
-            row_slot = jnp.zeros(b.capacity, dtype=jnp.int32)
-            slot_used = jnp.zeros(T, dtype=jnp.bool_).at[0].set(True)
-            slot_row = jnp.zeros(T, dtype=jnp.int32)
+            T_used = self.table_size
+            if direct_T is not None:
+                slot, _ = segagg.direct_slots(key_cols, bounds, live)
+                norm = [slot.astype(jnp.int64)]
+            else:
+                norm = _norm_keys(tuple(c.data for c in key_cols),
+                                  tuple(c.validity for c in key_cols))
+            layout = segagg.sorted_layout_from_keys(norm, live, T_used)
+            T_used = layout.T  # clamped to row capacity
+            _TraceCtx.record_overflow(layout.n_groups > T_used)
+            n_groups = jnp.minimum(layout.n_groups, T_used)
+            used = None
+            gid = jnp.arange(T_used, dtype=jnp.int32)
+            gvalid = gid < n_groups
+            src = jnp.take(layout.order,
+                           jnp.clip(layout.run_start, 0, n - 1), mode="clip")
+            for kc in key_cols:
+                key_out.append(Column(jnp.take(kc.data, src, mode="clip"),
+                                      jnp.take(kc.validity, src, mode="clip")
+                                      & gvalid))
 
-        # aggregate into slots
-        out_cols: List[Column] = []
-        safe_row = jnp.clip(slot_row, 0, b.capacity - 1)
-        for kc in key_cols:
-            data = jnp.take(kc.data, safe_row, mode="clip")
-            valid = jnp.take(kc.validity, safe_row, mode="clip") & slot_used
-            out_cols.append(Column(data, valid))
-
+        # --- aggregates over the layout ---
+        out_cols: List[Column] = list(key_out)
         for ba in self._bound_aggs:
             if self.mode == "final":
-                # gather this agg's state columns from the child batch
                 idxs = [i for i, f in enumerate(self.children[0].schema.fields)
                         if f.name.startswith(f"{ba.spec.name}#s")]
                 states = [b.columns[i] for i in idxs]
-                merged = ba.merge(states, row_slot, live, T)
+                merged = ba.merge(states, layout)
                 out_cols.append(ba.finalize(merged))
             elif self.mode == "partial":
-                for c in ba.partial(b, row_slot, live, T):
-                    out_cols.append(Column(c.data, c.validity & slot_used))
+                out_cols.extend(ba.partial(b, layout))
             else:
-                states = ba.partial(b, row_slot, live, T)
-                fin = ba.finalize(states)
-                out_cols.append(Column(fin.data, fin.validity & slot_used))
+                states = ba.partial(b, layout)
+                out_cols.append(ba.finalize(states))
 
-        n_groups = jnp.sum(slot_used).astype(jnp.int32)
-        if not self._group_bounds:
-            n_groups = jnp.int32(1)
-        interim = Batch(tuple(out_cols), n_groups)
-        # compact used slots to the front (stable keeps slot order)
-        perm, _ = compaction_perm(slot_used)
-        out = gather_batch(interim, perm, n_groups)
-        livemask = jnp.arange(T, dtype=jnp.int32) < n_groups
-        cols = [Column(c.data, c.validity & livemask) for c in out.columns]
-        # pad/trim to declared capacity
+        # --- compact to the front / pad to capacity ---
+        if used is not None and self._group_bounds:
+            perm, _ = compaction_perm(used)
+            interim = Batch(tuple(out_cols), n_groups)
+            out = gather_batch(interim, perm, n_groups)
+            out_cols = list(out.columns)
+        livemask = jnp.arange(T_used, dtype=jnp.int32) < n_groups
+        cols = [Column(c.data, c.validity & livemask) for c in out_cols]
         cap = self.capacity
-        if cap != T:
+        if cap != T_used:
             cols = [Column(jnp.resize(c.data, (cap,)),
                            jnp.resize(c.validity, (cap,)) & (jnp.arange(cap) < n_groups))
                     for c in cols]

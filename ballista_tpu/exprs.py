@@ -237,6 +237,10 @@ class Bound:
     # for string-producing exprs (e.g. substring): the derived sorted
     # dictionary the output codes index into
     dictionary: Optional[np.ndarray] = None
+    # static exclusive upper bound on the value domain when known
+    # (dictionary size, 2 for bool) — lets the aggregate planner use
+    # direct composite group slots instead of a hash table
+    code_bound: Optional[int] = None
 
 
 def _const_column(value, dtype: DataType, valid: bool = True):
@@ -475,7 +479,14 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
     if isinstance(e, Col):
         idx = schema.index_of(e.name)
         f = schema.field(e.name)
-        return Bound(f.dtype, f.nullable, lambda batch: batch.columns[idx])
+        bound = None
+        dic = schema.dictionary(e.name)
+        if f.dtype.kind is TypeKind.STRING and dic is not None:
+            bound = max(len(dic), 1)
+        elif f.dtype.kind is TypeKind.BOOL:
+            bound = 2
+        return Bound(f.dtype, f.nullable, lambda batch: batch.columns[idx],
+                     dictionary=dic, code_bound=bound)
 
     if isinstance(e, Lit):
         dtype = e.dtype or infer_lit_dtype(e.value)

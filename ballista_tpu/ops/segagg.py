@@ -1,0 +1,221 @@
+"""Scatter-free segment aggregation strategies.
+
+Motivation (measured on TPU v5e, 6M rows): XLA scatter-add costs
+450-880 ms per column, while 8 fused masked reductions cost 10 ms and a
+full sort 30 ms. Aggregation therefore avoids scatters entirely:
+
+- MaskedLayout (small static group count): group slot = direct composite
+  of dictionary codes (strides from dictionary sizes — the hash table
+  disappears); each aggregate is T fused masked reductions on the VPU.
+  Exact int64, ~10 ms for all of TPC-H Q1's aggregates combined.
+- SortedLayout (large/unknown group count): one shared argsort groups
+  equal keys into runs; per-aggregate = gather + cumsum + two small
+  gathers at run boundaries (segmented scan for min/max). Dense run ids
+  replace sparse table slots, so the output is already compacted.
+
+These subsume `ops.agg`'s scatter-based seg_* kernels (kept for
+reference/fallback).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Batch, Column
+
+# Masked-reduce is profitable while XLA fuses the passes; beyond this many
+# slots fall back to the sorted layout.
+MASKED_MAX = 64
+# Direct composite slots are used when the static product of key bounds
+# fits; beyond it, keys are sorted instead.
+DIRECT_MAX = 1 << 20
+
+
+class MaskedLayout(NamedTuple):
+    row_slot: jax.Array      # (n,) int32 in [0, T); dead rows -> T
+    live: jax.Array          # (n,) bool
+    T: int
+
+    def sum(self, values, validity):
+        active = self.live & validity
+        v = jnp.where(active, values, jnp.zeros((), values.dtype))
+        out = jnp.stack([jnp.sum(jnp.where(self.row_slot == g, v,
+                                           jnp.zeros((), v.dtype)))
+                         for g in range(self.T)])
+        cnt = self.count(values, validity)[0]
+        return out, cnt > 0
+
+    def count(self, values, validity):
+        active = self.live & validity
+        one = active.astype(jnp.int64)
+        out = jnp.stack([jnp.sum(jnp.where(self.row_slot == g, one, 0))
+                         for g in range(self.T)])
+        return out, jnp.ones(self.T, dtype=jnp.bool_)
+
+    def count_star(self):
+        one = self.live.astype(jnp.int64)
+        out = jnp.stack([jnp.sum(jnp.where(self.row_slot == g, one, 0))
+                         for g in range(self.T)])
+        return out, jnp.ones(self.T, dtype=jnp.bool_)
+
+    def _extreme(self, values, validity, is_min):
+        active = self.live & validity
+        if jnp.issubdtype(values.dtype, jnp.floating):
+            sent = jnp.asarray(jnp.inf if is_min else -jnp.inf, values.dtype)
+        else:
+            info = jnp.iinfo(values.dtype)
+            sent = jnp.asarray(info.max if is_min else info.min, values.dtype)
+        v = jnp.where(active, values, sent)
+        red = jnp.min if is_min else jnp.max
+        out = jnp.stack([red(jnp.where(self.row_slot == g, v, sent))
+                         for g in range(self.T)])
+        cnt = self.count(values, validity)[0]
+        return jnp.where(cnt > 0, out, jnp.zeros((), values.dtype)), cnt > 0
+
+    def min(self, values, validity):
+        return self._extreme(values, validity, True)
+
+    def max(self, values, validity):
+        return self._extreme(values, validity, False)
+
+
+class SortedLayout(NamedTuple):
+    order: jax.Array         # (n,) permutation grouping equal keys
+    run_id: jax.Array        # (n,) dense group id per SORTED position; dead -> G
+    run_start: jax.Array     # (T,) sorted position of each run's first row
+    run_end: jax.Array       # (T,) sorted position of each run's last row
+    n_groups: jax.Array      # () int32
+    live_sorted: jax.Array   # (n,) liveness in sorted order
+    T: int                   # static max groups (output capacity)
+
+    def _sorted_vals(self, values, validity):
+        v = jnp.take(values, self.order, mode="clip")
+        ok = jnp.take(validity, self.order, mode="clip") & self.live_sorted
+        return v, ok
+
+    def _per_run(self, csum):
+        """csum: inclusive cumsum over sorted contributions -> per-run sums."""
+        end = jnp.take(csum, jnp.clip(self.run_end, 0, csum.shape[0] - 1))
+        start = jnp.take(csum, jnp.clip(self.run_start - 1, 0, csum.shape[0] - 1))
+        start = jnp.where(self.run_start > 0, start, jnp.zeros((), csum.dtype))
+        valid = jnp.arange(self.T, dtype=jnp.int32) < self.n_groups
+        return jnp.where(valid, end - start, jnp.zeros((), csum.dtype)), valid
+
+    def sum(self, values, validity):
+        v, ok = self._sorted_vals(values, validity)
+        contrib = jnp.where(ok, v, jnp.zeros((), v.dtype))
+        s, valid = self._per_run(jnp.cumsum(contrib))
+        cnt, _ = self._per_run(jnp.cumsum(ok.astype(jnp.int64)))
+        return s, valid & (cnt > 0)
+
+    def count(self, values, validity):
+        _, ok = self._sorted_vals(values, validity)
+        c, valid = self._per_run(jnp.cumsum(ok.astype(jnp.int64)))
+        return c, valid
+
+    def count_star(self):
+        c, valid = self._per_run(jnp.cumsum(self.live_sorted.astype(jnp.int64)))
+        return c, valid
+
+    def _extreme(self, values, validity, is_min):
+        v, ok = self._sorted_vals(values, validity)
+        if jnp.issubdtype(v.dtype, jnp.floating):
+            sent = jnp.asarray(jnp.inf if is_min else -jnp.inf, v.dtype)
+        else:
+            info = jnp.iinfo(v.dtype)
+            sent = jnp.asarray(info.max if is_min else info.min, v.dtype)
+        x = jnp.where(ok, v, sent)
+        # segmented running min/max: reset at run starts
+        pos = jnp.arange(x.shape[0], dtype=jnp.int32)
+        is_start = jnp.take(
+            jnp.zeros(x.shape[0] + 1, jnp.bool_).at[
+                jnp.clip(self.run_start, 0, x.shape[0])].set(True)[:x.shape[0]],
+            pos)
+
+        def op(a, b):
+            af, av = a
+            bf, bv = b
+            keep = jnp.minimum(av, bv) if is_min else jnp.maximum(av, bv)
+            return af | bf, jnp.where(bf, bv, keep)
+
+        _, running = jax.lax.associative_scan(op, (is_start, x))
+        out = jnp.take(running, jnp.clip(self.run_end, 0, x.shape[0] - 1))
+        cnt, valid = self._per_run(jnp.cumsum(ok.astype(jnp.int64)))
+        return (jnp.where(valid & (cnt > 0), out, jnp.zeros((), values.dtype)),
+                valid & (cnt > 0))
+
+    def min(self, values, validity):
+        return self._extreme(values, validity, True)
+
+    def max(self, values, validity):
+        return self._extreme(values, validity, False)
+
+
+def direct_slots(key_cols: Sequence[Column], bounds: Sequence[int],
+                 live: jax.Array) -> Tuple[jax.Array, int]:
+    """Composite group slot from statically-bounded key codes.
+
+    Each key contributes (bound + 1) values (the +1 encodes NULL), so no
+    hash table or claim loop is needed: slot = sum(code_i * stride_i)."""
+    T = 1
+    for b in bounds:
+        T *= b + 1
+    slot = jnp.zeros(key_cols[0].data.shape[0], dtype=jnp.int32)
+    stride = 1
+    for col, b in zip(key_cols, bounds):
+        code = jnp.where(col.validity,
+                         jnp.clip(col.data.astype(jnp.int32), 0, b - 1), b)
+        slot = slot + code * jnp.int32(stride)
+        stride *= b + 1
+    return jnp.where(live, slot, T), T
+
+
+def decode_direct_slot(slot_ids: jax.Array, key_cols: Sequence[Column],
+                       bounds: Sequence[int]) -> List[Column]:
+    """Reconstruct key columns from composite slot ids (arithmetic only)."""
+    out = []
+    stride = 1
+    for col, b in zip(key_cols, bounds):
+        code = (slot_ids // stride) % (b + 1)
+        valid = code < b
+        out.append(Column(code.astype(col.data.dtype), valid))
+        stride *= b + 1
+    return out
+
+
+def sorted_layout_from_keys(norm_keys: Sequence[jax.Array], live: jax.Array,
+                            T: int) -> SortedLayout:
+    """Group rows by sorting normalized (int64) keys; dead rows last."""
+    n = norm_keys[0].shape[0]
+    T = min(T, n)  # can never have more groups than rows
+    DEAD = jnp.int64(2**62)
+    order = jnp.argsort(jnp.where(live, norm_keys[-1], DEAD), stable=True)
+    for k in reversed(list(norm_keys)[:-1]):
+        key = jnp.take(jnp.where(live, k, DEAD), order)
+        order = jnp.take(order, jnp.argsort(key, stable=True))
+    live_sorted = jnp.take(live, order)
+    s_keys = [jnp.take(jnp.where(live, k, DEAD), order) for k in norm_keys]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    prev_same = jnp.ones(n, dtype=jnp.bool_)
+    for k in s_keys:
+        rolled = jnp.concatenate([k[:1], k[:-1]])
+        prev_same = prev_same & (k == rolled)
+    first = live_sorted & (~prev_same | (pos == 0))
+    run_id = jnp.where(live_sorted,
+                       jnp.cumsum(first.astype(jnp.int32)) - 1, n)
+    n_groups = jnp.sum(first).astype(jnp.int32)
+    # run_start[g] / run_end[g] via sorted positions of firsts/lasts
+    gid = jnp.arange(T, dtype=jnp.int32)
+    # positions of run starts, in order: they are exactly the positions where
+    # first is true; compact them to the front
+    start_perm = jnp.argsort(~first, stable=True)
+    run_start = jnp.take(pos, start_perm)[:T]
+    next_start = jnp.concatenate([run_start[1:], jnp.full(1, n, jnp.int32)])
+    total_live = jnp.sum(live_sorted).astype(jnp.int32)
+    run_end = jnp.where(gid + 1 < n_groups, next_start - 1, total_live - 1)
+    run_end = jnp.clip(run_end, 0, n - 1)
+    return SortedLayout(order, run_id, run_start, run_end, n_groups,
+                        live_sorted, T)
