@@ -160,7 +160,26 @@ class HashAggregateExec(ExecNode):
         if table_size is None:
             table_size = min(_next_pow2(max(child.capacity, 16)), 1 << 16)
         self.table_size = table_size
-        self.capacity = max(128, table_size)
+        # static grouping-strategy choice: when every group key has a static
+        # code bound (dictionary/bool) the composite-slot table is tiny and
+        # the OUTPUT capacity must shrink with it — otherwise downstream
+        # operators process table_size-padded batches for a 12-row result
+        self._static_direct_T = None
+        if group_exprs:
+            bounds = [bind_expr(e, in_schema).code_bound for e in group_exprs]
+            if all(b is not None for b in bounds):
+                prod = 1
+                for b in bounds:
+                    prod *= b + 1
+                from ..ops.segagg import DIRECT_MAX
+                if prod <= DIRECT_MAX:
+                    self._static_direct_T = prod
+        if self._static_direct_T is not None:
+            self.capacity = max(128, round_capacity(self._static_direct_T))
+        elif not group_exprs:
+            self.capacity = 128
+        else:
+            self.capacity = max(128, min(table_size, child.capacity))
 
         key_fields = tuple(Field(n, b.dtype, b.nullable)
                            for n, b in zip(self._group_names, self._group_bounds))
@@ -226,13 +245,7 @@ class HashAggregateExec(ExecNode):
         # --- choose a scatter-free grouping layout (ops/segagg.py) ---
         key_cols = [g.fn(b) for g in self._group_bounds]
         bounds = [g.code_bound for g in self._group_bounds]
-        direct_T = None
-        if self._group_bounds and all(bd is not None for bd in bounds):
-            prod = 1
-            for bd in bounds:
-                prod *= bd + 1
-            if prod <= segagg.DIRECT_MAX:
-                direct_T = prod
+        direct_T = self._static_direct_T  # decided at construction
 
         key_out: List[Column] = []
         if not self._group_bounds:
@@ -358,15 +371,14 @@ class HashJoinExec(ExecNode):
         if not self.unique_build:
             return self._evaluate_expanding(build_b, probe_b, bkeys, pkeys,
                                             blive, plive)
-        from .distributed import _TraceCtx
-        jt = H.build_join_table(tuple(c.data for c in bkeys),
-                                tuple(c.validity for c in bkeys), blive, T)
-        _TraceCtx.record_overflow(jt.overflow)
-        match = H.probe_join_table(
-            jt.slot_used, jt.slot_row,
+        # unique-build fast path: co-sort merge join (ops/merge_join.py) —
+        # no hash table, no scatters, no while_loops
+        from ..ops.merge_join import merge_probe_unique
+        match = merge_probe_unique(
             tuple(c.data for c in bkeys), tuple(c.validity for c in bkeys),
+            blive,
             tuple(c.data for c in pkeys), tuple(c.validity for c in pkeys),
-            plive, T)
+            plive)
         matched = match >= 0
 
         if self.join_type == "semi":

@@ -1,19 +1,19 @@
-"""Expanding hash join: non-unique build keys, vectorized (no per-row loops).
+"""Expanding hash join: non-unique build keys, vectorized (no loops, no
+scatters, no hash tables).
 
-Reference parity: DataFusion's hash join handles duplicate build keys via
-per-bucket chains walked row-by-row. On TPU we restructure:
+Co-sort formulation (see also ops/merge_join.py): concatenate build and
+probe keys and sort once — stable + build-first concat order means each
+equal-key run lists its build rows, then its probe rows. Per probe row:
 
-  1. sort build rows by key -> equal keys form contiguous runs
-  2. run heads (first row of each run) have UNIQUE keys -> standard
-     open-addressing table maps key -> head position (== run start)
-  3. probe rows look up (start, len); match counts prefix-sum into output
-     offsets
-  4. every output slot j finds its (probe row, k-th match) pair with one
-     searchsorted over the cumulative offsets — a pure gather, parallel
+  n_matches   = number of build rows in its run  (= segmented count of
+                builds before it, since builds precede probes)
+  first_build = sorted position of the run's first build row (segmented
+                forward fill)
 
-Output capacity is static; `total > capacity` raises the overflow flag so
-the driver retries with a bigger capacity (capacity-with-overflow-retry,
-SURVEY.md §7 hard parts).
+A prefix-sum over per-probe counts assigns output slots; output slot j
+recovers its (probe row, k-th build row) with one searchsorted + gathers.
+Static output capacity with an overflow flag for the retry driver
+(capacity-with-overflow-retry, SURVEY.md §7 hard parts).
 """
 
 from __future__ import annotations
@@ -24,14 +24,14 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .hash import _norm_keys, group_codes, probe_join_table
+from .hash import _norm_keys
 
 
 class ExpandedMatch(NamedTuple):
     probe_row: jax.Array    # (OUT_CAP,) int32 probe row per output slot
     build_row: jax.Array    # (OUT_CAP,) int32 build row (-1 for outer miss)
     valid: jax.Array        # (OUT_CAP,) bool live output slot
-    total: jax.Array        # () int32 total output rows (pre-clip)
+    total: jax.Array        # () int32 total output rows (clipped)
     overflow: jax.Array     # () bool
 
 
@@ -44,66 +44,93 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
                 probe_live: jax.Array,
                 table_size: int, out_capacity: int,
                 left_outer: bool = False) -> ExpandedMatch:
-    n_build = build_keys[0].shape[0]
-    n_probe = probe_keys[0].shape[0]
-    pos = jnp.arange(n_build, dtype=jnp.int32)
-
-    # 1. sort build rows by normalized keys, dead rows last (lexicographic:
-    # stable passes from least- to most-significant key)
-    norm = _norm_keys(build_keys, build_valids)
+    # table_size retained for signature compatibility; unused (no table).
+    nb = build_keys[0].shape[0]
+    np_ = probe_keys[0].shape[0]
+    n = nb + np_
     DEAD = jnp.int64(2**62)
-    order = jnp.argsort(jnp.where(build_live, norm[-1], DEAD), stable=True)
-    for k in reversed(norm[:-1]):
-        key = jnp.take(jnp.where(build_live, k, DEAD), order)
-        order = jnp.take(order, jnp.argsort(key, stable=True))
-    s_live = jnp.take(build_live, order)
-    s_norm = [jnp.take(k, order) for k in norm]
 
-    # 2. run detection over sorted rows
-    prev_same = jnp.ones(n_build, dtype=jnp.bool_)
-    for k in s_norm:
+    b_norm = _norm_keys(build_keys, build_valids)
+    p_norm = _norm_keys(probe_keys, probe_valids)
+    # null probe keys never match: normalize them to a distinct sentinel
+    p_any_null = jnp.zeros(np_, dtype=jnp.bool_)
+    for v in probe_valids:
+        p_any_null = p_any_null | ~v
+    comb = [jnp.concatenate([jnp.where(build_live, bk, DEAD),
+                             jnp.where(probe_live & ~p_any_null, pk, DEAD - 1)])
+            for bk, pk in zip(b_norm, p_norm)]
+    # null BUILD keys never match either
+    b_any_null = jnp.zeros(nb, dtype=jnp.bool_)
+    for v in build_valids:
+        b_any_null = b_any_null | ~v
+    comb[0] = jnp.concatenate([
+        jnp.where(build_live & ~b_any_null, comb[0][:nb], DEAD),
+        comb[0][nb:]])
+    is_build = jnp.concatenate([build_live & ~b_any_null,
+                                jnp.zeros(np_, dtype=jnp.bool_)])
+
+    order = jnp.argsort(comb[-1], stable=True)
+    for k in reversed(comb[:-1]):
+        order = jnp.take(order, jnp.argsort(jnp.take(k, order), stable=True))
+
+    s_keys = [jnp.take(k, order) for k in comb]
+    s_build = jnp.take(is_build, order)
+    s_orig = jnp.take(jnp.concatenate([
+        jnp.arange(nb, dtype=jnp.int32),
+        jnp.arange(np_, dtype=jnp.int32)]), order)
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    prev_same = jnp.ones(n, dtype=jnp.bool_)
+    for k in s_keys:
         rolled = jnp.concatenate([k[:1], k[:-1]])
         prev_same = prev_same & (k == rolled)
-    first = s_live & (~prev_same | (pos == 0))
-    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
-    run_len = jnp.zeros(n_build + 1, dtype=jnp.int32).at[
-        jnp.where(s_live, run_id, n_build)].add(1)[:n_build]  # per run id
+    run_start = ~prev_same | (pos == 0)
 
-    # 3. unique-key table over run heads; slot_row == head sorted position
-    ones = tuple(jnp.ones(n_build, dtype=jnp.bool_) for _ in s_norm)
-    gt = group_codes(tuple(s_norm), ones, first, table_size)
+    # segmented inclusive count of build rows within the run
+    def op(a, b):
+        ar, ac = a
+        br, bc = b
+        return ar | br, jnp.where(br, bc, ac + bc)
 
-    # 4. probe for head positions
-    any_null = jnp.zeros(n_probe, dtype=jnp.bool_)
-    for v in probe_valids:
-        any_null = any_null | ~v
-    p_norm = _norm_keys(probe_keys, probe_valids)
-    m = probe_join_table(gt.slot_used, gt.slot_row,
-                         tuple(s_norm), ones,
-                         tuple(p_norm), tuple(jnp.ones(n_probe, jnp.bool_) for _ in p_norm),
-                         probe_live & ~any_null, table_size)
-    matched = m >= 0
-    head_pos = jnp.clip(m, 0, n_build - 1)             # == run start
-    rid = jnp.take(run_id, head_pos)
-    cnt = jnp.where(matched, jnp.take(run_len, jnp.clip(rid, 0, n_build - 1)), 0)
+    _, builds_so_far = jax.lax.associative_scan(
+        op, (run_start, s_build.astype(jnp.int32)))
+    # segmented forward fill of the first build row's sorted position
+    first_build_here = s_build & (builds_so_far == 1)
+    tag = jnp.where(first_build_here, 1,
+                    jnp.where(run_start, 2, 0)).astype(jnp.int32)
+    val = jnp.where(first_build_here, pos, -1)
+
+    def ff(a, b):
+        at, av = a
+        bt, bv = b
+        take_b = bt != 0
+        return jnp.where(take_b, bt, at), jnp.where(take_b, bv, av)
+
+    ftag, ffirst = jax.lax.associative_scan(ff, (tag, val))
+
+    # per probe row (original order): count + first build sorted position
+    inv = jnp.argsort(order)
+    ppos = jnp.take(inv, jnp.arange(nb, n))
+    cnt = jnp.take(builds_so_far, ppos)          # builds precede probes
+    first = jnp.where(jnp.take(ftag, ppos) == 1, jnp.take(ffirst, ppos), -1)
+    cnt = jnp.where((first >= 0) & probe_live & ~p_any_null, cnt, 0)
     if left_outer:
         cnt = jnp.where(probe_live, jnp.maximum(cnt, 1), 0)
 
-    # 5. offsets
+    # prefix-sum output slots
     csum = jnp.cumsum(cnt).astype(jnp.int32)
     out_start = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])
-    total = csum[-1] if n_probe else jnp.int32(0)
-    overflow = (total > out_capacity) | gt.overflow
+    total = csum[-1] if np_ else jnp.int32(0)
+    overflow = total > out_capacity
 
-    # 6. slot j -> (probe row i, k-th match): i = first row whose end > j
     j = jnp.arange(out_capacity, dtype=jnp.int32)
     i = jnp.searchsorted(csum, j, side="right").astype(jnp.int32)
-    i = jnp.clip(i, 0, n_probe - 1)
+    i = jnp.clip(i, 0, np_ - 1)
     k = j - jnp.take(out_start, i)
     valid = (j < total) & (k >= 0) & (k < jnp.take(cnt, i))
-    srt_pos = jnp.clip(jnp.take(head_pos, i) + k, 0, n_build - 1)
-    b_row = jnp.take(order, srt_pos)
-    row_matched = jnp.take(matched, i)
+    src_pos = jnp.clip(jnp.take(first, i) + k, 0, n - 1)
+    b_row = jnp.take(s_orig, src_pos)
+    row_matched = jnp.take(first, i) >= 0
     build_row = jnp.where(valid & row_matched, b_row, -1)
     probe_row = jnp.where(valid, i, -1)
     return ExpandedMatch(probe_row, build_row, valid,

@@ -1,0 +1,88 @@
+"""Co-sort merge join: match probe rows to unique-key build rows without
+hash tables, scatters, or while_loops.
+
+Motivation (measured, v5e): the open-addressing build loop costs one
+450-880 ms scatter per probe iteration, while sorting 7.5M keys costs
+~40 ms. So: concatenate build+probe keys, one stable lexicographic sort
+(build rows precede probe rows of the same key), then a segmented
+forward-fill scan propagates each run's build row index to its probe rows.
+
+Handles multi-key joins and SQL NULL semantics (null keys never match —
+masked after the scan). Requires unique build keys (the planner's fast
+path; duplicates go through ops.expand_join).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .hash import _norm_keys
+
+
+@jax.jit
+def merge_probe_unique(build_keys: Tuple[jax.Array, ...],
+                       build_valids: Tuple[jax.Array, ...],
+                       build_live: jax.Array,
+                       probe_keys: Tuple[jax.Array, ...],
+                       probe_valids: Tuple[jax.Array, ...],
+                       probe_live: jax.Array) -> jax.Array:
+    """For each probe row: matching build row index, or -1."""
+    nb = build_keys[0].shape[0]
+    np_ = probe_keys[0].shape[0]
+    n = nb + np_
+    DEAD = jnp.int64(2**62)
+
+    b_norm = _norm_keys(build_keys, build_valids)
+    p_norm = _norm_keys(probe_keys, probe_valids)
+    comb = [jnp.concatenate([jnp.where(build_live, bk, DEAD),
+                             jnp.where(probe_live, pk, DEAD)])
+            for bk, pk in zip(b_norm, p_norm)]
+    is_build = jnp.concatenate([build_live,
+                                jnp.zeros(np_, dtype=jnp.bool_)])
+
+    # stable lexicographic sort; build rows precede probes of equal keys
+    # because they come first in concat order
+    order = jnp.argsort(comb[-1], stable=True)
+    for k in reversed(comb[:-1]):
+        order = jnp.take(order, jnp.argsort(jnp.take(k, order), stable=True))
+
+    s_keys = [jnp.take(k, order) for k in comb]
+    s_build = jnp.take(is_build, order)
+    s_orig = jnp.take(jnp.concatenate([
+        jnp.arange(nb, dtype=jnp.int32),
+        jnp.arange(np_, dtype=jnp.int32)]), order)
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    prev_same = jnp.ones(n, dtype=jnp.bool_)
+    for k in s_keys:
+        rolled = jnp.concatenate([k[:1], k[:-1]])
+        prev_same = prev_same & (k == rolled)
+    run_start = ~prev_same | (pos == 0)
+
+    # segmented forward-fill of the run's build row:
+    # tag 2=RESET (run start, no build), 1=SET (build row), 0=PASS
+    tag = jnp.where(s_build, 1, jnp.where(run_start, 2, 0)).astype(jnp.int32)
+    val = jnp.where(s_build, s_orig, -1)
+
+    def op(a, b):
+        at, av = a
+        bt, bv = b
+        take_b = bt != 0
+        return jnp.where(take_b, bt, at), jnp.where(take_b, bv, av)
+
+    ftag, fval = jax.lax.associative_scan(op, (tag, val))
+    matched_sorted = jnp.where(ftag == 1, fval, -1)
+
+    # route results back to original probe positions via the inverse perm
+    inv = jnp.argsort(order)
+    probe_positions = jnp.take(inv, jnp.arange(nb, n))
+    match = jnp.take(matched_sorted, probe_positions)
+
+    any_null = jnp.zeros(np_, dtype=jnp.bool_)
+    for v in probe_valids:
+        any_null = any_null | ~v
+    return jnp.where(probe_live & ~any_null, match, -1)

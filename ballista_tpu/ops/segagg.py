@@ -39,26 +39,36 @@ class MaskedLayout(NamedTuple):
     live: jax.Array          # (n,) bool
     T: int
 
+    # All reductions use the broadcast form sum(where(slot==g, x, 0), axis=1)
+    # over a (T, n) fused generator — XLA keeps it in-register, ~15 ms for
+    # 10 int64 aggregates x 12 groups at 6M rows. The unrolled per-group
+    # loop form produced 10x slower code AND minutes of extra compile time.
+
+    def _onehot(self):
+        gids = jnp.arange(self.T, dtype=jnp.int32)
+        return self.row_slot[None, :] == gids[:, None]
+
     def sum(self, values, validity):
         active = self.live & validity
         v = jnp.where(active, values, jnp.zeros((), values.dtype))
-        out = jnp.stack([jnp.sum(jnp.where(self.row_slot == g, v,
-                                           jnp.zeros((), v.dtype)))
-                         for g in range(self.T)])
+        # barrier: without it XLA re-evaluates the (often expensive decimal)
+        # contribution expression inside the (T, n) reduce generator T times
+        v = jax.lax.optimization_barrier(v)
+        out = jnp.sum(jnp.where(self._onehot(), v[None, :],
+                                jnp.zeros((), v.dtype)), axis=1)
         cnt = self.count(values, validity)[0]
         return out, cnt > 0
 
     def count(self, values, validity):
-        active = self.live & validity
-        one = active.astype(jnp.int64)
-        out = jnp.stack([jnp.sum(jnp.where(self.row_slot == g, one, 0))
-                         for g in range(self.T)])
+        active = (self.live & validity).astype(jnp.int64)
+        active = jax.lax.optimization_barrier(active)
+        out = jnp.sum(jnp.where(self._onehot(), active[None, :], 0), axis=1)
         return out, jnp.ones(self.T, dtype=jnp.bool_)
 
     def count_star(self):
         one = self.live.astype(jnp.int64)
-        out = jnp.stack([jnp.sum(jnp.where(self.row_slot == g, one, 0))
-                         for g in range(self.T)])
+        one = jax.lax.optimization_barrier(one)
+        out = jnp.sum(jnp.where(self._onehot(), one[None, :], 0), axis=1)
         return out, jnp.ones(self.T, dtype=jnp.bool_)
 
     def _extreme(self, values, validity, is_min):
@@ -69,9 +79,9 @@ class MaskedLayout(NamedTuple):
             info = jnp.iinfo(values.dtype)
             sent = jnp.asarray(info.max if is_min else info.min, values.dtype)
         v = jnp.where(active, values, sent)
+        v = jax.lax.optimization_barrier(v)
         red = jnp.min if is_min else jnp.max
-        out = jnp.stack([red(jnp.where(self.row_slot == g, v, sent))
-                         for g in range(self.T)])
+        out = red(jnp.where(self._onehot(), v[None, :], sent), axis=1)
         cnt = self.count(values, validity)[0]
         return jnp.where(cnt > 0, out, jnp.zeros((), values.dtype)), cnt > 0
 
@@ -128,12 +138,12 @@ class SortedLayout(NamedTuple):
             info = jnp.iinfo(v.dtype)
             sent = jnp.asarray(info.max if is_min else info.min, v.dtype)
         x = jnp.where(ok, v, sent)
-        # segmented running min/max: reset at run starts
-        pos = jnp.arange(x.shape[0], dtype=jnp.int32)
-        is_start = jnp.take(
-            jnp.zeros(x.shape[0] + 1, jnp.bool_).at[
-                jnp.clip(self.run_start, 0, x.shape[0])].set(True)[:x.shape[0]],
-            pos)
+        # segmented running min/max: reset at run starts (mask the garbage
+        # run_start entries past n_groups — they'd split segments wrongly)
+        n = x.shape[0]
+        gid = jnp.arange(self.T, dtype=jnp.int32)
+        starts_idx = jnp.where(gid < self.n_groups, self.run_start, n)
+        is_start = jnp.zeros(n + 1, jnp.bool_).at[starts_idx].set(True)[:n]
 
         def op(a, b):
             af, av = a

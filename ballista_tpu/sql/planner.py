@@ -210,10 +210,15 @@ def _replace_subtree(e: Expr, target: Expr, replacement: Expr) -> Expr:
     return e
 
 
+OUTER_MARK = "@outer:"
+
+
 def _classify_cols(e: Expr, scope: Scope):
     """Resolve every column of e: returns (kind, resolved_expr) where kind is
     'local' (all local), 'outer' (references outer scope), or None
-    (unresolvable)."""
+    (unresolvable). Outer references are marked with OUTER_MARK so a later
+    join of inner+outer relations can tell them apart even when the
+    resolved names collide (e.g. Q21's l2.l_suppkey <> l1.l_suppkey)."""
     has_outer = False
 
     def mapping(name: str) -> str:
@@ -223,6 +228,7 @@ def _classify_cols(e: Expr, scope: Scope):
             raise KeyError(name)
         if kind == "outer":
             has_outer = True
+            return OUTER_MARK + out
         return out
 
     try:
@@ -518,11 +524,12 @@ class SqlPlanner:
             raise NotImplementedError(
                 "correlated EXISTS with non-equi predicates needs a unique "
                 "key on the outer relation")
-        # project the inner columns the residual needs, mangled
+        # project the inner columns the residual needs, mangled (outer
+        # references carry OUTER_MARK and resolve to the probe side)
         residual_inner_cols = set()
         for rexp in fw.corr_residual:
             for n in expr_columns(rexp):
-                if any(n in r.out_names.values() for r in fw.scope.relations):
+                if not n.startswith(OUTER_MARK):
                     residual_inner_cols.add(n)
         extra = sorted(residual_inner_cols - set(inner_keys))
         extra_mangled = {n: f"{tag}_c{i}" for i, n in enumerate(extra)}
@@ -534,6 +541,8 @@ class SqlPlanner:
         joined = L.Join(inner, current, pairs, "inner", unique_build=False)
 
         def remap(name: str) -> str:
+            if name.startswith(OUTER_MARK):
+                return name[len(OUTER_MARK):]
             if name in extra_mangled:
                 return extra_mangled[name]
             if name in inner_keys:

@@ -1,0 +1,97 @@
+"""MaskedLayout and SortedLayout must agree with each other and numpy."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ballista_tpu.batch import Column
+from ballista_tpu.ops import segagg
+from ballista_tpu.ops.hash import _norm_keys
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    n = 2048
+    keys = rng.integers(0, 13, n).astype(np.int64)
+    kvalid = rng.random(n) > 0.1        # some NULL keys
+    x = rng.integers(-1000, 1000, n).astype(np.int64)
+    xvalid = rng.random(n) > 0.2
+    live = np.zeros(n, dtype=bool)
+    live[:1900] = True
+    return keys, kvalid, x, xvalid, live
+
+
+def np_expected(keys, kvalid, x, xvalid, live):
+    out = {}
+    for i in range(len(keys)):
+        if not live[i]:
+            continue
+        k = keys[i] if kvalid[i] else None
+        s = out.setdefault(k, [0, 0, None, None, 0])  # sum,count,min,max,n
+        s[4] += 1
+        if xvalid[i]:
+            s[0] += x[i]
+            s[1] += 1
+            s[2] = x[i] if s[2] is None else min(s[2], x[i])
+            s[3] = x[i] if s[3] is None else max(s[3], x[i])
+    return out
+
+
+def check_layout(layout, key_of_group, data):
+    keys, kvalid, x, xvalid, live = data
+    exp = np_expected(keys, kvalid, x, xvalid, live)
+    xs, xsv = layout.sum(jnp.asarray(x), jnp.asarray(xvalid))
+    xc, _ = layout.count(jnp.asarray(x), jnp.asarray(xvalid))
+    xn, xnv = layout.count_star()
+    xmin, minv = layout.min(jnp.asarray(x), jnp.asarray(xvalid))
+    xmax, _ = layout.max(jnp.asarray(x), jnp.asarray(xvalid))
+    got = {}
+    for g in range(layout.T):
+        k = key_of_group(g)
+        if k is SKIP:
+            continue
+        got[k] = (int(xs[g]), int(xc[g]), int(xmin[g]) if bool(minv[g]) else None,
+                  int(xmax[g]) if bool(minv[g]) else None, int(xn[g]))
+    for k, s in exp.items():
+        assert k in got, f"missing group {k}"
+        assert got[k] == (s[0], s[1], s[2], s[3], s[4]), (k, got[k], s)
+
+
+SKIP = object()
+
+
+def test_masked_layout(data):
+    keys, kvalid, x, xvalid, live = data
+    col = Column(jnp.asarray(keys), jnp.asarray(kvalid))
+    slot, T = segagg.direct_slots([col], [13], jnp.asarray(live))
+    layout = segagg.MaskedLayout(slot, jnp.asarray(live), T)
+    counts, _ = layout.count_star()
+
+    def key_of(g):
+        if int(counts[g]) == 0:
+            return SKIP
+        return g if g < 13 else None
+    check_layout(layout, key_of, data)
+
+
+def test_sorted_layout(data):
+    keys, kvalid, x, xvalid, live = data
+    norm = _norm_keys((jnp.asarray(keys),), (jnp.asarray(kvalid),))
+    layout = segagg.sorted_layout_from_keys(norm, jnp.asarray(live), 64)
+    n_groups = int(layout.n_groups)
+    src = np.asarray(layout.order)[np.asarray(layout.run_start)]
+
+    def key_of(g):
+        if g >= n_groups:
+            return SKIP
+        r = src[g]
+        return int(keys[r]) if kvalid[r] else None
+    check_layout(layout, key_of, data)
+
+
+def test_sorted_layout_overflow_detection(data):
+    keys, kvalid, x, xvalid, live = data
+    norm = _norm_keys((jnp.asarray(keys),), (jnp.asarray(kvalid),))
+    layout = segagg.sorted_layout_from_keys(norm, jnp.asarray(live), 4)
+    assert int(layout.n_groups) > 4  # caller must treat as overflow

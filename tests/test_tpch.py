@@ -46,3 +46,21 @@ def test_tpch_query(env, query):
     exp = ORACLES[query](pdt)
     exp.columns = list(got.columns)[:len(exp.columns)] if False else exp.columns
     assert_frames_match(got, exp, query)
+
+
+def test_q21_at_scale_with_nonzero_result():
+    """Q21's residual-correlated EXISTS path returns rows only at SF where
+    multi-supplier late orders exist; SF0.002 trivially yields 0 rows and
+    once masked a name-collision bug in decorrelation (inner l2.l_suppkey
+    and outer l1.l_suppkey both resolving to 'l_suppkey')."""
+    from ballista_tpu.datagen import generate_tpch
+
+    sf = 0.02
+    data = generate_tpch(sf)
+    ctx = SessionContext()
+    register_tpch(ctx, sf, data=data)
+    pdt = to_pd(data)
+    got = ctx.sql(TPCH_QUERIES[21]).to_pandas()
+    exp = ORACLES[21](pdt)
+    assert len(exp) > 0, "fixture must produce a non-trivial result"
+    assert_frames_match(got, exp, 21)
