@@ -30,16 +30,9 @@ class Repl:
         self.fmt = "table"
 
     def execute_sql(self, sql: str):
-        from . import batch as B
-
         t0 = time.time()
-        df_api = self.ctx.sql(sql)
-        if self.distributed:
-            from .scheduler.runtime import execute_distributed
-            b, schema = execute_distributed(self.ctx, df_api.plan, self.mesh)
-            df = B.to_pandas(b, schema)
-        else:
-            df = df_api.to_pandas()
+        # distributed mode is handled inside the context (standalone cluster)
+        df = self.ctx.sql(sql).to_pandas()
         elapsed = time.time() - t0
         self.print_df(df)
         if self.timing:
@@ -151,7 +144,7 @@ def main(argv=None):
 
     from .client import SessionContext
 
-    ctx = SessionContext()
+    ctx = SessionContext(distributed=args.distributed)
     if args.sf:
         from .datagen import register_tpch
         print(f"generating TPC-H SF{args.sf} ...", file=sys.stderr)

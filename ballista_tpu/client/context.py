@@ -52,11 +52,27 @@ class TableProvider:
 
 
 class SessionContext:
-    def __init__(self, options: Optional[PhysicalOptions] = None):
+    """Local mode by default (one device, one partition); `distributed=True`
+    routes every collect through the standalone cluster (scheduler control
+    plane + mesh execution over all local devices) — the BallistaContext
+    local vs standalone split."""
+
+    def __init__(self, options: Optional[PhysicalOptions] = None,
+                 distributed: bool = False, mesh=None):
         self.tables: Dict[str, TableProvider] = {}
         self.views: Dict[str, tuple] = {}   # name -> (SelectStmt, col_aliases)
         self.options = options or PhysicalOptions()
         self._stage_cache: Dict[int, object] = {}
+        self._distributed = distributed
+        self._mesh = mesh
+        self._cluster = None
+
+    def cluster(self):
+        """The standalone scheduler+mesh cluster (created lazily)."""
+        if self._cluster is None:
+            from ..scheduler.standalone import StandaloneCluster
+            self._cluster = StandaloneCluster(self, self._mesh)
+        return self._cluster
 
     # -- registration (BallistaContext::register_* parity) --
     def register_arrow(self, name: str, table, primary_key=None) -> None:
@@ -125,9 +141,14 @@ class SessionContext:
             raise ValueError("no SELECT statement in script")
         return last
 
-    # -- execution (local single-partition path) --
+    # -- execution --
     def collect(self, plan: L.LogicalPlan, max_retries: int = 3):
         import dataclasses as dc
+
+        if self._distributed:
+            cl = self.cluster()
+            job_id = cl.submit_plan(plan)
+            return cl.wait(job_id)
 
         capacities = {name: tp.capacity for name, tp in self.tables.items()}
         # refresh scan schemas to include ingest-time dictionaries

@@ -58,20 +58,26 @@ def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
     cap = batch.capacity
     dest, live = shuffle_dest(batch, key_indices, P)
 
-    # group rows by destination (stable)
-    order = jnp.argsort(dest, stable=True)            # dead rows (dest=P) last
+    # group rows by destination (stable); dead rows (dest=P) sort last
+    order = jnp.argsort(dest, stable=True)
     sorted_dest = jnp.take(dest, order)
-    counts = jnp.zeros(P + 1, dtype=jnp.int32).at[dest].add(1)[:P]
-    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    pos = jnp.arange(cap, dtype=jnp.int32)
-    rank = pos - jnp.take(offsets, jnp.clip(sorted_dest, 0, P - 1))
+    # per-dest counts without scatter: counts[d] = searchsorted diff over
+    # the sorted destinations (scatter costs ~0.5s/6M rows on v5e)
+    dests = jnp.arange(P + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_dest, dests, side="left").astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]
+    offsets = starts[:P]
     overflow = jnp.any(counts > quota)
-
-    # scatter sorted rows into the (P*quota) send buffer
-    valid_send = (sorted_dest < P) & (rank < quota)
-    send_idx = jnp.where(valid_send, sorted_dest * quota + rank, P * quota)
     send_counts = jnp.minimum(counts, quota)
+
+    # gather rows into the (P*quota) send buffer: slot (d, k) reads the
+    # k-th row destined to d (rows are contiguous after the sort)
+    j = jnp.arange(P * quota, dtype=jnp.int32)
+    d_of = j // quota
+    k_of = j % quota
+    src = jnp.take(offsets, d_of) + k_of
+    slot_live = k_of < jnp.take(send_counts, d_of)
+    src = jnp.clip(src, 0, cap - 1)
 
     out_cols = []
     recv_counts = jax.lax.all_to_all(
@@ -79,10 +85,8 @@ def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
     for c in batch.columns:
         sd = jnp.take(c.data, order)
         sv = jnp.take(c.validity, order)
-        send_d = jnp.zeros(P * quota, dtype=c.data.dtype).at[send_idx].set(
-            sd, mode="drop")
-        send_v = jnp.zeros(P * quota, dtype=jnp.bool_).at[send_idx].set(
-            sv & valid_send, mode="drop")
+        send_d = jnp.take(sd, src)
+        send_v = jnp.take(sv, src) & slot_live
         recv_d = jax.lax.all_to_all(send_d, axis_name, 0, 0, tiled=True)
         recv_v = jax.lax.all_to_all(send_v, axis_name, 0, 0, tiled=True)
         out_cols.append(Column(recv_d, recv_v))

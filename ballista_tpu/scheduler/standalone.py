@@ -1,0 +1,160 @@
+"""Standalone cluster: scheduler control plane driving the mesh data plane
+in one process.
+
+Reference parity: `standalone.rs:42` (in-proc scheduler + executor, used by
+`BallistaContext::standalone`) — but single-controller: the "executor" is a
+TaskLauncher that runs each stage as one multi-partition task on the device
+mesh. Jobs flow through the REAL control plane (SchedulerServer event loop,
+ExecutionGraph state machine, slots, retries), so failures/retries behave
+exactly as in distributed operation while the data path stays on-device.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+
+from ..parallel.partitioned import gather_partitions
+from .distributed_planner import DistOptions, DistributedPlan, DistributedPlanner
+from .execution_graph import (ExecutionGraph, JobState, TaskDescription,
+                              TaskStatus)
+from .runtime import DistributedRuntime, ShuffleOverflowError
+from .server import ExecutorMetadata, SchedulerServer, TaskLauncher, random_job_id
+
+log = logging.getLogger("ballista_tpu.standalone")
+
+
+class MeshTaskLauncher(TaskLauncher):
+    """Executes stage-tasks on the mesh runtime; reports TaskStatus back.
+
+    A task covers all partitions of one stage (the SPMD program runs them
+    together). Stage outputs are stored per job for consumer stages; quota
+    overflows re-plan the stage with more headroom and retry in place
+    (the fetch-failure-rollback analog for fixed-quota collectives)."""
+
+    def __init__(self, runtime: DistributedRuntime):
+        self.runtime = runtime
+        self.jobs: Dict[str, "JobContext"] = {}
+
+    def launch(self, tasks: List[TaskDescription], report):
+        statuses = []
+        for task in tasks:
+            jc = self.jobs[task.job_id]
+            try:
+                jc.run_stage(task.stage_id)
+                statuses.append(TaskStatus(
+                    task.task_id, task.job_id, task.stage_id, task.partitions,
+                    task.executor_id, "successful"))
+            except Exception as e:  # noqa: BLE001 - feed the retry machinery
+                log.warning("stage %s/%s failed: %s", task.job_id,
+                            task.stage_id, e)
+                statuses.append(TaskStatus(
+                    task.task_id, task.job_id, task.stage_id, task.partitions,
+                    task.executor_id, "failed", f"{type(e).__name__}: {e}"))
+        report(statuses)
+
+
+class JobContext:
+    def __init__(self, job_id: str, dplan: DistributedPlan,
+                 runtime: DistributedRuntime, ctx, logical_plan):
+        self.job_id = job_id
+        self.dplan = dplan
+        self.runtime = runtime
+        self.ctx = ctx
+        self.logical_plan = logical_plan
+        self.outputs: Dict[str, object] = {}
+        self.stage_by_id = {s.stage_id: s for s in dplan.stages}
+
+    def run_stage(self, stage_id: int, max_quota_retries: int = 3):
+        import dataclasses as dc
+
+        for attempt in range(max_quota_retries):
+            stage = self.stage_by_id[stage_id]
+            fn, leaf_ids = self.runtime._compile_stage(stage)
+            inputs = {}
+            for lid in leaf_ids:
+                src = stage.sources[lid]
+                if src.kind == "table":
+                    pb, _ = self.runtime.table_partitions(src.name)
+                else:
+                    pb = self.outputs[src.name]
+                inputs[lid] = pb
+            out, overflow = fn(inputs)
+            if not bool(jnp.any(overflow)):
+                self.outputs[str(stage_id)] = out
+                return
+            if attempt == max_quota_retries - 1:
+                raise ShuffleOverflowError(
+                    f"stage {stage_id} quota exceeded after retries")
+            # re-plan the whole job with more headroom; downstream stages
+            # will pick up the larger capacities (consumer schemas change)
+            opts = dc.replace(self.runtime.opts,
+                              quota_headroom=self.runtime.opts.quota_headroom * 4,
+                              max_group_table=self.runtime.opts.max_group_table * 4)
+            self.runtime.opts = opts
+            planner = DistributedPlanner(self.ctx, opts)
+            self.dplan = planner.plan(self.logical_plan)
+            self.stage_by_id = {s.stage_id: s for s in self.dplan.stages}
+            self.outputs.clear()  # capacities changed; recompute deps
+            for dep in range(stage_id):
+                if dep in self.stage_by_id:
+                    self.run_stage(dep, 1)
+
+    def final_batch(self):
+        return (gather_partitions(self.outputs[str(self.dplan.final_stage)],
+                                  self.dplan.final_schema),
+                self.dplan.final_schema)
+
+
+class StandaloneCluster:
+    """In-process scheduler + mesh executor (BallistaContext::standalone)."""
+
+    def __init__(self, ctx, mesh=None, options: Optional[DistOptions] = None,
+                 task_slots: int = 4):
+        self.ctx = ctx
+        self.runtime = DistributedRuntime(ctx, mesh, options)
+        self.launcher = MeshTaskLauncher(self.runtime)
+        self.scheduler = SchedulerServer(self.launcher)
+        self.scheduler.register_executor(
+            ExecutorMetadata("mesh-executor-0", task_slots=task_slots))
+
+    def submit_sql(self, sql: str) -> str:
+        df = self.ctx.sql(sql)
+        return self.submit_plan(df.plan)
+
+    def submit_plan(self, plan) -> str:
+        from ..client.context import _rebind_scans
+
+        plan = _rebind_scans(plan, self.ctx)
+        planner = DistributedPlanner(self.ctx, self.runtime.opts)
+        dplan = planner.plan(plan)
+        job_id = random_job_id()
+        self.launcher.jobs[job_id] = JobContext(
+            job_id, dplan, self.runtime, self.ctx, plan)
+        graph = ExecutionGraph.from_distributed_plan(
+            job_id, dplan, self.runtime.opts.n_partitions)
+        self.scheduler.submit_job(graph)
+        return job_id
+
+    def wait(self, job_id: str):
+        """Pump the scheduler until the job reaches a terminal state, then
+        return (Batch, Schema) (DistributedQueryExec's poll loop analog —
+        no polling needed single-controller)."""
+        self.scheduler.run_until_idle()
+        g = self.scheduler.task_manager.jobs[job_id]
+        if g.state is not JobState.SUCCESSFUL:
+            raise RuntimeError(f"job {job_id} {g.state.value}: {g.error}")
+        return self.launcher.jobs[job_id].final_batch()
+
+    def sql(self, query: str):
+        """Submit + wait; returns a pandas DataFrame."""
+        from .. import batch as B
+
+        job_id = self.submit_sql(query)
+        batch, schema = self.wait(job_id)
+        return B.to_pandas(batch, schema)
+
+    def job_status(self, job_id: str) -> dict:
+        return self.scheduler.job_status(job_id)
