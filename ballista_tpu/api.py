@@ -1,0 +1,125 @@
+"""REST introspection API.
+
+Reference parity: the scheduler's warp routes (`api/mod.rs:85-137`,
+handlers `api/handlers.rs`): /api/state, /api/jobs, /api/job/{id},
+/api/job/{id}/dot, /api/metrics — served here by a stdlib ThreadingHTTPServer
+over a StandaloneCluster. (The React UI consuming these is a round-2 item;
+the dot output renders with any graphviz viewer.)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+
+class ApiServer:
+    def __init__(self, cluster, host: str = "127.0.0.1", port: int = 0):
+        self.cluster = cluster
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, body, ctype="application/json"):
+                data = (json.dumps(body).encode()
+                        if ctype == "application/json" else body.encode())
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                try:
+                    outer._route(self)
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+            def do_PATCH(self):
+                m = re.fullmatch(r"/api/job/([a-z0-9]+)", self.path)
+                if m:
+                    ok = outer.cancel_job(m.group(1))
+                    self._send(200 if ok else 404,
+                               {"cancelled": bool(ok), "job_id": m.group(1)})
+                else:
+                    self._send(404, {"error": "not found"})
+
+        self.server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.server.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    # -- routing --
+    def _route(self, h):
+        path = h.path
+        sched = self.cluster.scheduler
+        if path == "/api/state":
+            h._send(200, {
+                "executors": [
+                    {"id": e.meta.executor_id, "task_slots": e.meta.task_slots,
+                     "free_slots": e.free_slots, "status": e.status.value}
+                    for e in sched.executor_manager.executors.values()],
+                "active_jobs": sum(
+                    1 for g in sched.task_manager.jobs.values()
+                    if g.state.value in ("running", "queued")),
+                "started": True,
+            })
+            return
+        if path == "/api/jobs":
+            h._send(200, [g.status()
+                          for g in sched.task_manager.jobs.values()])
+            return
+        m = re.fullmatch(r"/api/job/([a-z0-9]+)", path)
+        if m:
+            h._send(200, sched.job_status(m.group(1)))
+            return
+        m = re.fullmatch(r"/api/job/([a-z0-9]+)/dot", path)
+        if m:
+            jc = self.cluster.launcher.jobs.get(m.group(1))
+            if jc is None:
+                h._send(404, {"error": "not found"})
+                return
+            from .utils.dot import distributed_plan_dot
+            h._send(200, distributed_plan_dot(jc.dplan), ctype="text/vnd.graphviz")
+            return
+        if path == "/api/metrics":
+            h._send(200, {
+                "pending_tasks": sched.pending_task_count(),
+                "active": sched.is_active(),
+                "jobs_total": len(sched.task_manager.jobs),
+                "jobs_successful": sum(
+                    1 for g in sched.task_manager.jobs.values()
+                    if g.state.value == "successful"),
+                "jobs_failed": sum(
+                    1 for g in sched.task_manager.jobs.values()
+                    if g.state.value == "failed"),
+                "stage_metrics": {
+                    sid: m.as_dict()
+                    for sid, m in self.cluster.runtime.metrics.items()},
+            })
+            return
+        h._send(404, {"error": "not found"})
+
+    def cancel_job(self, job_id: str) -> bool:
+        from .scheduler.execution_graph import JobState
+        g = self.cluster.scheduler.task_manager.jobs.get(job_id)
+        if g is None:
+            return False
+        if g.state in (JobState.QUEUED, JobState.RUNNING):
+            g.state = JobState.CANCELLED
+            g.error = "cancelled by user"
+        return True
+
+    # -- lifecycle --
+    def start(self):
+        self._thread = threading.Thread(target=self.server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.server.shutdown()

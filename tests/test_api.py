@@ -1,0 +1,67 @@
+"""REST API (reference /api/* route parity) over a standalone cluster."""
+
+import json
+import urllib.request
+
+import pytest
+
+from ballista_tpu.api import ApiServer
+from ballista_tpu.benchmarks import TPCH_QUERIES
+from ballista_tpu.client import SessionContext
+from ballista_tpu.datagen import register_tpch
+from ballista_tpu.parallel.mesh import make_mesh
+from ballista_tpu.scheduler.distributed_planner import DistOptions
+from ballista_tpu.scheduler.standalone import StandaloneCluster
+
+
+@pytest.fixture(scope="module")
+def api():
+    ctx = SessionContext()
+    register_tpch(ctx, 0.002)
+    cl = StandaloneCluster(ctx, make_mesh(8), DistOptions(n_partitions=8))
+    server = ApiServer(cl).start()
+    yield server, cl
+    server.stop()
+
+
+def get(server, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}") as r:
+        body = r.read().decode()
+        return r.status, body
+
+
+def test_state_jobs_metrics_dot(api):
+    server, cl = api
+    job_id = cl.submit_sql(TPCH_QUERIES[1])
+    cl.scheduler.run_until_idle()
+
+    code, body = get(server, "/api/state")
+    state = json.loads(body)
+    assert code == 200 and state["executors"][0]["id"] == "mesh-executor-0"
+
+    code, body = get(server, "/api/jobs")
+    jobs = json.loads(body)
+    assert any(j["job_id"] == job_id for j in jobs)
+
+    code, body = get(server, f"/api/job/{job_id}")
+    assert json.loads(body)["state"] == "successful"
+
+    code, body = get(server, f"/api/job/{job_id}/dot")
+    assert code == 200 and body.startswith("digraph")
+
+    code, body = get(server, "/api/metrics")
+    m = json.loads(body)
+    assert m["jobs_successful"] >= 1 and not m["active"]
+
+    code, body = get(server, "/api/job/nope123")
+    assert json.loads(body)["state"] == "not_found"
+
+
+def test_cancel_job(api):
+    server, cl = api
+    job_id = cl.submit_sql(TPCH_QUERIES[6])
+    import urllib.request
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/api/job/{job_id}", method="PATCH")
+    with urllib.request.urlopen(req) as r:
+        assert json.loads(r.read())["cancelled"]
