@@ -444,6 +444,35 @@ def _mask_after(b: Batch, count) -> Batch:
     return Batch(tuple(cols), count)
 
 
+class DictRemapExec(ExecNode):
+    """Re-encode dictionary-coded string columns against new (union)
+    dictionaries via a host-built LUT gather — used when UNION branches or
+    other multi-source merges carry per-source dictionaries."""
+
+    def __init__(self, child: ExecNode, luts: Dict[str, "object"],
+                 new_dicts: Dict[str, "object"]):
+        import numpy as np
+        self.children = (child,)
+        self.capacity = child.capacity
+        self._luts = {child.schema.index_of(n): jnp.asarray(l.astype(np.int32))
+                      for n, l in luts.items()}
+        dicts = dict(child.schema.dictionaries)
+        dicts.update(new_dicts)
+        self.schema = Schema(child.schema.fields, dicts)
+
+    def evaluate(self, inputs):
+        b = self.children[0].evaluate(inputs)
+        cols = list(b.columns)
+        for idx, lut in self._luts.items():
+            c = cols[idx]
+            code = jnp.clip(c.data, 0, lut.shape[0] - 1)
+            cols[idx] = Column(lut[code], c.validity)
+        return Batch(tuple(cols), b.num_rows)
+
+    def _label(self):
+        return f"DictRemapExec(cols={sorted(self._luts)})"
+
+
 class SortExec(ExecNode):
     """keys: list of (expr, ascending, nulls_first|None)."""
 

@@ -192,3 +192,19 @@ class Distinct(LogicalPlan):
 
     def children(self):
         return (self.input,)
+
+
+@dataclasses.dataclass
+class Union(LogicalPlan):
+    """UNION ALL of schema-compatible inputs (bag semantics; wrap in
+    Distinct for UNION)."""
+    inputs: Tuple[LogicalPlan, ...]
+
+    def schema(self):
+        return self.inputs[0].schema()
+
+    def children(self):
+        return tuple(self.inputs)
+
+    def _label(self):
+        return f"Union(n={len(self.inputs)})"

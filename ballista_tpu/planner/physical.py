@@ -30,6 +30,42 @@ class PhysicalOptions:
     join_out_factor: float = 1.0
 
 
+def align_union_inputs(kids):
+    """Rename every input's columns to the first input's names and re-encode
+    string columns against union dictionaries so codes agree across inputs."""
+    import numpy as np
+    from ..exec.plan import DictRemapExec, ProjectExec as PE
+    from ..exprs import Col as C
+    from ..schema import TypeKind
+
+    names = [f.name for f in kids[0].schema.fields]
+    renamed = [kids[0]]
+    for k in kids[1:]:
+        renamed.append(PE(k, [C(f.name) for f in k.schema.fields], names=names))
+    union_dicts = {}
+    for i, f in enumerate(renamed[0].schema.fields):
+        if f.dtype.kind is not TypeKind.STRING:
+            continue
+        dicts = [r.schema.dictionary(names[i]) for r in renamed]
+        if any(d is None for d in dicts):
+            continue
+        if all(len(d) == len(dicts[0]) and (d.astype(str) == dicts[0].astype(str)).all()
+               for d in dicts[1:]):
+            continue
+        union = np.unique(np.concatenate([d.astype(str) for d in dicts]))
+        union_dicts[names[i]] = union.astype(object)
+    if not union_dicts:
+        return renamed
+    out = []
+    for r in renamed:
+        luts = {}
+        for n, u in union_dicts.items():
+            d = r.schema.dictionary(n)
+            luts[n] = np.searchsorted(u, d.astype(str))
+        out.append(DictRemapExec(r, luts, union_dicts))
+    return out
+
+
 def _strip_filters(p: L.LogicalPlan):
     """Peel Filter nodes off a plan; returns (inner, conjoined predicate).
     Used to fuse filtering into the aggregation live-mask."""
@@ -93,6 +129,9 @@ def create_physical_plan(plan: L.LogicalPlan,
             return HashJoinExec(build, probe, list(p.on), p.how,
                                 unique_build=p.unique_build,
                                 out_capacity=out_cap)
+        if isinstance(p, L.Union):
+            from ..exec.plan import CoalesceExec
+            return CoalesceExec(align_union_inputs([lower(c) for c in p.inputs]))
         raise NotImplementedError(type(p).__name__)
 
     return lower(plan)

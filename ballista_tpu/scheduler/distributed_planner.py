@@ -201,6 +201,11 @@ class DistributedPlanner:
             local = LimitExec(child, p.n)
             leaf = self._cut_gather(local)
             return PartitionPruneExec(LimitExec(leaf, p.n))
+        if isinstance(p, L.Union):
+            from ..exec.plan import CoalesceExec
+            from ..planner.physical import align_union_inputs
+            return CoalesceExec(align_union_inputs(
+                [self._lower(c) for c in p.inputs]))
         raise NotImplementedError(type(p).__name__)
 
 

@@ -80,6 +80,14 @@ class JoinClause:
 
 
 @dataclasses.dataclass
+class UnionStmt:
+    inputs: list          # List[SelectStmt]
+    all: bool = False
+    order_by: list = dataclasses.field(default_factory=list)
+    limit: Optional[int] = None
+
+
+@dataclasses.dataclass
 class SelectStmt:
     projections: List[Tuple[Expr, Optional[str]]] = dataclasses.field(default_factory=list)
     from_tables: List[TableRef] = dataclasses.field(default_factory=list)
@@ -179,7 +187,25 @@ class Parser:
         return t.kind == "kw" and t.value in words
 
     # -- statement --
-    def parse_select(self) -> SelectStmt:
+    def parse_select(self):
+        """SELECT, possibly a UNION [ALL] chain; the last member's ORDER BY
+        and LIMIT apply to the whole union (standard SQL)."""
+        stmt = self._parse_select_one()
+        if not self.at_kw("union"):
+            return stmt
+        parts = [stmt]
+        is_all = False
+        while self.accept("kw", "union"):
+            is_all = bool(self.accept("kw", "all"))
+            parts.append(self._parse_select_one())
+        u = UnionStmt(parts, all=is_all)
+        u.order_by = parts[-1].order_by
+        parts[-1].order_by = []
+        u.limit = parts[-1].limit
+        parts[-1].limit = None
+        return u
+
+    def _parse_select_one(self) -> SelectStmt:
         self.expect("kw", "select")
         stmt = SelectStmt()
         if self.accept("kw", "distinct"):

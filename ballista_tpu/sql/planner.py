@@ -450,8 +450,15 @@ class SqlPlanner:
                                  unique_build=uniq)
                 if not uniq:
                     current_uniq = []
+            elif how == "right":
+                # preserve the NEW relation's rows: probe=new, build=current
+                uniq = any(s <= cur_cols for s in current_uniq)
+                current = L.Join(current, new_plan, tuple(pairs), "left_outer",
+                                 unique_build=uniq)
+                current_uniq = list(new_uniq)
             else:
-                raise NotImplementedError(f"join type {how}")
+                raise NotImplementedError(
+                    f"join type {how} (FULL OUTER planned for a later round)")
             joined_ids.add(pick)
             remaining.remove(pick)
 
@@ -663,11 +670,43 @@ class SqlPlanner:
 
     # -- top level --
 
-    def plan_select(self, stmt: SelectStmt, outer: Optional[Scope] = None) -> L.LogicalPlan:
+    def plan_select(self, stmt, outer: Optional[Scope] = None) -> L.LogicalPlan:
+        from .parser import UnionStmt
+        if isinstance(stmt, UnionStmt):
+            return self._plan_union(stmt, outer)
         fw = self.plan_from_where(stmt, outer)
         if fw.corr_equi or fw.corr_residual:
             raise ValueError("unexpected correlated references at top level")
         return self._plan_projection(stmt, fw)
+
+    def _plan_union(self, stmt, outer) -> L.LogicalPlan:
+        parts = [self.plan_select(s, outer) for s in stmt.inputs]
+        first = parts[0].schema()
+        names = [f.name for f in first.fields]
+        aligned = [parts[0]]
+        for p in parts[1:]:
+            s = p.schema()
+            if len(s.fields) != len(names):
+                raise ValueError("UNION inputs have different column counts")
+            aligned.append(L.Projection(
+                p, tuple(Col(f.name) for f in s.fields), tuple(names)))
+        out: L.LogicalPlan = L.Union(tuple(aligned))
+        if not stmt.all:
+            out = L.Distinct(out)
+        if stmt.order_by:
+            keys = []
+            for key, asc, nf in stmt.order_by:
+                if isinstance(key, int):
+                    keys.append((Col(names[key - 1]), asc, nf))
+                elif isinstance(key, Col) and key.name in names:
+                    keys.append((key, asc, nf))
+                else:
+                    raise NotImplementedError(
+                        "UNION ORDER BY must reference output columns")
+            out = L.Sort(out, tuple(keys))
+        if stmt.limit is not None:
+            out = L.Limit(out, stmt.limit)
+        return out
 
     def _resolver(self, scope: Scope):
         def f(name: str) -> str:
