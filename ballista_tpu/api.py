@@ -57,6 +57,9 @@ class ApiServer:
     def _route(self, h):
         path = h.path
         sched = self.cluster.scheduler
+        if path in ("/", "/index.html"):
+            h._send(200, DASHBOARD_HTML, ctype="text/html")
+            return
         if path == "/api/state":
             h._send(200, {
                 "executors": [
@@ -123,3 +126,34 @@ class ApiServer:
 
     def stop(self):
         self.server.shutdown()
+
+
+# Minimal dashboard (the reference ships a React UI consuming the same
+# routes, `ui/src`; this is the zero-build equivalent).
+DASHBOARD_HTML = """<!doctype html>
+<html><head><title>ballista_tpu</title><style>
+body{font-family:monospace;margin:2em;background:#111;color:#ddd}
+table{border-collapse:collapse;margin:1em 0}
+td,th{border:1px solid #444;padding:4px 10px;text-align:left}
+h1{color:#7cf} .ok{color:#7f7} .bad{color:#f77} a{color:#7cf}
+</style></head><body>
+<h1>ballista_tpu scheduler</h1>
+<div id="state"></div><h2>Jobs</h2><div id="jobs"></div>
+<script>
+async function refresh(){
+  const s = await (await fetch('/api/state')).json();
+  document.getElementById('state').innerHTML =
+    '<table><tr><th>executor</th><th>slots</th><th>status</th></tr>' +
+    s.executors.map(e=>`<tr><td>${e.id}</td><td>${e.free_slots}/${e.task_slots}</td><td>${e.status}</td></tr>`).join('') +
+    `</table>active jobs: ${s.active_jobs}`;
+  const jobs = await (await fetch('/api/jobs')).json();
+  document.getElementById('jobs').innerHTML =
+    '<table><tr><th>job</th><th>state</th><th>stages</th><th>dot</th></tr>' +
+    jobs.map(j=>{
+      const cls = j.state==='successful'?'ok':(j.state==='failed'?'bad':'');
+      const stages = Object.entries(j.stages).map(([id,st])=>`${id}:${st.state[0]}(${st.successful}/${st.partitions})`).join(' ');
+      return `<tr><td>${j.job_id}</td><td class="${cls}">${j.state}</td><td>${stages}</td><td><a href="/api/job/${j.job_id}/dot">dot</a></td></tr>`;
+    }).join('') + '</table>';
+}
+refresh(); setInterval(refresh, 2000);
+</script></body></html>"""

@@ -96,6 +96,14 @@ class SessionContext:
         import pyarrow.parquet as pq
         self.register_arrow(name, pq.read_table(path), primary_key)
 
+    def register_udf(self, name: str, fn, out_dtype,
+                     propagate_nulls: bool = True) -> None:
+        """Register a scalar UDF usable from SQL / DataFrame expressions
+        (BallistaContext UDF registry parity; fn is traced into the stage
+        XLA program, so it must be jittable)."""
+        from .. import exprs as E
+        E.register_udf(name, fn, out_dtype, propagate_nulls)
+
     def unique_keys(self, name: str):
         """Unique column sets for join build-side selection (declared PK,
         else inferred for small tables)."""

@@ -734,8 +734,34 @@ def _cast_col(col: Column, src: DataType, dst: DataType) -> Column:
     return Column(col.data.astype(dst.jnp_dtype), col.validity)
 
 
+# User-defined scalar functions (the reference's dlopen UDF plugin system,
+# core/src/plugin/udf.rs, re-imagined as jittable JAX callables).
+_UDF_REGISTRY: dict = {}
+
+
+def register_udf(name: str, fn, out_dtype: DataType,
+                 propagate_nulls: bool = True) -> None:
+    """fn(*data_arrays) -> data_array, traced into the stage program."""
+    _UDF_REGISTRY[name.lower()] = (fn, out_dtype, propagate_nulls)
+
+
 def _bind_scalar_fn(e: ScalarFn, schema: Schema) -> Bound:
     name = e.name.lower()
+    if name in _UDF_REGISTRY:
+        fn_impl, out_dtype, prop = _UDF_REGISTRY[name]
+        parts = [bind_expr(a, schema) for a in e.args]
+
+        def fn(batch):
+            cols = [p.fn(batch) for p in parts]
+            data = fn_impl(*[c.data for c in cols]).astype(out_dtype.jnp_dtype)
+            if prop and cols:
+                valid = cols[0].validity
+                for c in cols[1:]:
+                    valid = valid & c.validity
+            else:
+                valid = jnp.ones(batch.capacity, dtype=jnp.bool_)
+            return Column(data, valid)
+        return Bound(out_dtype, True, fn)
     if name == "extract_year":
         c = bind_expr(e.args[0], schema)
 

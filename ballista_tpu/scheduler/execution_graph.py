@@ -294,6 +294,39 @@ class ExecutionGraph:
         self._revive()
         return affected
 
+    def trip_stage(self, stage_id: int) -> List[JobEvent]:
+        """Circuit-breaker preemption (execution_graph.rs:1510): synthesize
+        successful completions for all unscheduled/running partitions of a
+        stage — used when a global row limit is already satisfied and the
+        remaining work is unnecessary."""
+        st = self.stages.get(stage_id)
+        events: List[JobEvent] = []
+        if st is None or st.state is not StageState.RUNNING:
+            return events
+        now = time.time()
+        for p in range(st.n_partitions):
+            ti = st.task_infos[p]
+            if ti is None:
+                tid = self._next_task_id
+                self._next_task_id += 1
+                st.task_infos[p] = TaskInfo(tid, p, "<circuit-breaker>", now,
+                                            now, "successful")
+            elif ti.status == "running":
+                ti.status = "successful"
+                ti.finished_at = now
+        if st.all_successful:
+            st.state = StageState.SUCCESSFUL
+            events.append(JobEvent.STAGE_COMPLETED)
+            events.append(JobEvent.CANCEL_TASKS)
+            for consumer in self.stages.values():
+                if stage_id in consumer.inputs:
+                    consumer.completed_inputs.add(stage_id)
+        self._revive()
+        if self._finished():
+            self.state = JobState.SUCCESSFUL
+            events.append(JobEvent.JOB_FINISHED)
+        return events
+
     def _finished(self) -> bool:
         return all(st.state is StageState.SUCCESSFUL
                    for st in self.stages.values())

@@ -65,3 +65,18 @@ def test_cancel_job(api):
         f"http://127.0.0.1:{server.port}/api/job/{job_id}", method="PATCH")
     with urllib.request.urlopen(req) as r:
         assert json.loads(r.read())["cancelled"]
+
+
+def test_dashboard_and_udf(api):
+    server, cl = api
+    code, body = get(server, "/")
+    assert code == 200 and "ballista_tpu scheduler" in body
+
+    # UDF registry (plugin-system parity): usable straight from SQL
+    import jax.numpy as jnp
+    from ballista_tpu.schema import INT64
+    cl.ctx.register_udf("double_it", lambda x: x * 2, INT64)
+    df = cl.ctx.sql(
+        "select double_it(n_nationkey) as d from nation order by d desc limit 2"
+    ).to_pandas()
+    assert list(df["d"]) == [48, 46]

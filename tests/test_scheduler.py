@@ -237,3 +237,24 @@ class TestSchedulerServer:
         s.run_until_idle()
         assert not s.is_active()
         assert s.pending_task_count() == 0
+
+
+class TestCircuitBreaker:
+    def test_trip_stage_preempts_remaining_partitions(self):
+        """Circuit-breaker trip (execution_graph.rs:1510 parity): a stage
+        whose global row limit is satisfied completes without running its
+        remaining partitions."""
+        g = diamond_graph(parts=4)
+        t = g.pop_next_task("e1", max_partitions=1)  # 1 of 4 scheduled
+        g.update_task_status([ok(t)])
+        events = g.trip_stage(0)
+        from ballista_tpu.scheduler.execution_graph import (JobEvent,
+                                                            StageState)
+        assert g.stages[0].state is StageState.SUCCESSFUL
+        assert JobEvent.STAGE_COMPLETED in events
+        # synthesized completions carry the circuit-breaker marker
+        markers = [ti.executor_id for ti in g.stages[0].task_infos]
+        assert markers.count("<circuit-breaker>") == 3
+        drain(g)
+        from ballista_tpu.scheduler.execution_graph import JobState
+        assert g.state is JobState.SUCCESSFUL
