@@ -161,6 +161,8 @@ class SessionContext:
         capacities = {name: tp.capacity for name, tp in self.tables.items()}
         # refresh scan schemas to include ingest-time dictionaries
         plan = _rebind_scans(plan, self)
+        from ..planner.optimizer import prune_columns
+        plan = prune_columns(plan)
         opts = self.options
         for attempt in range(max_retries):
             exec_plan = create_physical_plan(plan, capacities, opts)

@@ -35,6 +35,7 @@ from ..batch import round_capacity
 class Source:
     kind: str          # 'table' | 'stage'
     name: str          # table name or producer stage id
+    columns: Optional[Tuple[str, ...]] = None  # pruned scan column subset
 
 
 @dataclasses.dataclass
@@ -120,11 +121,17 @@ class DistributedPlanner:
         if isinstance(p, L.TableScan):
             tp = self.ctx.tables[p.table_name]
             per_shard = round_capacity(-(-tp.capacity // self.opts.n_partitions))
+            if p.projection is not None:
+                # pruned scan: the runtime ships only these columns to the
+                # mesh (leaf id distinguishes column subsets)
+                leaf_id = f"{p.table_name}#{'_'.join(p.projection)}"
+                leaf = InputLeaf(leaf_id, tp.schema.select(p.projection),
+                                 per_shard)
+                self._sources[leaf_id] = Source("table", p.table_name,
+                                                columns=tuple(p.projection))
+                return leaf
             leaf = InputLeaf(p.table_name, tp.schema, per_shard)
             self._sources[p.table_name] = Source("table", p.table_name)
-            if p.projection is not None:
-                return ProjectExec(leaf, [Col(n) for n in p.projection],
-                                   names=list(p.projection))
             return leaf
         if isinstance(p, L.Filter):
             return FilterExec(self._lower(p.input), p.predicate)

@@ -56,13 +56,17 @@ class DistributedRuntime:
         self.metrics: Dict[int, StageMetrics] = {}
 
     # -- table partitioning (scan side) --
-    def table_partitions(self, name: str) -> Tuple[PartitionedBatch, object]:
-        if name not in self._table_cache:
+    def table_partitions(self, name: str, columns=None) -> Tuple[PartitionedBatch, object]:
+        key = (name, tuple(columns) if columns else None)
+        if key not in self._table_cache:
             tp = self.ctx.tables[name]
-            pb, schema = partition_arrow(tp.arrow_table, self.opts.n_partitions,
+            table = tp.arrow_table
+            if columns:
+                table = table.select(list(columns))
+            pb, schema = partition_arrow(table, self.opts.n_partitions,
                                          self.mesh)
-            self._table_cache[name] = (pb, schema)
-        return self._table_cache[name]
+            self._table_cache[key] = (pb, schema)
+        return self._table_cache[key]
 
     # -- stage execution --
     def _compile_stage(self, stage: Stage):
@@ -111,7 +115,8 @@ class DistributedRuntime:
             for lid in leaf_ids:
                 src = stage.sources[lid]
                 if src.kind == "table":
-                    pb, _ = self.table_partitions(src.name)
+                    pb, _ = self.table_partitions(src.name,
+                                                  getattr(src, "columns", None))
                 else:
                     pb = outputs[src.name]
                 inputs[lid] = pb
@@ -143,6 +148,8 @@ def execute_distributed(ctx, plan, mesh=None, options: Optional[DistOptions] = N
     from ..client.context import _rebind_scans
 
     plan = _rebind_scans(plan, ctx)
+    from ..planner.optimizer import prune_columns
+    plan = prune_columns(plan)
     rt = DistributedRuntime(ctx, mesh, options)
     opts = rt.opts
     for attempt in range(max_retries):

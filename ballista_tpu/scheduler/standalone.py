@@ -77,7 +77,8 @@ class JobContext:
             for lid in leaf_ids:
                 src = stage.sources[lid]
                 if src.kind == "table":
-                    pb, _ = self.runtime.table_partitions(src.name)
+                    pb, _ = self.runtime.table_partitions(
+                        src.name, getattr(src, "columns", None))
                 else:
                     pb = self.outputs[src.name]
                 inputs[lid] = pb
@@ -128,6 +129,8 @@ class StandaloneCluster:
         from ..client.context import _rebind_scans
 
         plan = _rebind_scans(plan, self.ctx)
+        from ..planner.optimizer import prune_columns
+        plan = prune_columns(plan)
         planner = DistributedPlanner(self.ctx, self.runtime.opts)
         dplan = planner.plan(plan)
         job_id = random_job_id()
