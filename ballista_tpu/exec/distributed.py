@@ -25,11 +25,15 @@ from .plan import ExecNode, InputLeaf
 
 
 class _TraceCtx:
-    """Collects per-stage side outputs (overflow flags) during tracing."""
+    """Collects per-stage side outputs during tracing: overflow flags and
+    per-operator output row counts (the reference ships per-operator
+    metric sets in TaskStatus, proto:286-319 — here they ride along as
+    scalar outputs of the stage program)."""
     _current: Optional["_TraceCtx"] = None
 
     def __init__(self):
         self.overflow: List[jax.Array] = []
+        self.op_rows: List[tuple] = []   # (label, traced int32 rows)
 
     def __enter__(self):
         _TraceCtx._current = self
@@ -42,6 +46,11 @@ class _TraceCtx:
     def record_overflow(cls, flag):
         if cls._current is not None:
             cls._current.overflow.append(flag)
+
+    @classmethod
+    def record_rows(cls, label: str, num_rows):
+        if cls._current is not None:
+            cls._current.op_rows.append((label, num_rows))
 
 
 class ExchangeExec(ExecNode):

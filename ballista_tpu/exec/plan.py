@@ -91,8 +91,11 @@ class FilterExec(ExecNode):
         self._bound = bind_expr(predicate, child.schema)
 
     def evaluate(self, inputs):
+        from .distributed import _TraceCtx
         b = self.children[0].evaluate(inputs)
-        return filter_batch(b, self._bound.fn(b))
+        out = filter_batch(b, self._bound.fn(b))
+        _TraceCtx.record_rows(self._label(), out.num_rows)
+        return out
 
     def _label(self):
         return f"FilterExec({self.predicate})"
@@ -312,6 +315,7 @@ class HashAggregateExec(ExecNode):
             cols = [Column(jnp.resize(c.data, (cap,)),
                            jnp.resize(c.validity, (cap,)) & (jnp.arange(cap) < n_groups))
                     for c in cols]
+        _TraceCtx.record_rows(self._label(), n_groups)
         return Batch(tuple(cols), n_groups)
 
     def _label(self):
@@ -396,14 +400,17 @@ class HashJoinExec(ExecNode):
             data = jnp.take(c.data, safe, mode="clip")
             valid = jnp.take(c.validity, safe, mode="clip") & matched
             build_cols.append(Column(data, valid))
+        from .distributed import _TraceCtx
         all_cols = tuple(build_cols) + probe_b.columns
         joined = Batch(all_cols, probe_b.num_rows)
         if self.join_type == "inner":
             keep = matched & plive
             perm, count = compaction_perm(keep)
+            _TraceCtx.record_rows(self._label(), count)
             return _mask_after(gather_batch(joined, perm, count), count)
         if self.join_type == "left_outer":
             # all probe rows survive; build cols already null where unmatched
+            _TraceCtx.record_rows(self._label(), joined.num_rows)
             return joined
         raise ValueError(self.join_type)
 

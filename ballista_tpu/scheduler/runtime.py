@@ -37,12 +37,14 @@ class StageMetrics:
         self.run_s = 0.0
         self.output_rows = 0
         self.retries = 0
+        self.operator_rows = {}   # per-operator output rows across shards
 
     def as_dict(self):
         return {"compile_s": round(self.compile_s, 4),
                 "run_s": round(self.run_s, 4),
                 "output_rows": int(self.output_rows),
-                "retries": self.retries}
+                "retries": self.retries,
+                "operator_rows": self.operator_rows}
 
 
 class DistributedRuntime:
@@ -75,6 +77,8 @@ class DistributedRuntime:
         root = stage.root
         leaf_ids = sorted({l.input_id for l in root.leaves()})
 
+        op_labels: List[str] = []
+
         def per_shard(inputs):
             batches = {}
             for k, pb in inputs.items():
@@ -88,19 +92,23 @@ class DistributedRuntime:
                         overflow = overflow | f
                 else:
                     overflow = jnp.bool_(False)
+                op_labels.clear()
+                op_labels.extend(l for l, _ in tc.op_rows)
+                rows = jnp.stack([jnp.asarray(r, jnp.int32)
+                                  for _, r in tc.op_rows]) if tc.op_rows                     else jnp.zeros(0, jnp.int32)
             out_pb = PartitionedBatch(
                 tuple(Column(c.data[None], c.validity[None]) for c in out.columns),
                 out.num_rows[None])
-            return out_pb, overflow[None]
+            return out_pb, overflow[None], rows[None]
 
         spec = P(PARTITION_AXIS)
         # check_vma=False: kernel while_loops carry constant-initialized
         # tables that become shard-varying; the varying-axis checker can't
         # prove that and there's no cross-shard communication inside them.
         fn = shard_map(per_shard, mesh=self.mesh,
-                       in_specs=(spec,), out_specs=(spec, spec),
+                       in_specs=(spec,), out_specs=(spec, spec, spec),
                        check_vma=False)
-        return jax.jit(fn), leaf_ids
+        return jax.jit(fn), leaf_ids, op_labels
 
     def execute(self, dplan: DistributedPlan):
         outputs: Dict[str, PartitionedBatch] = {}
@@ -110,7 +118,7 @@ class DistributedRuntime:
             m = StageMetrics()
             self.metrics[stage.stage_id] = m
             t0 = time.time()
-            fn, leaf_ids = self._compile_stage(stage)
+            fn, leaf_ids, op_labels = self._compile_stage(stage)
             inputs = {}
             for lid in leaf_ids:
                 src = stage.sources[lid]
@@ -120,9 +128,14 @@ class DistributedRuntime:
                 else:
                     pb = outputs[src.name]
                 inputs[lid] = pb
-            out, overflow = fn(inputs)
+            out, overflow, op_rows = fn(inputs)
             out.num_rows.block_until_ready()
             m.run_s = time.time() - t0
+            if op_labels:
+                import numpy as _np
+                totals = _np.asarray(op_rows).sum(axis=0)
+                m.operator_rows = {lbl: int(v) for lbl, v
+                                   in zip(op_labels, totals)}
             if bool(jnp.any(overflow)):
                 raise ShuffleOverflowError(
                     f"stage {stage.stage_id}: shuffle quota exceeded "

@@ -65,6 +65,7 @@ class JobContext:
         self.ctx = ctx
         self.logical_plan = logical_plan
         self.outputs: Dict[str, object] = {}
+        self.op_metrics: Dict[int, dict] = {}
         self.stage_by_id = {s.stage_id: s for s in dplan.stages}
 
     def run_stage(self, stage_id: int, max_quota_retries: int = 3):
@@ -72,7 +73,7 @@ class JobContext:
 
         for attempt in range(max_quota_retries):
             stage = self.stage_by_id[stage_id]
-            fn, leaf_ids = self.runtime._compile_stage(stage)
+            fn, leaf_ids, op_labels = self.runtime._compile_stage(stage)
             inputs = {}
             for lid in leaf_ids:
                 src = stage.sources[lid]
@@ -82,9 +83,13 @@ class JobContext:
                 else:
                     pb = self.outputs[src.name]
                 inputs[lid] = pb
-            out, overflow = fn(inputs)
+            out, overflow, op_rows = fn(inputs)
             if not bool(jnp.any(overflow)):
                 self.outputs[str(stage_id)] = out
+                self.op_metrics[stage_id] = {
+                    lbl: int(v) for lbl, v in zip(
+                        op_labels, __import__("numpy").asarray(op_rows).sum(axis=0))
+                } if op_labels else {}
                 return
             if attempt == max_quota_retries - 1:
                 raise ShuffleOverflowError(

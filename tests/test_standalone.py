@@ -95,3 +95,19 @@ def test_session_context_distributed_mode():
     assert len(df) == len(exp)
     np.testing.assert_allclose(df["value"].astype(float),
                                exp["value"].astype(float), rtol=1e-6)
+
+
+def test_operator_metrics_collected(cluster):
+    cl, pdt = cluster
+    jid = cl.submit_sql(
+        "select l_returnflag, count(*) as c from lineitem "
+        "where l_quantity < 10 group by l_returnflag")
+    cl.scheduler.run_until_idle()
+    jc = cl.launcher.jobs[jid]
+    all_ops = {}
+    for sid, ops in jc.op_metrics.items():
+        all_ops.update(ops)
+    assert any("HashAggregateExec" in k for k in all_ops), all_ops
+    # group counts are small; aggregate output rows must be tiny
+    agg_rows = [v for k, v in all_ops.items() if "HashAggregateExec" in k]
+    assert all(v <= 32 for v in agg_rows)
