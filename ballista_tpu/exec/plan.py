@@ -335,10 +335,19 @@ class HashJoinExec(ExecNode):
     def __init__(self, build: ExecNode, probe: ExecNode,
                  on: Sequence[Tuple[str, str]], join_type: str = "inner",
                  table_size: Optional[int] = None, unique_build: bool = True,
-                 out_capacity: Optional[int] = None):
+                 out_capacity: Optional[int] = None,
+                 build_pre_filter: Optional[Expr] = None,
+                 probe_pre_filter: Optional[Expr] = None):
         self.children = (build, probe)
         self.on = tuple(on)
         self.join_type = join_type
+        # fused predicates: filtering via join live-masks avoids FilterExec's
+        # compaction argsort (both a runtime cost and ~1min of TPU compile
+        # per distinct sort shape)
+        self._build_pre = (bind_expr(build_pre_filter, build.schema)
+                           if build_pre_filter is not None else None)
+        self._probe_pre = (bind_expr(probe_pre_filter, probe.schema)
+                           if probe_pre_filter is not None else None)
         # semi/anti only test existence: the unique-key probe handles
         # duplicate build keys correctly (first-installer slot wins)
         self.unique_build = unique_build or join_type in ("semi", "anti")
@@ -372,6 +381,12 @@ class HashJoinExec(ExecNode):
         pkeys = [probe_b.columns[i] for i in self._probe_idx]
         blive = row_mask(build_b)
         plive = row_mask(probe_b)
+        if self._build_pre is not None:
+            c = self._build_pre.fn(build_b)
+            blive = blive & c.data.astype(jnp.bool_) & c.validity
+        if self._probe_pre is not None:
+            c = self._probe_pre.fn(probe_b)
+            plive = plive & c.data.astype(jnp.bool_) & c.validity
         if not self.unique_build:
             return self._evaluate_expanding(build_b, probe_b, bkeys, pkeys,
                                             blive, plive)

@@ -214,15 +214,15 @@ def sorted_layout_from_keys(norm_keys: Sequence[jax.Array], live: jax.Array,
         rolled = jnp.concatenate([k[:1], k[:-1]])
         prev_same = prev_same & (k == rolled)
     first = live_sorted & (~prev_same | (pos == 0))
-    run_id = jnp.where(live_sorted,
-                       jnp.cumsum(first.astype(jnp.int32)) - 1, n)
-    n_groups = jnp.sum(first).astype(jnp.int32)
-    # run_start[g] / run_end[g] via sorted positions of firsts/lasts
+    firsts_csum = jnp.cumsum(first.astype(jnp.int32))
+    run_id = jnp.where(live_sorted, firsts_csum - 1, n)
+    n_groups = firsts_csum[-1] if n else jnp.int32(0)
     gid = jnp.arange(T, dtype=jnp.int32)
-    # positions of run starts, in order: they are exactly the positions where
-    # first is true; compact them to the front
-    start_perm = jnp.argsort(~first, stable=True)
-    run_start = jnp.take(pos, start_perm)[:T]
+    # run_start[g] = first position where the running count of firsts
+    # reaches g+1 — a searchsorted, not another full argsort (each distinct
+    # large sort costs ~1min of TPU compile time)
+    run_start = jnp.searchsorted(firsts_csum, gid + 1, side="left").astype(jnp.int32)
+    run_start = jnp.clip(run_start, 0, n - 1)
     next_start = jnp.concatenate([run_start[1:], jnp.full(1, n, jnp.int32)])
     total_live = jnp.sum(live_sorted).astype(jnp.int32)
     run_end = jnp.where(gid + 1 < n_groups, next_start - 1, total_live - 1)

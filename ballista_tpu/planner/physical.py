@@ -120,7 +120,14 @@ def create_physical_plan(plan: L.LogicalPlan,
         if isinstance(p, L.Limit):
             return LimitExec(lower(p.input), p.n)
         if isinstance(p, L.Join):
-            build, probe = lower(p.left), lower(p.right)
+            binner, bpred = _strip_filters(p.left)
+            # the unique-build left_outer path is positional: probe rows
+            # can't be dropped by a mask, so keep its FilterExec
+            if p.how == "left_outer" and p.unique_build:
+                pinner, ppred = p.right, None
+            else:
+                pinner, ppred = _strip_filters(p.right)
+            build, probe = lower(binner), lower(pinner)
             out_cap = None
             if not p.unique_build and p.how not in ("semi", "anti"):
                 from ..batch import round_capacity
@@ -128,7 +135,9 @@ def create_physical_plan(plan: L.LogicalPlan,
                     opts.join_out_factor * (build.capacity + probe.capacity)))
             return HashJoinExec(build, probe, list(p.on), p.how,
                                 unique_build=p.unique_build,
-                                out_capacity=out_cap)
+                                out_capacity=out_cap,
+                                build_pre_filter=bpred,
+                                probe_pre_filter=ppred)
         if isinstance(p, L.Union):
             from ..exec.plan import CoalesceExec
             return CoalesceExec(align_union_inputs([lower(c) for c in p.inputs]))

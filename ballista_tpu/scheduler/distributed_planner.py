@@ -174,12 +174,22 @@ class DistributedPlanner:
             return PartitionPruneExec(final)
         if isinstance(p, L.Join):
             build = self._lower(p.left)
-            probe = self._lower(p.right)
             on = list(p.on)
             if build.capacity <= self.opts.broadcast_threshold // max(self.opts.n_partitions, 1):
+                # broadcast path: the probe stays in this stage, so its
+                # filters fuse into the join live-mask (saves a compaction
+                # sort per filter); build is cut (compacts before gather)
+                from ..planner.physical import _strip_filters
+                if p.how == "left_outer" and p.unique_build:
+                    pinner, ppred = p.right, None
+                else:
+                    pinner, ppred = _strip_filters(p.right)
+                probe = self._lower(pinner)
                 bleaf = self._cut_gather(build)
                 return HashJoinExec(bleaf, probe, on, p.how,
-                                    unique_build=p.unique_build)
+                                    unique_build=p.unique_build,
+                                    probe_pre_filter=ppred)
+            probe = self._lower(p.right)
             bkeys = [a for a, _ in on]
             pkeys = [b for _, b in on]
             bleaf = self._cut_shuffle(build, bkeys, expected_rows=build.capacity)
