@@ -84,35 +84,28 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
     for k in s_keys:
         rolled = jnp.concatenate([k[:1], k[:-1]])
         prev_same = prev_same & (k == rolled)
-    run_start = ~prev_same | (pos == 0)
+    first_flag = ~prev_same | (pos == 0)
 
-    # segmented inclusive count of build rows within the run
-    def op(a, b):
-        ar, ac = a
-        br, bc = b
-        return ar | br, jnp.where(br, bc, ac + bc)
-
-    _, builds_so_far = jax.lax.associative_scan(
-        op, (run_start, s_build.astype(jnp.int32)))
-    # segmented forward fill of the first build row's sorted position
-    first_build_here = s_build & (builds_so_far == 1)
-    tag = jnp.where(first_build_here, 1,
-                    jnp.where(run_start, 2, 0)).astype(jnp.int32)
-    val = jnp.where(first_build_here, pos, -1)
-
-    def ff(a, b):
-        at, av = a
-        bt, bv = b
-        take_b = bt != 0
-        return jnp.where(take_b, bt, at), jnp.where(take_b, bv, av)
-
-    ftag, ffirst = jax.lax.associative_scan(ff, (tag, val))
+    # Scan-free run machinery (associative_scan costs tens of minutes of
+    # TPU compile): builds precede probes within a run, so the run's first
+    # element is its first build (if any), and per-position build counts
+    # come from cumsum differences against the run start.
+    fcsum = jnp.cumsum(first_flag.astype(jnp.int32))
+    run_id = fcsum - 1
+    gid = jnp.arange(n, dtype=jnp.int32)
+    run_start_arr = jnp.searchsorted(fcsum, gid + 1, side="left").astype(jnp.int32)
+    start_pos = jnp.take(run_start_arr, jnp.clip(run_id, 0, n - 1))
+    bsf = jnp.cumsum(s_build.astype(jnp.int32))
+    builds_upto = (bsf - jnp.take(bsf, start_pos)
+                   + jnp.take(s_build, start_pos).astype(jnp.int32))
+    head_is_build = jnp.take(s_build, start_pos)
 
     # per probe row (original order): count + first build sorted position
     inv = jnp.argsort(order)
     ppos = jnp.take(inv, jnp.arange(nb, n))
-    cnt = jnp.take(builds_so_far, ppos)          # builds precede probes
-    first = jnp.where(jnp.take(ftag, ppos) == 1, jnp.take(ffirst, ppos), -1)
+    cnt = jnp.take(builds_upto, ppos)            # builds precede probes
+    first = jnp.where(jnp.take(head_is_build, ppos),
+                      jnp.take(start_pos, ppos), -1)
     cnt = jnp.where((first >= 0) & probe_live & ~p_any_null, cnt, 0)
     if left_outer:
         cnt = jnp.where(probe_live, jnp.maximum(cnt, 1), 0)

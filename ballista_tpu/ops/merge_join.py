@@ -61,21 +61,20 @@ def merge_probe_unique(build_keys: Tuple[jax.Array, ...],
     for k in s_keys:
         rolled = jnp.concatenate([k[:1], k[:-1]])
         prev_same = prev_same & (k == rolled)
-    run_start = ~prev_same | (pos == 0)
+    first = ~prev_same | (pos == 0)
 
-    # segmented forward-fill of the run's build row:
-    # tag 2=RESET (run start, no build), 1=SET (build row), 0=PASS
-    tag = jnp.where(s_build, 1, jnp.where(run_start, 2, 0)).astype(jnp.int32)
-    val = jnp.where(s_build, s_orig, -1)
-
-    def op(a, b):
-        at, av = a
-        bt, bv = b
-        take_b = bt != 0
-        return jnp.where(take_b, bt, at), jnp.where(take_b, bv, av)
-
-    ftag, fval = jax.lax.associative_scan(op, (tag, val))
-    matched_sorted = jnp.where(ftag == 1, fval, -1)
+    # Key insight (no scans needed): within a run, build rows precede probe
+    # rows (concat order + stable sort), so a run has a build match iff its
+    # FIRST element is a build row. run_start per position comes from a
+    # searchsorted over the firsts cumsum — associative_scan here cost
+    # tens of minutes of TPU compile time.
+    fcsum = jnp.cumsum(first.astype(jnp.int32))
+    run_id = fcsum - 1
+    gid = jnp.arange(n, dtype=jnp.int32)
+    run_start_arr = jnp.searchsorted(fcsum, gid + 1, side="left").astype(jnp.int32)
+    start_pos = jnp.take(run_start_arr, jnp.clip(run_id, 0, n - 1))
+    head_is_build = jnp.take(s_build, start_pos)
+    matched_sorted = jnp.where(head_is_build, jnp.take(s_orig, start_pos), -1)
 
     # route results back to original probe positions via the inverse perm
     inv = jnp.argsort(order)
