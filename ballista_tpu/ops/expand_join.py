@@ -90,11 +90,9 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
     # TPU compile): builds precede probes within a run, so the run's first
     # element is its first build (if any), and per-position build counts
     # come from cumsum differences against the run start.
-    fcsum = jnp.cumsum(first_flag.astype(jnp.int32))
-    run_id = fcsum - 1
-    gid = jnp.arange(n, dtype=jnp.int32)
-    run_start_arr = jnp.searchsorted(fcsum, gid + 1, side="left").astype(jnp.int32)
-    start_pos = jnp.take(run_start_arr, jnp.clip(run_id, 0, n - 1))
+    # start_pos per position: running max of first-positions (one cummax
+    # pass; an n-sized searchsorted here cost ~2s at 7.5M rows)
+    start_pos = jax.lax.cummax(jnp.where(first_flag, pos, 0))
     bsf = jnp.cumsum(s_build.astype(jnp.int32))
     builds_upto = (bsf - jnp.take(bsf, start_pos)
                    + jnp.take(s_build, start_pos).astype(jnp.int32))
