@@ -727,7 +727,14 @@ class SqlPlanner:
                     items.append((Col(f.name), f.name))
                 continue
             re_ = _rewrite_cols(e, resolver)
-            name = alias or expr_name(e)
+            if alias:
+                name = alias
+            elif isinstance(e, Col) and "." in e.name:
+                # qualified reference: display name drops the qualifier
+                # (select o.k -> column "k"), matching DataFusion
+                name = e.name.split(".", 1)[1]
+            else:
+                name = expr_name(e)
             items.append((re_, name))
 
         agg_calls: List[AggCall] = []
@@ -770,6 +777,11 @@ class SqlPlanner:
                     keys.append((Col(out_names[key - 1]), asc, nf))
                 elif isinstance(key, Col) and key.name in out_names:
                     keys.append((key, asc, nf))
+                elif isinstance(key, Col) and "." in key.name and \
+                        key.name.split(".", 1)[1] in out_names:
+                    # qualified ref to a projected column whose display name
+                    # dropped the qualifier (order by o.k -> column "k")
+                    keys.append((Col(key.name.split(".", 1)[1]), asc, nf))
                 else:
                     try:
                         k = _rewrite_cols(

@@ -1,0 +1,68 @@
+"""Edge cases: empty tables, fully-filtered batches, single rows, nulls."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ballista_tpu.client import SessionContext
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    c = SessionContext()
+    c.register_arrow("empty", pa.table({
+        "k": pa.array([], pa.int64()), "v": pa.array([], pa.float32()),
+        "s": pa.array([], pa.string())}))
+    c.register_arrow("one", pa.table({
+        "k": pa.array([42], pa.int64()), "v": pa.array([1.5], pa.float32())}))
+    c.register_arrow("nullt", pa.table({
+        "k": pa.array([1, None, 3], pa.int64()),
+        "v": pa.array([None, None, None], pa.float32())}))
+    c.register_arrow("big", pa.table({
+        "k": pa.array(list(range(100)), pa.int64()),
+        "g": pa.array(["a", "b"] * 50)}), primary_key=("k",))
+    return c
+
+
+def test_empty_table_scan_and_agg(ctx):
+    df = ctx.sql("select count(*) as n, sum(v) as s from empty").to_pandas()
+    assert int(df["n"][0]) == 0
+    assert np.isnan(df["s"][0])  # SUM over empty = NULL
+
+
+def test_empty_group_by(ctx):
+    df = ctx.sql("select s, count(*) as n from empty group by s").to_pandas()
+    assert len(df) == 0
+
+
+def test_filter_eliminates_all(ctx):
+    df = ctx.sql("select k from big where k < 0").to_pandas()
+    assert len(df) == 0
+
+
+def test_join_with_empty_side(ctx):
+    df = ctx.sql("select one.k from one, empty where one.k = empty.k").to_pandas()
+    assert len(df) == 0
+    df2 = ctx.sql(
+        "select big.k from big left join empty on big.k = empty.k "
+        "order by big.k limit 3").to_pandas()
+    assert list(df2["k"]) == [0, 1, 2]
+
+
+def test_single_row(ctx):
+    df = ctx.sql("select k, v from one where v > 1").to_pandas()
+    assert list(df["k"]) == [42]
+
+
+def test_all_null_aggregates(ctx):
+    df = ctx.sql("select sum(v) as s, min(v) as mn, count(v) as c, "
+                 "count(*) as n from nullt").to_pandas()
+    assert np.isnan(df["s"][0]) and np.isnan(df["mn"][0])
+    assert int(df["c"][0]) == 0 and int(df["n"][0]) == 3
+
+
+def test_group_by_null_key(ctx):
+    df = ctx.sql("select k, count(*) as n from nullt group by k "
+                 "order by k nulls first").to_pandas()
+    assert len(df) == 3
+    assert df["k"].isna().iloc[0]
