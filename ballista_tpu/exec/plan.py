@@ -14,15 +14,13 @@ stage's whole tree compiles into a single XLA program via `compile_stage`.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..batch import Batch, Column, round_capacity, row_mask
-from ..exprs import Bound, Expr, bind_expr, expr_name, output_field
+from ..exprs import Bound, Expr, bind_expr, expr_name
 from ..schema import Field, Schema, TypeKind
 from ..ops import hash as H
 from ..ops.compact import compaction_perm, filter_batch, gather_batch, limit_batch

@@ -14,7 +14,6 @@ path; duplicates go through ops.expand_join).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

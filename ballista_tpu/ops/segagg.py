@@ -19,12 +19,12 @@ reference/fallback).
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..batch import Batch, Column
+from ..batch import Column
 
 # Masked-reduce is profitable while XLA fuses the passes; beyond this many
 # slots fall back to the sorted layout.

@@ -16,12 +16,12 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..batch import Batch, Column
 from ..parallel.mesh import PARTITION_AXIS, make_mesh
 from ..parallel.partitioned import PartitionedBatch, gather_partitions, partition_arrow
-from ..exec.distributed import _TraceCtx, ExchangeExec
+from ..exec.distributed import _TraceCtx
 from .distributed_planner import (DistOptions, DistributedPlan,
                                   DistributedPlanner, Stage)
 

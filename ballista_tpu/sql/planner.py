@@ -24,12 +24,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
-from ..exprs import (Alias, Between, BinOp, Case, Cast, Col, Expr, InList,
-                     IsNull, Like, Lit, Neg, Not, ScalarFn, expr_columns,
+from ..exprs import (Alias, BinOp, Col, Expr, Lit, Not, expr_columns,
                      expr_name)
 from ..exec.aggregate import AggExpr
 from ..planner import logical as L
-from .parser import (AggCall, ExistsExpr, InSubquery, JoinClause, SelectStmt,
+from .parser import (AggCall, ExistsExpr, InSubquery, SelectStmt,
                      Star, SubqueryExpr, TableRef, parse_sql)
 
 
