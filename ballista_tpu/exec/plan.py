@@ -325,9 +325,10 @@ class HashJoinExec(ExecNode):
     """Build on left child, probe right child (DataFusion convention).
 
     join_type: 'inner' | 'left_outer' (all probe rows kept; build cols null
-    when unmatched) | 'semi' | 'anti' (probe-side filtering, probe cols only).
-    Requires unique build keys (FK->PK joins; TPC-H satisfies this); the
-    expanding-duplicates path is a planned follow-up.
+    when unmatched) | 'full_outer' (left_outer plus unmatched build rows
+    appended with null probe cols) | 'semi' | 'anti' (probe-side filtering,
+    probe cols only). Unique build keys take the co-sort merge fast path;
+    duplicates go through the expanding prefix-sum join.
     """
 
     def __init__(self, build: ExecNode, probe: ExecNode,
@@ -358,12 +359,17 @@ class HashJoinExec(ExecNode):
             self.out_capacity = out_capacity or round_capacity(
                 build.capacity + probe.capacity)
             self.capacity = self.out_capacity
+        if join_type == "full_outer":
+            # room for the appended unmatched build rows
+            self.capacity = round_capacity(self.capacity + build.capacity)
         self._build_idx = [build.schema.index_of(a) for a, _ in on]
         self._probe_idx = [probe.schema.index_of(b) for _, b in on]
         if join_type in ("semi", "anti"):
             self.schema = probe.schema
         else:
             fields = build.schema.fields + probe.schema.fields
+            if join_type == "full_outer":
+                fields = tuple(Field(f.name, f.dtype, True) for f in fields)
             dicts = dict(build.schema.dictionaries)
             dicts.update(probe.schema.dictionaries)
             names = [f.name for f in fields]
@@ -390,12 +396,21 @@ class HashJoinExec(ExecNode):
                                             blive, plive)
         # unique-build fast path: co-sort merge join (ops/merge_join.py) —
         # no hash table, no scatters, no while_loops
-        from ..ops.merge_join import merge_probe_unique
-        match = merge_probe_unique(
-            tuple(c.data for c in bkeys), tuple(c.validity for c in bkeys),
-            blive,
-            tuple(c.data for c in pkeys), tuple(c.validity for c in pkeys),
-            plive)
+        build_matched = None
+        if self.join_type == "full_outer":
+            from ..ops.merge_join import merge_full_unique
+            match, build_matched = merge_full_unique(
+                tuple(c.data for c in bkeys), tuple(c.validity for c in bkeys),
+                blive,
+                tuple(c.data for c in pkeys), tuple(c.validity for c in pkeys),
+                plive)
+        else:
+            from ..ops.merge_join import merge_probe_unique
+            match = merge_probe_unique(
+                tuple(c.data for c in bkeys), tuple(c.validity for c in bkeys),
+                blive,
+                tuple(c.data for c in pkeys), tuple(c.validity for c in pkeys),
+                plive)
         matched = match >= 0
 
         if self.join_type == "semi":
@@ -425,7 +440,27 @@ class HashJoinExec(ExecNode):
             # all probe rows survive; build cols already null where unmatched
             _TraceCtx.record_rows(self._label(), joined.num_rows)
             return joined
+        if self.join_type == "full_outer":
+            out = self._append_unmatched_build(
+                joined, build_b, blive & ~build_matched)
+            _TraceCtx.record_rows(self._label(), out.num_rows)
+            return out
         raise ValueError(self.join_type)
+
+    def _append_unmatched_build(self, joined: Batch, build_b: Batch,
+                                keep: jax.Array) -> Batch:
+        """FULL OUTER tail: compact unmatched build rows and append them to
+        the probe-positional output with all-null probe columns."""
+        perm, count = compaction_perm(keep)
+        extra_build = _mask_after(gather_batch(build_b, perm, count), count)
+        nb_cols = len(build_b.columns)
+        cap_b = build_b.capacity
+        null_probe = tuple(
+            Column(jnp.zeros(cap_b, c.data.dtype),
+                   jnp.zeros(cap_b, jnp.bool_))
+            for c in joined.columns[nb_cols:])
+        extra = Batch(tuple(extra_build.columns) + null_probe, count)
+        return concat_batches([joined, extra], self.capacity)
 
     def _evaluate_expanding(self, build_b, probe_b, bkeys, pkeys, blive, plive):
         """Duplicate-build-key path (ops.expand_join); output slots map
@@ -438,7 +473,8 @@ class HashJoinExec(ExecNode):
                          tuple(c.data for c in pkeys),
                          tuple(c.validity for c in pkeys), plive,
                          self.table_size, self.out_capacity,
-                         left_outer=self.join_type == "left_outer")
+                         left_outer=self.join_type in ("left_outer",
+                                                       "full_outer"))
         _TraceCtx.record_overflow(em.overflow)
         matched = em.build_row >= 0
         bsafe = jnp.clip(em.build_row, 0, build_b.capacity - 1)
@@ -450,7 +486,11 @@ class HashJoinExec(ExecNode):
         for c in probe_b.columns:
             cols.append(Column(jnp.take(c.data, psafe, mode="clip"),
                                jnp.take(c.validity, psafe, mode="clip") & em.valid))
-        return Batch(tuple(cols), em.total)
+        out = Batch(tuple(cols), em.total)
+        if self.join_type == "full_outer":
+            out = self._append_unmatched_build(
+                out, build_b, blive & ~em.build_matched)
+        return out
 
     def _label(self):
         mode = "unique" if self.unique_build else "expanding"

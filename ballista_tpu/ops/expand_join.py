@@ -33,6 +33,8 @@ class ExpandedMatch(NamedTuple):
     valid: jax.Array        # (OUT_CAP,) bool live output slot
     total: jax.Array        # () int32 total output rows (clipped)
     overflow: jax.Array     # () bool
+    build_matched: jax.Array  # (NB,) bool — build row matched >=1 probe
+                              # (feeds FULL OUTER's unmatched-build append)
 
 
 @partial(jax.jit, static_argnames=("table_size", "out_capacity", "left_outer"))
@@ -108,6 +110,16 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
     if left_outer:
         cnt = jnp.where(probe_live, jnp.maximum(cnt, 1), 0)
 
+    # per-build matched flag: a build row matched iff its run contains >=1
+    # probe, i.e. the run's LAST element is a probe (builds precede probes).
+    # run_end via one reverse cummin over last-of-run positions (scan-free,
+    # same trick family as start_pos above).
+    last_flag = jnp.concatenate([first_flag[1:], jnp.ones(1, jnp.bool_)])
+    cand = jnp.where(last_flag, pos, n - 1)
+    run_end = jnp.flip(jax.lax.cummin(jnp.flip(cand)))
+    run_has_probe = ~jnp.take(s_build, run_end)
+    build_matched = jnp.take(s_build & run_has_probe, inv[:nb])
+
     # prefix-sum output slots
     csum = jnp.cumsum(cnt).astype(jnp.int32)
     out_start = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])
@@ -125,4 +137,5 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
     build_row = jnp.where(valid & row_matched, b_row, -1)
     probe_row = jnp.where(valid, i, -1)
     return ExpandedMatch(probe_row, build_row, valid,
-                         jnp.minimum(total, out_capacity), overflow)
+                         jnp.minimum(total, out_capacity), overflow,
+                         build_matched)

@@ -80,3 +80,74 @@ def merge_probe_unique(build_keys: Tuple[jax.Array, ...],
     for v in probe_valids:
         any_null = any_null | ~v
     return jnp.where(probe_live & ~any_null, match, -1)
+
+
+@jax.jit
+def merge_full_unique(build_keys: Tuple[jax.Array, ...],
+                      build_valids: Tuple[jax.Array, ...],
+                      build_live: jax.Array,
+                      probe_keys: Tuple[jax.Array, ...],
+                      probe_valids: Tuple[jax.Array, ...],
+                      probe_live: jax.Array
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """FULL OUTER variant: (per-probe match index or -1, per-build matched).
+
+    Same co-sort structure as merge_probe_unique, but null keys on EITHER
+    side are routed to distinct sentinels (null build keys to DEAD, null
+    probe keys to DEAD-1) so a valid build row's run contains only valid
+    live probes — which makes `build row matched iff its run has >1 element`
+    exact. The per-build flag feeds the unmatched-build append of FULL
+    OUTER JOIN (reference: DataFusion JoinType::Full under Ballista's
+    HashJoinExec delegation, SURVEY.md §1 engine kernel)."""
+    nb = build_keys[0].shape[0]
+    np_ = probe_keys[0].shape[0]
+    n = nb + np_
+    DEAD = jnp.int64(2**62)
+
+    b_norm = _norm_keys(build_keys, build_valids)
+    p_norm = _norm_keys(probe_keys, probe_valids)
+    b_any_null = jnp.zeros(nb, dtype=jnp.bool_)
+    for v in build_valids:
+        b_any_null = b_any_null | ~v
+    p_any_null = jnp.zeros(np_, dtype=jnp.bool_)
+    for v in probe_valids:
+        p_any_null = p_any_null | ~v
+    b_ok = build_live & ~b_any_null
+    p_ok = probe_live & ~p_any_null
+    comb = [jnp.concatenate([jnp.where(b_ok, bk, DEAD),
+                             jnp.where(p_ok, pk, DEAD - 1)])
+            for bk, pk in zip(b_norm, p_norm)]
+    is_build = jnp.concatenate([b_ok, jnp.zeros(np_, dtype=jnp.bool_)])
+
+    order = jnp.argsort(comb[-1], stable=True)
+    for k in reversed(comb[:-1]):
+        order = jnp.take(order, jnp.argsort(jnp.take(k, order), stable=True))
+
+    s_keys = [jnp.take(k, order) for k in comb]
+    s_build = jnp.take(is_build, order)
+    s_orig = jnp.take(jnp.concatenate([
+        jnp.arange(nb, dtype=jnp.int32),
+        jnp.arange(np_, dtype=jnp.int32)]), order)
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    prev_same = jnp.ones(n, dtype=jnp.bool_)
+    for k in s_keys:
+        rolled = jnp.concatenate([k[:1], k[:-1]])
+        prev_same = prev_same & (k == rolled)
+    first = ~prev_same | (pos == 0)
+
+    start_pos = jax.lax.cummax(jnp.where(first, pos, 0))
+    head_is_build = jnp.take(s_build, start_pos)
+    matched_sorted = jnp.where(head_is_build, jnp.take(s_orig, start_pos), -1)
+
+    inv = jnp.argsort(order)
+    probe_positions = jnp.take(inv, jnp.arange(nb, n))
+    match = jnp.take(matched_sorted, probe_positions)
+    match = jnp.where(p_ok, match, -1)
+
+    # a (unique) build row is matched iff its run has a second element —
+    # builds precede probes, so that element is one of its probes
+    next_in_run = jnp.concatenate([~first[1:], jnp.zeros(1, jnp.bool_)])
+    build_matched_sorted = s_build & next_in_run
+    build_matched = jnp.take(build_matched_sorted, inv[:nb])
+    return match, build_matched & b_ok

@@ -164,7 +164,7 @@ class Join(LogicalPlan):
     left: LogicalPlan
     right: LogicalPlan
     on: Tuple[Tuple[str, str], ...]
-    how: str = "inner"  # inner | left_outer | semi | anti
+    how: str = "inner"  # inner | left_outer | full_outer | semi | anti
     unique_build: bool = True  # left side has unique join keys
 
     def schema(self) -> Schema:
@@ -172,6 +172,8 @@ class Join(LogicalPlan):
             return self.right.schema()  # probe side survives
         ls, rs = self.left.schema(), self.right.schema()
         fields = ls.fields + rs.fields
+        if self.how == "full_outer":
+            fields = tuple(Field(f.name, f.dtype, True) for f in fields)
         dicts = dict(ls.dictionaries)
         dicts.update(rs.dictionaries)
         return Schema(fields, dicts)

@@ -120,10 +120,15 @@ def create_physical_plan(plan: L.LogicalPlan,
         if isinstance(p, L.Limit):
             return LimitExec(lower(p.input), p.n)
         if isinstance(p, L.Join):
-            binner, bpred = _strip_filters(p.left)
+            # outer joins must not fuse filters into live-masks: dropped
+            # rows would resurface as outer-null rows, so keep FilterExecs
+            if p.how == "full_outer":
+                binner, bpred = p.left, None
+            else:
+                binner, bpred = _strip_filters(p.left)
             # the unique-build left_outer path is positional: probe rows
             # can't be dropped by a mask, so keep its FilterExec
-            if p.how == "left_outer" and p.unique_build:
+            if p.how in ("left_outer", "full_outer") and p.unique_build:
                 pinner, ppred = p.right, None
             else:
                 pinner, ppred = _strip_filters(p.right)

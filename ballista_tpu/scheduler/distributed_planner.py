@@ -175,7 +175,10 @@ class DistributedPlanner:
         if isinstance(p, L.Join):
             build = self._lower(p.left)
             on = list(p.on)
-            if build.capacity <= self.opts.broadcast_threshold // max(self.opts.n_partitions, 1):
+            # FULL OUTER needs key-colocated shards: a replicated build would
+            # append its unmatched rows once per partition
+            if (p.how != "full_outer" and build.capacity
+                    <= self.opts.broadcast_threshold // max(self.opts.n_partitions, 1)):
                 # broadcast path: the probe stays in this stage, so its
                 # filters fuse into the join live-mask (saves a compaction
                 # sort per filter); build is cut (compacts before gather)

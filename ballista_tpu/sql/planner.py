@@ -455,9 +455,16 @@ class SqlPlanner:
                 current = L.Join(current, new_plan, tuple(pairs), "left_outer",
                                  unique_build=uniq)
                 current_uniq = list(new_uniq)
+            elif how == "full":
+                # build = new side (unique if possible), probe = current;
+                # null-extended rows void uniqueness on both sides
+                uniq = any(s <= new_cols for s in new_uniq)
+                current = L.Join(new_plan, current,
+                                 tuple((b, a) for a, b in pairs), "full_outer",
+                                 unique_build=uniq)
+                current_uniq = []
             else:
-                raise NotImplementedError(
-                    f"join type {how} (FULL OUTER planned for a later round)")
+                raise NotImplementedError(f"join type {how}")
             joined_ids.add(pick)
             remaining.remove(pick)
 

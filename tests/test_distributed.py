@@ -72,3 +72,32 @@ def test_distributed_matches_oracle(env, query):
     got = run_distributed(ctx, mesh, TPCH_QUERIES[query])
     exp = ORACLES[query](pdt)
     assert_frames_match(got, exp, f"q{query} distributed")
+
+
+def test_distributed_full_outer_join(env):
+    """FULL OUTER over the shuffle path: unmatched build rows must appear
+    exactly once across partitions (broadcast is disallowed for full)."""
+    ctx, pdata, mesh = env
+    sql = """
+        select c_custkey, c_name, o_orderkey, o_totalprice
+        from customer full outer join orders on c_custkey = o_custkey
+        order by c_custkey, o_orderkey
+    """
+    got = run_distributed(ctx, mesh, sql)
+    c, o = pdata["customer"], pdata["orders"]
+    exp = c.merge(o, left_on="c_custkey", right_on="o_custkey", how="outer")
+    exp = exp[["c_custkey", "c_name", "o_orderkey", "o_totalprice"]]
+    exp = exp.sort_values(["c_custkey", "o_orderkey"],
+                          na_position="last").reset_index(drop=True)
+    got = got.sort_values(["c_custkey", "o_orderkey"],
+                          na_position="last").reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(
+        got["c_custkey"].fillna(-1).astype(int).to_numpy(),
+        exp["c_custkey"].fillna(-1).astype(int).to_numpy())
+    np.testing.assert_array_equal(
+        got["o_orderkey"].fillna(-1).astype(int).to_numpy(),
+        exp["o_orderkey"].fillna(-1).astype(int).to_numpy())
+    np.testing.assert_allclose(
+        got["o_totalprice"].astype(float).to_numpy(),
+        exp["o_totalprice"].astype(float).to_numpy(), rtol=1e-6)

@@ -1,7 +1,12 @@
 """UNION [ALL] and RIGHT JOIN support."""
 
+import pandas as pd
 import pyarrow as pa
 import pytest
+
+
+def _isna(v):
+    return v is None or pd.isna(v)
 
 from ballista_tpu.client import SessionContext
 
@@ -46,3 +51,49 @@ def test_right_join(ctx):
     assert list(df["amt"]) == [10, 20, 30]
     assert list(df["k"]) == [1, 1, 9]
     assert df["nm"].iloc[2] is None or str(df["nm"].iloc[2]) == "None"
+
+
+def test_full_outer_join_unique(ctx):
+    # cust FULL JOIN ords on ck=k: orders kept (k=9 unmatched), cust ck=2
+    # appended with null order cols
+    df = ctx.sql("""
+        select nm, ck, k, amt from cust full outer join ords on ck = k
+        order by amt, ck
+    """).to_pandas()
+    rows = set()
+    for _, r in df.iterrows():
+        rows.add((None if _isna(r["nm"]) else str(r["nm"]),
+                  None if _isna(r["ck"]) else int(r["ck"]),
+                  None if _isna(r["k"]) else int(r["k"]),
+                  None if _isna(r["amt"]) else int(r["amt"])))
+    assert rows == {("ann", 1, 1, 10), ("ann", 1, 1, 20),
+                    (None, None, 9, 30), ("bob", 2, None, None)}
+
+
+def test_full_outer_join_duplicates(ctx):
+    # t1 has unique x; ords.k has duplicates -> expanding build side
+    df = ctx.sql("""
+        select k, amt, x, y from ords full join t1 on k = x order by amt
+    """).to_pandas()
+    rows = set()
+    for _, r in df.iterrows():
+        rows.add((None if _isna(r["k"]) else int(r["k"]),
+                  None if _isna(r["amt"]) else int(r["amt"]),
+                  None if _isna(r["x"]) else int(r["x"]),
+                  None if _isna(r["y"]) else str(r["y"])))
+    assert rows == {(1, 10, 1, "a"), (1, 20, 1, "a"), (9, 30, None, None),
+                    (None, None, 2, "b"), (None, None, 3, "c")}
+
+
+def test_full_outer_join_unique_merge_path(ctx):
+    # new side = cust (primary key ck) -> unique-build merge_full_unique path
+    df = ctx.sql("""
+        select k, amt, nm from ords full join cust on k = ck order by amt
+    """).to_pandas()
+    rows = set()
+    for _, r in df.iterrows():
+        rows.add((None if _isna(r["k"]) else int(r["k"]),
+                  None if _isna(r["amt"]) else int(r["amt"]),
+                  None if _isna(r["nm"]) else str(r["nm"])))
+    assert rows == {(1, 10, "ann"), (1, 20, "ann"), (9, 30, None),
+                    (None, None, "bob")}
