@@ -1,0 +1,311 @@
+"""Window functions: sorted-space, scan-free, positional.
+
+Reference parity: DataFusion's WindowAggExec family (BoundedWindowAggExec /
+WindowAggExec). Notably the reference's DistributedPlanner REFUSES window
+functions in distributed plans (`planner.rs:155` returns NotImplemented);
+we support them locally AND distributed (shuffle on PARTITION BY keys —
+see scheduler/distributed_planner.py), beating reference capability.
+
+TPU design: one lexicographic argsort by (partition keys, order keys) per
+distinct (PARTITION BY, ORDER BY) clause, then every function is a few
+cummax/cumsum/gather passes over the sorted arrays (the same run-start
+machinery as ops/merge_join.py — no scatters, no while_loops,
+no associative_scan). Results route back through the inverse permutation,
+so the operator is positional: rows in, same rows + window columns out.
+
+Frames follow SQL defaults:
+  - with ORDER BY:    RANGE UNBOUNDED PRECEDING .. CURRENT ROW (peers
+                      share the frame end -> csum at peer-run end)
+  - without ORDER BY: whole partition
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Batch, Column, row_mask
+from ..exprs import Bound, Expr, _div_scaled, bind_expr, expr_name
+from ..schema import Field, INT64, Schema, TypeKind
+from ..ops.hash import _norm_keys
+from ..ops.sort import SortKeySpec, _rankable
+from .aggregate import _avg_dtype, _sum_dtype
+
+RANKING = ("row_number", "rank", "dense_rank")
+AGGS = ("sum", "avg", "min", "max", "count", "count_star")
+NAVIGATION = ("lag", "lead", "first_value", "last_value")
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowFnSpec:
+    kind: str                       # RANKING | AGGS | NAVIGATION
+    arg: Optional[Expr]             # None for row_number/rank/.../count(*)
+    partition_by: Tuple[Expr, ...]
+    order_by: Tuple[Tuple[Expr, bool, Optional[bool]], ...]
+    offset: int = 1                 # lag/lead distance
+    alias: Optional[str] = None
+
+    @property
+    def name(self) -> str:
+        if self.alias:
+            return self.alias
+        a = expr_name(self.arg) if self.arg is not None else ""
+        return f"{self.kind}({a})"
+
+
+def _out_field(spec: WindowFnSpec, in_schema: Schema) -> Field:
+    k = spec.kind
+    if k in ("row_number", "rank", "dense_rank"):
+        return Field(spec.name, INT64, nullable=False)
+    if k in ("count", "count_star"):
+        return Field(spec.name, INT64, nullable=False)
+    b = bind_expr(spec.arg, in_schema)
+    if k == "sum":
+        return Field(spec.name, _sum_dtype(b.dtype), nullable=True)
+    if k == "avg":
+        return Field(spec.name, _avg_dtype(b.dtype), nullable=True)
+    if k in ("min", "max", "lag", "lead", "first_value", "last_value"):
+        return Field(spec.name, b.dtype, nullable=True)
+    raise NotImplementedError(f"window function {k}")
+
+
+from .plan import ExecNode
+
+
+class WindowExec(ExecNode):
+    """Positional operator: child rows + one new column per window spec.
+
+    Specs sharing (partition_by, order_by) reuse one sort. min/max without
+    ORDER BY use a second value-keyed sort per spec (partition extremum =
+    run head of that sort)."""
+
+    def __init__(self, child, specs: Sequence[WindowFnSpec]):
+        self.children = (child,)
+        self.specs = tuple(specs)
+        self.capacity = child.capacity
+        in_schema = child.schema
+        new_fields = []
+        for s in self.specs:
+            if s.kind in ("rank", "dense_rank", "row_number", "lag", "lead",
+                          "first_value", "last_value") and not s.order_by:
+                raise ValueError(f"{s.kind} requires OVER(... ORDER BY ...)")
+            if s.kind in ("min", "max") and s.order_by:
+                raise NotImplementedError(
+                    f"{s.kind} with ORDER BY (cumulative extrema) not yet "
+                    "supported; omit ORDER BY for whole-partition extrema")
+            new_fields.append(_out_field(s, in_schema))
+        names = [f.name for f in in_schema.fields] + [f.name for f in new_fields]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate column names in window output: {names}")
+        self.schema = Schema(in_schema.fields + tuple(new_fields),
+                             dict(in_schema.dictionaries))
+        # group specs by shared clause
+        self._groups: Dict[Tuple, List[int]] = {}
+        for i, s in enumerate(self.specs):
+            key = (tuple(str(e) for e in s.partition_by),
+                   tuple((str(e), asc, nf) for e, asc, nf in s.order_by))
+            self._groups.setdefault(key, []).append(i)
+        self._bound_parts = [tuple(bind_expr(e, in_schema) for e in s.partition_by)
+                             for s in self.specs]
+        self._bound_orders = [tuple((bind_expr(e, in_schema), asc, nf)
+                                    for e, asc, nf in s.order_by)
+                              for s in self.specs]
+        self._bound_args = [bind_expr(s.arg, in_schema) if s.arg is not None
+                            else None for s in self.specs]
+
+    def _label(self):
+        return f"WindowExec({[s.name for s in self.specs]})"
+
+    # -- evaluation --
+
+    def evaluate(self, inputs) -> Batch:
+        b = self.children[0].evaluate(inputs)
+        live = row_mask(b)
+        n = b.capacity
+        out_cols: List[Column] = [None] * len(self.specs)
+
+        for key, idxs in self._groups.items():
+            rep = idxs[0]
+            parts = self._bound_parts[rep]
+            orders = self._bound_orders[rep]
+            perm, inv, seg_start, seg_end, peer_start, peer_end, peer_first, \
+                part_first = self._sorted_layout(b, live, parts, orders)
+            for i in idxs:
+                out_cols[i] = self._compute(b, live, n, i, perm, inv,
+                                            seg_start, seg_end, peer_start,
+                                            peer_end, peer_first, part_first,
+                                            bool(orders))
+        live_cols = [Column(c.data, c.validity & live) for c in out_cols]
+        return Batch(b.columns + tuple(live_cols), b.num_rows)
+
+    def _sorted_layout(self, b: Batch, live, parts: Tuple[Bound, ...],
+                       orders):
+        """Sort by (liveness, partition keys, order keys); return run info."""
+        n = b.capacity
+        pcols = [p.fn(b) for p in parts]
+        pnorm = _norm_keys(tuple(c.data for c in pcols),
+                           tuple(c.validity for c in pcols))
+        oranks = []
+        for ob, asc, nf in orders:
+            c = ob.fn(b)
+            oranks.append(_rankable(c.data, c.validity,
+                                    SortKeySpec(0, asc, nf)))
+        perm = jnp.arange(n, dtype=jnp.int32)
+        for k in reversed(oranks):
+            order = jnp.argsort(jnp.take(k, perm), stable=True)
+            perm = jnp.take(perm, order)
+        for k in reversed(pnorm):
+            order = jnp.argsort(jnp.take(k, perm), stable=True)
+            perm = jnp.take(perm, order)
+        order = jnp.argsort(~jnp.take(live, perm), stable=True)
+        perm = jnp.take(perm, order)
+        inv = jnp.argsort(perm)
+
+        pos = jnp.arange(n, dtype=jnp.int32)
+        s_live = jnp.take(live, perm)
+        part_same = jnp.ones(n, dtype=jnp.bool_)
+        for k in pnorm:
+            sk = jnp.take(k, perm)
+            part_same = part_same & (sk == jnp.concatenate([sk[:1], sk[:-1]]))
+        lv_same = s_live == jnp.concatenate([s_live[:1], s_live[:-1]])
+        part_first = ~part_same | ~lv_same | (pos == 0)
+        peer_same = part_same & lv_same
+        for k in oranks:
+            sk = jnp.take(k, perm)
+            peer_same = peer_same & (sk == jnp.concatenate([sk[:1], sk[:-1]]))
+        peer_first = ~peer_same | (pos == 0)
+
+        seg_start = jax.lax.cummax(jnp.where(part_first, pos, 0))
+        peer_start = jax.lax.cummax(jnp.where(peer_first, pos, 0))
+        # run ends via reverse cummin over last-flags
+        part_last = jnp.concatenate([part_first[1:], jnp.ones(1, jnp.bool_)])
+        peer_last = jnp.concatenate([peer_first[1:], jnp.ones(1, jnp.bool_)])
+        seg_end = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(part_last, pos, n - 1))))
+        peer_end = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(peer_last, pos, n - 1))))
+        return perm, inv, seg_start, seg_end, peer_start, peer_end, \
+            peer_first, part_first
+
+    def _compute(self, b, live, n, i, perm, inv, seg_start, seg_end,
+                 peer_start, peer_end, peer_first, part_first,
+                 has_order) -> Column:
+        spec = self.specs[i]
+        k = spec.kind
+        pos = jnp.arange(n, dtype=jnp.int32)
+
+        if k == "row_number":
+            v = (pos - seg_start + 1).astype(jnp.int64)
+            return Column(jnp.take(v, inv), jnp.ones(n, jnp.bool_))
+        if k == "rank":
+            v = (peer_start - seg_start + 1).astype(jnp.int64)
+            return Column(jnp.take(v, inv), jnp.ones(n, jnp.bool_))
+        if k == "dense_rank":
+            pf = jnp.cumsum(peer_first.astype(jnp.int64))
+            v = pf - jnp.take(pf, seg_start) + 1
+            return Column(jnp.take(v, inv), jnp.ones(n, jnp.bool_))
+
+        if k in ("min", "max"):
+            return self._partition_extremum(b, live, n, i, spec)
+
+        arg = self._bound_args[i]
+        if arg is not None:
+            c = arg.fn(b)
+            sdata = jnp.take(c.data, perm)
+            svalid = jnp.take(c.validity & live, perm)
+        else:
+            sdata = jnp.zeros(n, jnp.int64)
+            svalid = jnp.take(live, perm)
+
+        if k in ("lag", "lead"):
+            off = spec.offset if k == "lag" else -spec.offset
+            src = pos - off
+            in_part = (src >= seg_start) & (src <= seg_end)
+            srcc = jnp.clip(src, 0, n - 1)
+            v = jnp.take(sdata, srcc)
+            val = jnp.take(svalid, srcc) & in_part
+            return Column(jnp.take(v, inv), jnp.take(val, inv))
+        if k == "first_value":
+            v = jnp.take(sdata, seg_start)
+            val = jnp.take(svalid, seg_start)
+            return Column(jnp.take(v, inv), jnp.take(val, inv))
+        if k == "last_value":
+            # SQL default frame ends at CURRENT ROW (+peers)
+            end = peer_end if has_order else seg_end
+            v = jnp.take(sdata, end)
+            val = jnp.take(svalid, end)
+            return Column(jnp.take(v, inv), jnp.take(val, inv))
+
+        # cumulative / whole-partition sum, count, avg
+        out_dt = self.schema.fields[len(b.columns) + i].dtype
+        if k in ("sum", "avg") and out_dt.kind in (TypeKind.DECIMAL,
+                                                   TypeKind.INT64):
+            acc = jnp.where(svalid, sdata.astype(jnp.int64), 0)
+        elif k in ("count", "count_star"):
+            acc = svalid.astype(jnp.int64)
+        else:
+            acc = jnp.where(svalid, sdata, jnp.zeros_like(sdata))
+        csum = jnp.cumsum(acc)
+        ccnt = jnp.cumsum(svalid.astype(jnp.int64))
+        end = peer_end if has_order else seg_end
+        # sum before partition = csum[seg_start] - acc[seg_start]
+        before = jnp.take(csum, seg_start) - jnp.take(acc, seg_start)
+        cbefore = (jnp.take(ccnt, seg_start)
+                   - jnp.take(svalid, seg_start).astype(jnp.int64))
+        total = jnp.take(csum, end) - before
+        count = jnp.take(ccnt, end) - cbefore
+
+        if k in ("count", "count_star"):
+            return Column(jnp.take(count, inv), jnp.ones(n, jnp.bool_))
+        if k == "sum":
+            return Column(jnp.take(total, inv).astype(out_dt.jnp_dtype),
+                          jnp.take(count > 0, inv))
+        # avg
+        if out_dt.kind is TypeKind.DECIMAL:
+            in_scale = _sum_dtype(self._bound_args[i].dtype).scale
+            q = _div_scaled(total, jnp.maximum(count, 1),
+                            out_dt.scale - in_scale)
+            return Column(jnp.take(q, inv), jnp.take(count > 0, inv))
+        d = total.astype(out_dt.jnp_dtype) / jnp.maximum(count, 1).astype(
+            out_dt.jnp_dtype)
+        return Column(jnp.take(d, inv), jnp.take(count > 0, inv))
+
+    def _partition_extremum(self, b, live, n, i, spec) -> Column:
+        """min/max over the whole partition: second sort keyed by
+        (partition keys, value) — the extremum is each run's head value."""
+        parts = self._bound_parts[i]
+        arg = self._bound_args[i]
+        c = arg.fn(b)
+        pcols = [p.fn(b) for p in parts]
+        pnorm = _norm_keys(tuple(x.data for x in pcols),
+                           tuple(x.validity for x in pcols))
+        vrank = _rankable(c.data, c.validity & live,
+                          SortKeySpec(0, spec.kind == "min", False))
+        perm = jnp.arange(n, dtype=jnp.int32)
+        order = jnp.argsort(jnp.take(vrank, perm), stable=True)
+        perm = jnp.take(perm, order)
+        for k in reversed(pnorm):
+            order = jnp.argsort(jnp.take(k, perm), stable=True)
+            perm = jnp.take(perm, order)
+        order = jnp.argsort(~jnp.take(live, perm), stable=True)
+        perm = jnp.take(perm, order)
+        inv = jnp.argsort(perm)
+
+        pos = jnp.arange(n, dtype=jnp.int32)
+        s_live = jnp.take(live, perm)
+        part_same = jnp.ones(n, dtype=jnp.bool_)
+        for k in pnorm:
+            sk = jnp.take(k, perm)
+            part_same = part_same & (sk == jnp.concatenate([sk[:1], sk[:-1]]))
+        lv_same = s_live == jnp.concatenate([s_live[:1], s_live[:-1]])
+        part_first = ~part_same | ~lv_same | (pos == 0)
+        seg_start = jax.lax.cummax(jnp.where(part_first, pos, 0))
+
+        sdata = jnp.take(c.data, perm)
+        svalid = jnp.take(c.validity & live, perm)
+        v = jnp.take(sdata, seg_start)
+        val = jnp.take(svalid, seg_start)  # nulls sort last: head valid iff any
+        return Column(jnp.take(v, inv), jnp.take(val, inv))

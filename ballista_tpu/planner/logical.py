@@ -186,6 +186,30 @@ class Join(LogicalPlan):
 
 
 @dataclasses.dataclass
+class Window(LogicalPlan):
+    """Window functions: positional — input rows + one column per spec.
+
+    Reference parity: DataFusion WindowAggExec; note the reference's
+    DistributedPlanner rejects window plans (`planner.rs:155`), while ours
+    distributes them by shuffling on PARTITION BY keys."""
+    input: LogicalPlan
+    specs: Tuple  # Tuple[exec.window.WindowFnSpec, ...]
+
+    def schema(self) -> Schema:
+        from ..exec.window import _out_field
+        in_schema = self.input.schema()
+        fields = in_schema.fields + tuple(
+            _out_field(s, in_schema) for s in self.specs)
+        return Schema(fields, dict(in_schema.dictionaries))
+
+    def children(self):
+        return (self.input,)
+
+    def _label(self):
+        return f"Window({[s.name for s in self.specs]})"
+
+
+@dataclasses.dataclass
 class Distinct(LogicalPlan):
     input: LogicalPlan
 

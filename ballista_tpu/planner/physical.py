@@ -42,17 +42,24 @@ def align_union_inputs(kids):
     renamed = [kids[0]]
     for k in kids[1:]:
         renamed.append(PE(k, [C(f.name) for f in k.schema.fields], names=names))
+    # columns needing a shared dictionary: differing per-branch dicts, or a
+    # dict present in some branches but absent in others (e.g. a grouping-set
+    # branch projecting a typed-NULL key: codes are all-invalid but the
+    # union's schema still must carry the dictionary)
     union_dicts = {}
     for i, f in enumerate(renamed[0].schema.fields):
         if f.dtype.kind is not TypeKind.STRING:
             continue
         dicts = [r.schema.dictionary(names[i]) for r in renamed]
-        if any(d is None for d in dicts):
+        present = [d for d in dicts if d is not None]
+        if not present:
             continue
-        if all(len(d) == len(dicts[0]) and (d.astype(str) == dicts[0].astype(str)).all()
-               for d in dicts[1:]):
+        same = all(len(d) == len(present[0])
+                   and (d.astype(str) == present[0].astype(str)).all()
+                   for d in present[1:])
+        if same and len(present) == len(dicts):
             continue
-        union = np.unique(np.concatenate([d.astype(str) for d in dicts]))
+        union = np.unique(np.concatenate([d.astype(str) for d in present]))
         union_dicts[names[i]] = union.astype(object)
     if not union_dicts:
         return renamed
@@ -61,6 +68,10 @@ def align_union_inputs(kids):
         luts = {}
         for n, u in union_dicts.items():
             d = r.schema.dictionary(n)
+            if d is None:  # column is all-NULL in this branch; no remap
+                continue
+            if len(d) == len(u) and (d.astype(str) == u.astype(str)).all():
+                continue
             luts[n] = np.searchsorted(u, d.astype(str))
         out.append(DictRemapExec(r, luts, union_dicts))
     return out
@@ -143,6 +154,9 @@ def create_physical_plan(plan: L.LogicalPlan,
                                 out_capacity=out_cap,
                                 build_pre_filter=bpred,
                                 probe_pre_filter=ppred)
+        if isinstance(p, L.Window):
+            from ..exec.window import WindowExec
+            return WindowExec(lower(p.input), p.specs)
         if isinstance(p, L.Union):
             from ..exec.plan import CoalesceExec
             return CoalesceExec(align_union_inputs([lower(c) for c in p.inputs]))

@@ -221,6 +221,22 @@ class DistributedPlanner:
             local = LimitExec(child, p.n)
             leaf = self._cut_gather(local)
             return PartitionPruneExec(LimitExec(leaf, p.n))
+        if isinstance(p, L.Window):
+            # beats reference capability: Ballista's planner rejects window
+            # plans (planner.rs:155). If every spec shares one non-empty
+            # PARTITION BY column list, shuffle rows onto those keys and run
+            # the window locally per shard; otherwise gather to one shard.
+            from ..exec.window import WindowExec
+            child = self._lower(p.input)
+            pkeys = _common_partition_cols(p.specs)
+            if pkeys and not _single_partition(p.input):
+                leaf = self._cut_shuffle(child, pkeys,
+                                         expected_rows=child.capacity)
+                return WindowExec(leaf, p.specs)
+            if not _single_partition(p.input):
+                leaf = self._cut_gather(child)
+                return PartitionPruneExec(WindowExec(leaf, p.specs))
+            return WindowExec(child, p.specs)
         if isinstance(p, L.Union):
             from ..exec.plan import CoalesceExec
             from ..planner.physical import align_union_inputs
@@ -234,8 +250,28 @@ def _single_partition(p: L.LogicalPlan) -> bool:
     (replicated-pruned), so no merge stage is needed."""
     if isinstance(p, (L.Sort, L.Limit)):
         return _single_partition(p.input)
+    if isinstance(p, L.Window):
+        # shuffled windows stay sharded; gathered ones end up pruned
+        return (_single_partition(p.input)
+                or _common_partition_cols(p.specs) is None)
     if isinstance(p, L.Aggregate):
         return not p.group_exprs
     if isinstance(p, (L.Projection, L.Filter)):
         return _single_partition(p.input)
     return False
+
+
+def _common_partition_cols(specs) -> Optional[List[str]]:
+    """Shared PARTITION BY column-name list if every spec partitions by the
+    same plain columns (shuffle key for distributed windows); else None."""
+    first = None
+    for s in specs:
+        if not s.partition_by or not all(isinstance(e, Col)
+                                         for e in s.partition_by):
+            return None
+        names = sorted(e.name for e in s.partition_by)
+        if first is None:
+            first = names
+        elif names != first:
+            return None
+    return first

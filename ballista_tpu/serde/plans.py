@@ -28,7 +28,7 @@ _EXPR_TYPES = {
 _PLAN_TYPES = {
     cls.__name__: cls for cls in [
         L.TableScan, L.Filter, L.Projection, L.Aggregate, L.Sort, L.Limit,
-        L.Join, L.Distinct,
+        L.Join, L.Distinct, L.Union, L.Window,
     ]
 }
 
@@ -60,6 +60,14 @@ def _enc(v: Any) -> Any:
         return {"@agg": True, "kind": v.kind,
                 "arg": encode_expr(v.arg) if v.arg is not None else None,
                 "alias": v.alias, "distinct": v.distinct}
+    from ..exec.window import WindowFnSpec
+    if isinstance(v, WindowFnSpec):
+        return {"@winspec": True, "kind": v.kind,
+                "arg": encode_expr(v.arg) if v.arg is not None else None,
+                "partition_by": [_enc(e) for e in v.partition_by],
+                "order_by": [[_enc(e), asc, nf]
+                             for e, asc, nf in v.order_by],
+                "offset": v.offset, "alias": v.alias}
     if isinstance(v, DataType):
         return {"@dtype": _encode_dtype(v)}
     if isinstance(v, Schema):
@@ -81,6 +89,14 @@ def _dec(v: Any) -> Any:
             return AggExpr(v["kind"],
                            decode_expr(v["arg"]) if v["arg"] is not None else None,
                            v["alias"], v["distinct"])
+        if "@winspec" in v:
+            from ..exec.window import WindowFnSpec
+            return WindowFnSpec(
+                v["kind"],
+                decode_expr(v["arg"]) if v["arg"] is not None else None,
+                tuple(_dec(e) for e in v["partition_by"]),
+                tuple((_dec(e), asc, nf) for e, asc, nf in v["order_by"]),
+                v["offset"], v["alias"])
         if "@dtype" in v:
             return _decode_dtype(v["@dtype"])
         if "@schema" in v:

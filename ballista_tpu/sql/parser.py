@@ -28,6 +28,18 @@ class AggCall(Expr):
 
 
 @dataclasses.dataclass(frozen=True)
+class WindowCall(Expr):
+    """fn(...) OVER (PARTITION BY ... ORDER BY ...) — lowered by sql.planner
+    to a Window logical node + column reference."""
+    kind: str                 # sum|avg|min|max|count|count_star|row_number|
+                              # rank|dense_rank|lag|lead|first_value|last_value
+    arg: Optional[Expr]
+    partition_by: Tuple[Expr, ...] = ()
+    order_by: Tuple[Tuple[Expr, bool, Optional[bool]], ...] = ()
+    offset: int = 1           # lag/lead distance
+
+
+@dataclasses.dataclass(frozen=True)
 class SubqueryExpr(Expr):
     """Scalar subquery usable where an expression is expected."""
     query: "SelectStmt"
@@ -98,6 +110,9 @@ class SelectStmt:
     order_by: List[Tuple[Union[Expr, int], bool, Optional[bool]]] = dataclasses.field(default_factory=list)
     limit: Optional[int] = None
     distinct: bool = False
+    # GROUPING SETS/ROLLUP/CUBE: tuples of indices into group_by; None for a
+    # plain GROUP BY
+    grouping_sets: Optional[List[Tuple[int, ...]]] = None
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +134,11 @@ KEYWORDS = {
     "exists", "distinct", "join", "inner", "left", "right", "full", "outer",
     "on", "asc", "desc", "nulls", "first", "last", "union", "all",
     "true", "false", "extract", "year", "create", "drop", "view", "for",
+    "over", "partition", "grouping", "sets", "rollup", "cube",
 }
+
+WINDOW_FNS = ("row_number", "rank", "dense_rank", "lag", "lead",
+              "first_value", "last_value")
 
 
 @dataclasses.dataclass
@@ -244,13 +263,16 @@ class Parser:
             stmt.where = self.parse_expr()
         if self.accept("kw", "group"):
             self.expect("kw", "by")
-            while True:
-                if self.peek().kind == "num":
-                    stmt.group_by.append(int(self.next().value))
-                else:
-                    stmt.group_by.append(self.parse_expr())
-                if not self.accept("op", ","):
-                    break
+            if self.at_kw("grouping", "rollup", "cube"):
+                self._parse_grouping_sets(stmt)
+            else:
+                while True:
+                    if self.peek().kind == "num":
+                        stmt.group_by.append(int(self.next().value))
+                    else:
+                        stmt.group_by.append(self.parse_expr())
+                    if not self.accept("op", ","):
+                        break
         if self.accept("kw", "having"):
             stmt.having = self.parse_expr()
         if self.accept("kw", "order"):
@@ -280,6 +302,54 @@ class Parser:
             stmt.limit = int(self.expect("num").value)
         self.accept("op", ";")
         return stmt
+
+    def _parse_grouping_sets(self, stmt: SelectStmt):
+        """GROUPING SETS ((a,b),(a),()) | ROLLUP(a,b) | CUBE(a,b).
+        Fills stmt.group_by (distinct key exprs, first-appearance order) and
+        stmt.grouping_sets (index tuples)."""
+        def key_index(e: Expr) -> int:
+            for i, g in enumerate(stmt.group_by):
+                if g == e:
+                    return i
+            stmt.group_by.append(e)
+            return len(stmt.group_by) - 1
+
+        if self.accept("kw", "grouping"):
+            self.expect("kw", "sets")
+            self.expect("op", "(")
+            sets: List[Tuple[int, ...]] = []
+            while True:
+                if self.accept("op", "("):
+                    idxs = []
+                    if not self.accept("op", ")"):
+                        idxs.append(key_index(self.parse_expr()))
+                        while self.accept("op", ","):
+                            idxs.append(key_index(self.parse_expr()))
+                        self.expect("op", ")")
+                    sets.append(tuple(idxs))
+                else:
+                    sets.append((key_index(self.parse_expr()),))
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ")")
+            stmt.grouping_sets = sets
+            return
+        kind = self.next().value  # rollup | cube
+        self.expect("op", "(")
+        idxs = [key_index(self.parse_expr())]
+        while self.accept("op", ","):
+            idxs.append(key_index(self.parse_expr()))
+        self.expect("op", ")")
+        if kind == "rollup":
+            stmt.grouping_sets = [tuple(idxs[:k])
+                                  for k in range(len(idxs), -1, -1)]
+        else:  # cube: all subsets, fuller sets first
+            n = len(idxs)
+            subsets = sorted(range(1 << n),
+                             key=lambda m: -bin(m).count("1"))
+            stmt.grouping_sets = [
+                tuple(idxs[i] for i in range(n) if m >> i & 1)
+                for m in subsets]
 
     def _try_join_kw(self) -> Optional[str]:
         if self.accept("kw", "join"):
@@ -538,9 +608,13 @@ class Parser:
                     distinct = bool(self.accept("kw", "distinct"))
                     if self.accept("op", "*"):
                         self.expect("op", ")")
+                        if self.at_kw("over"):
+                            return self._parse_over("count_star", None)
                         return AggCall("count_star", None)
                     arg = self.parse_expr()
                     self.expect("op", ")")
+                    if self.at_kw("over"):
+                        return self._parse_over(low, arg)
                     return AggCall(low, arg, distinct=distinct)
                 args = []
                 if not self.accept("op", ")"):
@@ -548,6 +622,15 @@ class Parser:
                     while self.accept("op", ","):
                         args.append(self.parse_expr())
                     self.expect("op", ")")
+                if low in WINDOW_FNS and self.at_kw("over"):
+                    offset = 1
+                    if low in ("lag", "lead") and len(args) > 1:
+                        off = args[1]
+                        if not isinstance(off, Lit) or not isinstance(off.value, int):
+                            raise SyntaxError(f"{low} offset must be an integer literal")
+                        offset = off.value
+                    return self._parse_over(low, args[0] if args else None,
+                                            offset=offset)
                 return ScalarFn(low, tuple(args))
             # qualified name?
             if self.peek().kind == "op" and self.peek().value == ".":
@@ -556,6 +639,40 @@ class Parser:
                 return Col(f"{name}.{col}")
             return Col(name)
         raise SyntaxError(f"unexpected token {t.kind} {t.value!r}")
+
+    def _parse_over(self, kind: str, arg: Optional[Expr],
+                    offset: int = 1) -> "WindowCall":
+        self.expect("kw", "over")
+        self.expect("op", "(")
+        partition_by: List[Expr] = []
+        if self.accept("kw", "partition"):
+            self.expect("kw", "by")
+            partition_by.append(self.parse_expr())
+            while self.accept("op", ","):
+                partition_by.append(self.parse_expr())
+        order_by: List[Tuple[Expr, bool, Optional[bool]]] = []
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.accept("kw", "desc"):
+                    asc = False
+                else:
+                    self.accept("kw", "asc")
+                nulls_first = None
+                if self.accept("kw", "nulls"):
+                    if self.accept("kw", "first"):
+                        nulls_first = True
+                    else:
+                        self.expect("kw", "last")
+                        nulls_first = False
+                order_by.append((e, asc, nulls_first))
+                if not self.accept("op", ","):
+                    break
+        self.expect("op", ")")
+        return WindowCall(kind, arg, tuple(partition_by), tuple(order_by),
+                          offset)
 
     def parse_type(self) -> DataType:
         from ..schema import FLOAT64, INT32, INT64, STRING

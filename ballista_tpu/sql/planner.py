@@ -29,7 +29,7 @@ from ..exprs import (Alias, BinOp, Col, Expr, Lit, Not, expr_columns,
 from ..exec.aggregate import AggExpr
 from ..planner import logical as L
 from .parser import (AggCall, ExistsExpr, InSubquery, SelectStmt,
-                     Star, SubqueryExpr, TableRef, parse_sql)
+                     Star, SubqueryExpr, TableRef, WindowCall, parse_sql)
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +182,25 @@ def _find_aggs(e: Expr, out: List[AggCall]):
                     for s in item:
                         if isinstance(s, Expr):
                             _find_aggs(s, out)
+
+
+def _find_windows(e: Expr, out: List["WindowCall"]):
+    if isinstance(e, WindowCall):
+        if e not in out:
+            out.append(e)
+        return
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, Expr):
+            _find_windows(v, out)
+        elif isinstance(v, tuple):
+            for item in v:
+                if isinstance(item, Expr):
+                    _find_windows(item, out)
+                elif isinstance(item, tuple):
+                    for s in item:
+                        if isinstance(s, Expr):
+                            _find_windows(s, out)
 
 
 def _replace_subtree(e: Expr, target: Expr, replacement: Expr) -> Expr:
@@ -764,11 +783,37 @@ class SqlPlanner:
                         continue
                 group_exprs.append(_rewrite_cols(g, resolver))
 
-        if agg_calls or group_exprs:
+        if stmt.grouping_sets is not None:
+            current = self._plan_grouping_sets(current, group_exprs,
+                                               agg_calls, items, having,
+                                               stmt.grouping_sets)
+            items = self._agg_items
+            having = None
+        elif agg_calls or group_exprs:
             current = self._plan_aggregate(current, group_exprs, agg_calls,
                                            items, having)
             items = self._agg_items
             having = None
+
+        # window functions evaluate after GROUP BY/HAVING, before the final
+        # projection: lower each distinct WindowCall to a Window-node column
+        win_calls: List[WindowCall] = []
+        for e, _ in items:
+            _find_windows(e, win_calls)
+        if win_calls:
+            from ..exec.window import WindowFnSpec
+            specs = []
+            current_names = {f.name for f in current.schema().fields}
+            for i, w in enumerate(win_calls):
+                nm = f"#win{i}"
+                while nm in current_names:
+                    nm = f"#{nm}"
+                specs.append(WindowFnSpec(w.kind, w.arg, w.partition_by,
+                                          w.order_by, w.offset, alias=nm))
+                items = [(_replace_subtree(e, w, Col(nm)), n)
+                         for e, n in items]
+            current = L.Window(current, tuple(specs))
+
         proj = L.Projection(current, tuple(e for e, _ in items),
                             tuple(nm for _, nm in items))
         out: L.LogicalPlan = proj
@@ -805,33 +850,77 @@ class SqlPlanner:
         over its output. Leaves rewritten items in self._agg_items."""
         distinct_aggs = [a for a in agg_calls if a.distinct]
         if distinct_aggs:
-            if len(agg_calls) != len(distinct_aggs):
-                raise NotImplementedError("mixed DISTINCT/plain aggregates")
-            if len({(a.kind, a.arg) for a in distinct_aggs}) != 1:
-                raise NotImplementedError("multiple distinct aggregate args")
-            a = distinct_aggs[0]
-            if a.kind != "count":
-                raise NotImplementedError(f"{a.kind}(DISTINCT) not supported")
-            # count(distinct x) group by G ->
-            #   inner: distinct(G, x); outer: count(x) group by G
+            # General two-level rewrite (DataFusion single_distinct_to_groupby
+            # parity, extended to mixed plain/distinct):
+            #   inner: Aggregate by (G, x) with partial states of plain aggs
+            #   outer: Aggregate by G; distinct aggs act on the key column x,
+            #          plain states merge (sum of sums/counts, min of mins...)
+            if len({a.arg for a in distinct_aggs}) != 1:
+                raise NotImplementedError(
+                    "multiple DISTINCT aggregates with different arguments")
+            x = distinct_aggs[0].arg
             grp_names = [g.name if isinstance(g, Col) else f"__grp{i}"
                          for i, g in enumerate(group_exprs)]
             xname = "__dx"
-            inner = L.Aggregate(current,
-                                tuple(group_exprs) + (a.arg,), (),
-                                tuple(grp_names) + (xname,))
-            plain = AggCall("count", Col(xname))
-            current = inner
+            inner_aggs: List[AggExpr] = []
+            new_agg_calls: List[AggCall] = []
+            rewrite: Dict[AggCall, Expr] = {}
+
+            def outer(call: AggCall) -> AggCall:
+                if call not in new_agg_calls:
+                    new_agg_calls.append(call)
+                return call
+
+            def zero_if_null(e: Expr) -> Expr:
+                from ..exprs import Case, IsNull
+                return Case(((IsNull(e), Lit(0)),), e)
+
+            for j, a in enumerate(agg_calls):
+                if a.distinct:
+                    if a.kind == "count":
+                        rewrite[a] = outer(AggCall("count", Col(xname)))
+                    elif a.kind in ("sum", "min", "max", "avg"):
+                        rewrite[a] = outer(AggCall(a.kind, Col(xname)))
+                    else:
+                        raise NotImplementedError(
+                            f"{a.kind}(DISTINCT) not supported")
+                elif a.kind in ("sum", "count", "count_star"):
+                    nm = f"__ps{j}"
+                    inner_aggs.append(AggExpr(a.kind, a.arg, alias=nm))
+                    oc = outer(AggCall("sum", Col(nm)))
+                    rewrite[a] = (zero_if_null(oc)
+                                  if a.kind != "sum" else oc)
+                elif a.kind in ("min", "max"):
+                    nm = f"__ps{j}"
+                    inner_aggs.append(AggExpr(a.kind, a.arg, alias=nm))
+                    rewrite[a] = outer(AggCall(a.kind, Col(nm)))
+                elif a.kind == "avg":
+                    from ..exprs import Cast
+                    from ..schema import FLOAT64
+                    sn, cn = f"__ps{j}s", f"__ps{j}c"
+                    inner_aggs.append(AggExpr("sum", a.arg, alias=sn))
+                    inner_aggs.append(AggExpr("count", a.arg, alias=cn))
+                    os_ = outer(AggCall("sum", Col(sn)))
+                    oc_ = outer(AggCall("sum", Col(cn)))
+                    # float division: int sum / int count would truncate
+                    rewrite[a] = BinOp("/", Cast(os_, FLOAT64), oc_)
+                else:
+                    raise NotImplementedError(f"aggregate {a.kind}")
+
+            current = L.Aggregate(current, tuple(group_exprs) + (x,),
+                                  tuple(inner_aggs),
+                                  tuple(grp_names) + (xname,))
             group_exprs = [Col(n) for n in grp_names]
-            rewrite_map = {a: plain}
-            agg_calls = [plain]
+            agg_calls = new_agg_calls
             new_items = []
             for e, nm in items:
-                e2 = _replace_subtree(e, a, plain)
-                new_items.append((e2, nm))
+                for a, repl in rewrite.items():
+                    e = _replace_subtree(e, a, repl)
+                new_items.append((e, nm))
             items = new_items
             if having is not None:
-                having = _replace_subtree(having, a, plain)
+                for a, repl in rewrite.items():
+                    having = _replace_subtree(having, a, repl)
 
         aggs: List[AggExpr] = []
         agg_names: Dict[AggCall, str] = {}
@@ -857,6 +946,56 @@ class SqlPlanner:
         if having is not None:
             plan = L.Filter(plan, rew(having))
         return plan
+
+    def _plan_grouping_sets(self, current, group_exprs, agg_calls, items,
+                            having, sets):
+        """GROUPING SETS/ROLLUP/CUBE as a union of per-set aggregates:
+        each branch groups by its key subset and projects absent keys as
+        typed NULLs, so all branches share the full key layout.
+        (Reference parity: DataFusion PhysicalGroupBy grouping sets.)"""
+        from ..exprs import bind_expr
+        if any(a.distinct for a in agg_calls):
+            raise NotImplementedError("DISTINCT aggregates with grouping sets")
+        aggs = [AggExpr(a.kind, a.arg, alias=f"__agg{i}")
+                for i, a in enumerate(agg_calls)]
+        agg_names = {a: f"__agg{i}" for i, a in enumerate(agg_calls)}
+        grp_names = [g.name if isinstance(g, Col) else f"__grp{i}"
+                     for i, g in enumerate(group_exprs)]
+        cur_schema = current.schema()
+        key_dtypes = [bind_expr(g, cur_schema).dtype for g in group_exprs]
+
+        branches = []
+        for s in sets:
+            sub = set(s)
+            ag = L.Aggregate(current,
+                             tuple(group_exprs[i] for i in s),
+                             tuple(aggs),
+                             tuple(grp_names[i] for i in s))
+            proj_exprs: List[Expr] = []
+            proj_names: List[str] = []
+            for i, nm in enumerate(grp_names):
+                proj_exprs.append(Col(nm) if i in sub
+                                  else Lit(None, key_dtypes[i]))
+                proj_names.append(nm)
+            for i in range(len(aggs)):
+                proj_exprs.append(Col(f"__agg{i}"))
+                proj_names.append(f"__agg{i}")
+            branches.append(L.Projection(ag, tuple(proj_exprs),
+                                         tuple(proj_names)))
+        out = branches[0] if len(branches) == 1 else L.Union(tuple(branches))
+
+        def rew(e: Expr) -> Expr:
+            for a, nm in agg_names.items():
+                e = _replace_subtree(e, a, Col(nm))
+            for g, nm in zip(group_exprs, grp_names):
+                if not isinstance(g, Col):
+                    e = _replace_subtree(e, g, Col(nm))
+            return e
+
+        self._agg_items = [(rew(e), nm) for e, nm in items]
+        if having is not None:
+            out = L.Filter(out, rew(having))
+        return out
 
 
 def plan_sql(sql: str, ctx) -> L.LogicalPlan:

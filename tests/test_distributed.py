@@ -101,3 +101,31 @@ def test_distributed_full_outer_join(env):
     np.testing.assert_allclose(
         got["o_totalprice"].astype(float).to_numpy(),
         exp["o_totalprice"].astype(float).to_numpy(), rtol=1e-6)
+
+
+def test_distributed_window(env):
+    """Windows distribute by shuffling on PARTITION BY keys — capability the
+    reference lacks (its planner rejects WindowAggExec, planner.rs:155)."""
+    ctx, pdata, mesh = env
+    sql = """
+        select o_custkey, o_orderkey,
+               row_number() over (partition by o_custkey
+                                  order by o_orderdate, o_orderkey) as rn,
+               sum(o_totalprice) over (partition by o_custkey) as spend
+        from orders order by o_custkey, rn
+    """
+    got = run_distributed(ctx, mesh, sql)
+    o = pdata["orders"].sort_values(["o_custkey", "o_orderdate",
+                                     "o_orderkey"])
+    exp = o.assign(
+        rn=o.groupby("o_custkey").cumcount() + 1,
+        spend=o.groupby("o_custkey")["o_totalprice"].transform("sum"),
+    )[["o_custkey", "o_orderkey", "rn", "spend"]].reset_index(drop=True)
+    got = got.reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["o_orderkey"].to_numpy(),
+                                  exp["o_orderkey"].to_numpy())
+    np.testing.assert_array_equal(got["rn"].to_numpy(), exp["rn"].to_numpy())
+    np.testing.assert_allclose(got["spend"].astype(float).to_numpy(),
+                               exp["spend"].astype(float).to_numpy(),
+                               rtol=1e-6)
