@@ -280,10 +280,12 @@ _POW10 = np.array([10 ** i for i in range(19)], dtype=np.int64)
 def _div_scaled(a, b, m: int):
     """round(a * 10^m / b) for int64 mantissas without overflowing int64.
 
-    Splits the 10^m multiplier per element: scale `a` up by as many digits
-    as safely fit (exact), and round the remaining digits off `b`. Exact
-    whenever a*10^m fits in int64 (the common case); otherwise keeps ~15
-    significant digits. TODO(round2+): two-limb int128 for SF100 sums.
+    Exact path (denominators < ~9.2e17, i.e. everything but near-int64-max
+    sums): base-10 long division — q/r of a by b, then m unrolled
+    shift-remainder steps, so a*10^m is never materialized (the int128 the
+    reference gets from Arrow decimal128 sums, emulated in int64). Huge
+    denominators fall back to rounding low digits off the denominator,
+    keeping ~15 significant digits.
     """
     a = a.astype(jnp.int64)
     b = b.astype(jnp.int64)
@@ -292,15 +294,27 @@ def _div_scaled(a, b, m: int):
     pow10 = jnp.asarray(_POW10)
     sign = jnp.where((a < 0) != (b < 0), -1, 1).astype(jnp.int64)
     aa = jnp.abs(a)
-    ab = jnp.abs(b)
-    # number of decimal digits of aa (0 for aa=0)
+    ab = jnp.maximum(jnp.abs(b), 1)
+
+    # exact long division (valid while r*10 can't overflow: ab <= ~9.2e17)
+    q = aa // ab
+    r = aa % ab
+    for _ in range(m):
+        r10 = r * 10
+        q = q * 10 + r10 // ab
+        r = r10 % ab
+    q_exact = q + (2 * r >= ab).astype(jnp.int64)
+
+    # approximate fallback for huge denominators
     digits = jnp.sum(aa[..., None] >= pow10[None, 1:], axis=-1).astype(jnp.int32)
     k1 = jnp.clip(18 - digits, 0, m)
     a1 = aa * jnp.take(pow10, k1, mode="clip")
     rem = (m - k1).astype(jnp.int32)
     bden = jnp.take(pow10, rem, mode="clip")
-    b1 = (ab + bden // 2) // bden  # round low digits off the denominator
-    q = (a1 + jnp.maximum(b1, 1) // 2) // jnp.maximum(b1, 1)
+    b1 = jnp.maximum((ab + bden // 2) // bden, 1)
+    q_approx = (a1 + b1 // 2) // b1
+
+    q = jnp.where(ab <= jnp.int64(9 * 10**17), q_exact, q_approx)
     return sign * q
 
 

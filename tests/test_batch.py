@@ -47,3 +47,22 @@ def test_to_pandas():
     assert len(df) == 4
     assert df["m"][1] == pytest.approx(12.34)
     assert df["s"][1] == "zebra"
+
+
+def test_div_scaled_exact():
+    """Exact decimal division (reference: Arrow decimal128 avg/division);
+    base-10 long division must match bigint math for int64-scale sums."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ballista_tpu.exprs import _div_scaled
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(-2 * 10**18, 2 * 10**18, size=500)
+    b = rng.integers(1, 6 * 10**8, size=500)
+    for m in (1, 4, 10):
+        got = np.asarray(_div_scaled(jnp.asarray(a), jnp.asarray(b), m))
+        for x, y, g in zip(a.tolist(), b.tolist(), got.tolist()):
+            sign = 1 if (x < 0) == (y < 0) else -1
+            exp = sign * ((abs(x) * 10**m + abs(y) // 2) // abs(y))
+            if abs(exp) < 2**63 - 1:
+                assert g == exp, (x, y, m)
