@@ -58,11 +58,16 @@ class ExchangeExec(ExecNode):
     hash path, `shuffle_writer.rs:328-449`, as a fused all_to_all)."""
 
     def __init__(self, child: ExecNode, key_names: Sequence[str],
-                 n_parts: int, quota: int):
+                 n_parts: int, quota: int,
+                 salt: int = 1, salt_mode: str | None = None):
         self.children = (child,)
         self.key_names = tuple(key_names)
         self.n_parts = n_parts
         self.quota = quota
+        # skewed-key splitting: salt>1 spreads each key over `salt`
+        # destinations ('spread' probe side / 'replicate' build side)
+        self.salt = salt
+        self.salt_mode = salt_mode
         self.schema = child.schema
         self.capacity = n_parts * quota
         self._key_idx = [child.schema.index_of(k) for k in key_names]
@@ -70,12 +75,15 @@ class ExchangeExec(ExecNode):
     def evaluate(self, inputs):
         b = self.children[0].evaluate(inputs)
         out, overflow = hash_partition_exchange(
-            b, self._key_idx, self.n_parts, self.quota, PARTITION_AXIS)
+            b, self._key_idx, self.n_parts, self.quota, PARTITION_AXIS,
+            salt=self.salt, salt_mode=self.salt_mode)
         _TraceCtx.record_overflow(overflow)
         return out
 
     def _label(self):
-        return f"ExchangeExec(keys={list(self.key_names)}, P={self.n_parts}, q={self.quota})"
+        s = f", salt={self.salt}:{self.salt_mode}" if self.salt > 1 else ""
+        return (f"ExchangeExec(keys={list(self.key_names)}, "
+                f"P={self.n_parts}, q={self.quota}{s})")
 
 
 class GatherExec(ExecNode):

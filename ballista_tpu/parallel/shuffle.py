@@ -35,19 +35,46 @@ from .mesh import PARTITION_AXIS
 SHUFFLE_SEED = 0x7F4A7C15
 
 
-def shuffle_dest(batch: Batch, key_indices: Sequence[int], n_parts: int):
-    """Destination partition per live row (dead rows -> n_parts)."""
+def shuffle_dest(batch: Batch, key_indices: Sequence[int], n_parts: int,
+                 salt: int = 1, salt_mode: str | None = None):
+    """Destination partition per live row (dead rows -> n_parts).
+
+    Skewed-key splitting (SURVEY.md §2.5 follow-up): with salt S > 1 a
+    key's rows split across S destinations. 'spread' (probe side) assigns
+    each row one sub-bucket by position; 'replicate' (build side) is
+    handled by the caller expanding rows S-fold first and passing the
+    replica id via `sub`. Both sides compute dest = (h*S + sub) mod P, so
+    probe sub-bucket j meets build replica j exactly once.
+    """
     live = row_mask(batch)
     keys = [batch.columns[i] for i in key_indices]
     h = hash_columns(tuple(k.data for k in keys),
                      tuple(k.validity for k in keys), seed=SHUFFLE_SEED)
+    if salt > 1:
+        assert salt_mode == "spread"
+        sub = (jnp.arange(batch.capacity, dtype=jnp.uint32)
+               % jnp.uint32(salt))
+        h = h * jnp.uint32(salt) + sub
     dest = (h % jnp.uint32(n_parts)).astype(jnp.int32)
     return jnp.where(live, dest, n_parts), live
 
 
+def _replicate_batch(batch: Batch, salt: int) -> Tuple[Batch, jax.Array]:
+    """Expand each row into `salt` consecutive replicas; returns the
+    expanded batch and each expanded row's replica id."""
+    cap = batch.capacity
+    j = jnp.arange(cap * salt, dtype=jnp.int32)
+    orig = j // salt
+    sub = (j % salt).astype(jnp.uint32)
+    cols = [Column(jnp.take(c.data, orig), jnp.take(c.validity, orig))
+            for c in batch.columns]
+    return Batch(tuple(cols), batch.num_rows * salt), sub
+
+
 def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
                             n_parts: int, quota: int,
-                            axis_name: str = PARTITION_AXIS):
+                            axis_name: str = PARTITION_AXIS,
+                            salt: int = 1, salt_mode: str | None = None):
     """Inside shard_map: repartition rows by key hash across the mesh.
 
     Returns (out_batch, overflow) where out_batch has capacity
@@ -55,8 +82,19 @@ def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
     dropped — caller must retry with a larger quota).
     """
     P = n_parts
+    if salt > 1 and salt_mode == "replicate":
+        keys = [batch.columns[i] for i in key_indices]
+        h = hash_columns(tuple(k.data for k in keys),
+                         tuple(k.validity for k in keys), seed=SHUFFLE_SEED)
+        live0 = row_mask(batch)
+        batch, sub = _replicate_batch(batch, salt)
+        h = jnp.take(h, jnp.arange(batch.capacity, dtype=jnp.int32) // salt)
+        live = jnp.take(live0, jnp.arange(batch.capacity, dtype=jnp.int32) // salt)
+        dest = ((h * jnp.uint32(salt) + sub) % jnp.uint32(P)).astype(jnp.int32)
+        dest = jnp.where(live, dest, P)
+    else:
+        dest, live = shuffle_dest(batch, key_indices, P, salt, salt_mode)
     cap = batch.capacity
-    dest, live = shuffle_dest(batch, key_indices, P)
 
     # group rows by destination (stable); dead rows (dest=P) sort last
     order = jnp.argsort(dest, stable=True)

@@ -72,6 +72,10 @@ class DistOptions:
     # group tables sized 2x input capacity never overflow (load <= 0.5);
     # the cap bounds memory — overflow past it triggers driver retry
     max_group_table: int = 1 << 21
+    # skewed-key splitting for shuffle joins: each key spreads over
+    # join_salt destinations (probe rows spread, build rows replicated);
+    # escalated by the overflow-retry driver when quota bumps don't clear
+    join_salt: int = 1
 
 
 class DistributedPlanner:
@@ -99,11 +103,13 @@ class DistributedPlanner:
         self._sources[leaf_id] = Source("stage", str(sid))
         return leaf
 
-    def _cut_shuffle(self, root: ExecNode, key_names, expected_rows: int) -> InputLeaf:
+    def _cut_shuffle(self, root: ExecNode, key_names, expected_rows: int,
+                     salt: int = 1, salt_mode: str | None = None) -> InputLeaf:
         P = self.opts.n_partitions
         quota = max(self.opts.min_quota,
                     round_capacity(int(self.opts.quota_headroom * expected_rows / P)))
-        return self._cut(ExchangeExec(root, key_names, P, quota))
+        return self._cut(ExchangeExec(root, key_names, P, quota,
+                                      salt=salt, salt_mode=salt_mode))
 
     def _cut_gather(self, root: ExecNode) -> InputLeaf:
         return self._cut(GatherExec(root, self.opts.n_partitions))
@@ -195,8 +201,19 @@ class DistributedPlanner:
             probe = self._lower(p.right)
             bkeys = [a for a, _ in on]
             pkeys = [b for _, b in on]
-            bleaf = self._cut_shuffle(build, bkeys, expected_rows=build.capacity)
-            pleaf = self._cut_shuffle(probe, pkeys, expected_rows=probe.capacity)
+            # salted joins (skew splitting): probe rows of one key spread
+            # over S shards, build rows replicated to all S. The S replicas
+            # land on S consecutive shards mod P (distinct for S <= P), so
+            # per-shard build-key uniqueness is preserved. Disallowed for
+            # full_outer (replicated builds would re-append unmatched rows).
+            S = (min(self.opts.join_salt, self.opts.n_partitions)
+                 if p.how != "full_outer" else 1)
+            bleaf = self._cut_shuffle(
+                build, bkeys, expected_rows=build.capacity * S,
+                salt=S, salt_mode="replicate" if S > 1 else None)
+            pleaf = self._cut_shuffle(
+                probe, pkeys, expected_rows=probe.capacity,
+                salt=S, salt_mode="spread" if S > 1 else None)
             return HashJoinExec(bleaf, pleaf, on, p.how,
                                 unique_build=p.unique_build)
         if isinstance(p, L.Sort):

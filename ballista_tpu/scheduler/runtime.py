@@ -174,8 +174,14 @@ def execute_distributed(ctx, plan, mesh=None, options: Optional[DistOptions] = N
             if attempt == max_retries - 1:
                 raise
             import dataclasses as dc
+            # first retry: more quota headroom. If that still overflows the
+            # cause is key skew, not undersized averages — split hot keys
+            # across shards (salted joins) on the next retry.
+            salt = opts.join_salt if attempt == 0 else max(
+                2, min(opts.join_salt * 4, opts.n_partitions))
             opts = dc.replace(opts, quota_headroom=opts.quota_headroom * 4,
-                              max_group_table=opts.max_group_table * 4)
+                              max_group_table=opts.max_group_table * 4,
+                              join_salt=salt)
             rt.opts = opts
-            log.warning("shuffle overflow; retrying with headroom %.1f",
-                        opts.quota_headroom)
+            log.warning("shuffle overflow; retrying with headroom %.1f, "
+                        "join salt %d", opts.quota_headroom, opts.join_salt)

@@ -1,0 +1,79 @@
+"""Skewed-key splitting: salted shuffle joins + overflow-retry escalation.
+
+Reference parity: SURVEY.md §2.5 flags skew detection/key splitting as the
+TPU equivalent of Ballista's PartitionStats-driven handling; here the
+overflow signal IS the detector and the retry driver escalates
+quota -> salt (probe rows of a hot key spread over S shards, build rows
+replicated to those S shards)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import jax
+
+from ballista_tpu import batch as B
+from ballista_tpu.client import SessionContext
+from ballista_tpu.parallel.mesh import make_mesh
+from ballista_tpu.scheduler.distributed_planner import DistOptions
+from ballista_tpu.scheduler.runtime import execute_distributed
+
+
+@pytest.fixture(scope="module")
+def env():
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(0)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.85, 7, rng.integers(0, 100, n))
+    fact = pa.table({"k": pa.array(keys, pa.int64()),
+                     "v": pa.array(rng.integers(0, 1000, n), pa.int64())})
+    dim = pa.table({"dk": pa.array(np.arange(100), pa.int64()),
+                    "w": pa.array(np.arange(100) * 10, pa.int64())})
+    ctx = SessionContext()
+    ctx.register_arrow("fact", fact, primary_key=None)
+    ctx.register_arrow("dim", dim, primary_key=("dk",))
+    return ctx, fact.to_pandas(), dim.to_pandas(), make_mesh(8)
+
+
+def _expected(f, d):
+    m = f.merge(d, left_on="k", right_on="dk")
+    return (m.assign(s=m.v + m.w).groupby("k")
+             .agg(s=("s", "sum"), c=("s", "size")).reset_index()
+             .sort_values("k"))
+
+
+SQL = ("select k, sum(v + w) as s, count(*) c from fact join dim "
+       "on k = dk group by k order by k")
+
+
+def test_skew_overflow_escalates_to_salt(env):
+    ctx, f, d, mesh = env
+    opts = DistOptions(n_partitions=8, broadcast_threshold=0, min_quota=16,
+                       quota_headroom=1.05)
+    batch, schema = execute_distributed(ctx, ctx.sql(SQL).plan, mesh, opts)
+    got = B.to_pandas(batch, schema)
+    exp = _expected(f, d)
+    assert list(got["k"]) == list(exp["k"])
+    assert list(got["s"]) == list(exp["s"])
+    assert list(got["c"]) == list(exp["c"])
+
+
+def test_explicit_join_salt(env):
+    ctx, f, d, mesh = env
+    opts = DistOptions(n_partitions=8, broadcast_threshold=0, join_salt=4)
+    batch, schema = execute_distributed(ctx, ctx.sql(SQL).plan, mesh, opts)
+    got = B.to_pandas(batch, schema)
+    exp = _expected(f, d)
+    assert list(got["s"]) == list(exp["s"])
+    assert list(got["c"]) == list(exp["c"])
+
+
+def test_salted_left_outer(env):
+    ctx, f, d, mesh = env
+    opts = DistOptions(n_partitions=8, broadcast_threshold=0, join_salt=4)
+    sql = "select count(*) c, count(w) cw from fact left join dim on k = dk"
+    batch, schema = execute_distributed(ctx, ctx.sql(sql).plan, mesh, opts)
+    got = B.to_pandas(batch, schema)
+    assert int(got["c"][0]) == len(f)
+    assert int(got["cw"][0]) == int((f.k < 100).sum())
