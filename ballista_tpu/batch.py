@@ -260,6 +260,54 @@ def to_pandas(batch: Batch, schema: Schema):
     return pd.DataFrame(cols)
 
 
+def schema_to_arrow(schema: Schema):
+    """Engine Schema -> pyarrow schema (Flight/IPC egress)."""
+    import pyarrow as pa
+
+    simple = {TypeKind.BOOL: pa.bool_(), TypeKind.INT32: pa.int32(),
+              TypeKind.INT64: pa.int64(), TypeKind.FLOAT32: pa.float32(),
+              TypeKind.FLOAT64: pa.float64(), TypeKind.DATE32: pa.date32(),
+              TypeKind.STRING: pa.string()}
+    fields = []
+    for f in schema.fields:
+        if f.dtype.kind is TypeKind.DECIMAL:
+            t = pa.decimal128(max(f.dtype.precision, f.dtype.scale + 1, 1),
+                              f.dtype.scale)
+        else:
+            t = simple[f.dtype.kind]
+        fields.append(pa.field(f.name, t, f.nullable))
+    return pa.schema(fields)
+
+
+def to_arrow(batch: Batch, schema: Schema):
+    """Live rows as an exact pyarrow Table (decimals stay decimal128 —
+    unlike to_pandas' float rendering). The Flight data plane's egress
+    format (reference: Arrow IPC streams over Flight, flight_service.rs)."""
+    import decimal as pydec
+
+    import pyarrow as pa
+
+    arrow_schema = schema_to_arrow(schema)
+    raw = to_numpy(batch, schema)
+    arrays = []
+    for f, af in zip(schema.fields, arrow_schema):
+        data, valid = raw[f.name]
+        mask = ~valid
+        if f.dtype.kind is TypeKind.DECIMAL:
+            s = f.dtype.scale
+            vals = [None if not v else pydec.Decimal(int(x)).scaleb(-s)
+                    for x, v in zip(data.tolist(), valid.tolist())]
+            arrays.append(pa.array(vals, type=af.type))
+        elif f.dtype.kind is TypeKind.STRING:
+            arrays.append(pa.array(data, type=pa.string()))
+        elif f.dtype.kind is TypeKind.DATE32:
+            arrays.append(pa.array(data.astype(np.int32), type=pa.date32(),
+                                   mask=mask))
+        else:
+            arrays.append(pa.array(data, type=af.type, mask=mask))
+    return pa.Table.from_arrays(arrays, schema=arrow_schema)
+
+
 def from_pandas(df, schema: Schema | None = None, capacity: int | None = None):
     import pyarrow as pa
 

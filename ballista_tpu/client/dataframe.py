@@ -82,6 +82,6 @@ class DataFrame:
         return B.to_pandas(b, schema)
 
     def to_arrow(self):
-        import pyarrow as pa
-        df = self.to_pandas()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        from .. import batch as B
+        b, schema = self.collect()
+        return B.to_arrow(b, schema)

@@ -1,0 +1,134 @@
+"""Arrow Flight endpoint: network SQL + result streaming.
+
+Reference parity (two services in one):
+- the scheduler's FlightSQL endpoint (`scheduler/src/flight_sql.rs:80`) —
+  clients submit SQL, receive a FlightInfo (schema + endpoints + ticket)
+  and stream results with do_get; catalog metadata via list_flights and
+  actions. JDBC/ODBC-style access without the Rust FlightSQL statement
+  message envelope: commands are UTF-8 SQL or JSON {"query": ...}.
+- the executor Flight shuffle/result service (`flight_service.rs:74`) —
+  do_get with a job-result ticket streams a finished job's partitions.
+
+The data plane speaks Arrow IPC on the wire (LZ4/ZSTD via pyarrow Flight's
+gRPC transport), matching the reference's Flight data path; results come
+off the mesh exactly once per job and are cached for ticket fetches.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from typing import Dict, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.flight as fl
+
+from . import batch as B
+
+
+def _sql_of(command: bytes) -> str:
+    text = command.decode("utf-8", errors="replace")
+    try:
+        obj = json.loads(text)
+        if isinstance(obj, dict) and "query" in obj:
+            return obj["query"]
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        pass
+    return text
+
+
+class BallistaFlightServer(fl.FlightServerBase):
+    """Flight front door over a SessionContext or StandaloneCluster.
+
+    Flow (FlightSQL-style):
+      info = client.get_flight_info(FlightDescriptor.for_command(sql))
+      reader = client.do_get(info.endpoints[0].ticket)     # Arrow stream
+    One-shot: client.do_get(Ticket(sql)) also works (DistributedQueryExec
+    fetch-with-inline-plan analog).
+    """
+
+    def __init__(self, ctx=None, cluster=None,
+                 location: str = "grpc://127.0.0.1:0"):
+        super().__init__(location)
+        if ctx is None and cluster is None:
+            raise ValueError("need a SessionContext or StandaloneCluster")
+        self.cluster = cluster
+        self.ctx = ctx if ctx is not None else cluster.ctx
+        self._results: Dict[str, pa.Table] = {}
+        self._lock = threading.Lock()
+
+    # -- execution --
+
+    def _run_sql(self, sql: str) -> pa.Table:
+        if self.cluster is not None:
+            job_id = self.cluster.submit_sql(sql)
+            batch, schema = self.cluster.wait(job_id)
+            return B.to_arrow(batch, schema)
+        return self.ctx.sql(sql).to_arrow()
+
+    # -- Flight verbs --
+
+    def get_flight_info(self, context, descriptor):
+        sql = _sql_of(descriptor.command)
+        table = self._run_sql(sql)
+        ticket_id = uuid.uuid4().hex
+        with self._lock:
+            self._results[ticket_id] = table
+        endpoint = fl.FlightEndpoint(
+            json.dumps({"ticket": ticket_id}).encode(), [])
+        return fl.FlightInfo(table.schema, descriptor, [endpoint],
+                             table.num_rows, table.nbytes)
+
+    def do_get(self, context, ticket):
+        raw = ticket.ticket
+        try:
+            obj = json.loads(raw.decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            obj = None
+        if isinstance(obj, dict) and "ticket" in obj:
+            with self._lock:
+                table = self._results.pop(obj["ticket"], None)
+            if table is None:
+                raise fl.FlightServerError("unknown or already-fetched ticket")
+        else:
+            table = self._run_sql(_sql_of(raw))
+        return fl.RecordBatchStream(table)
+
+    def list_flights(self, context, criteria):
+        for name, tp in self.ctx.tables.items():
+            desc = fl.FlightDescriptor.for_path(name)
+            schema = B.schema_to_arrow(tp.schema)
+            endpoint = fl.FlightEndpoint(
+                json.dumps({"query": f"select * from {name}"}).encode(), [])
+            yield fl.FlightInfo(schema, desc, [endpoint],
+                                int(tp.arrow_table.num_rows), -1)
+
+    def list_actions(self, context):
+        return [("explain", "logical plan for a SQL string"),
+                ("jobs", "job list (standalone cluster only)")]
+
+    def do_action(self, context, action):
+        if action.type == "explain":
+            sql = _sql_of(action.body.to_pybytes())
+            plan = self.ctx.sql(sql).plan
+            yield plan.display().encode()
+        elif action.type == "jobs":
+            if self.cluster is None:
+                yield b"[]"
+            else:
+                sched = self.cluster.scheduler
+                jobs = [sched.job_status(jid)
+                        for jid in sched.task_manager.jobs]
+                yield json.dumps(jobs).encode()
+        else:
+            raise fl.FlightServerError(f"unknown action {action.type!r}")
+
+
+def flight_query(endpoint: str, sql: str) -> pa.Table:
+    """Client helper: submit SQL over Flight, return the Arrow result
+    (FlightSQL handshake + fetch in one call)."""
+    client = fl.connect(endpoint)
+    info = client.get_flight_info(
+        fl.FlightDescriptor.for_command(sql.encode()))
+    return client.do_get(info.endpoints[0].ticket).read_all()

@@ -840,7 +840,28 @@ class SqlPlanner:
                     except KeyError:
                         k = key
                     keys.append((k, asc, nf))
-            out = L.Sort(out, tuple(keys))
+            # ORDER BY columns outside the SELECT list: carry them through
+            # the projection as hidden columns, sort, then drop them
+            hidden: List[str] = []
+            if not stmt.distinct and isinstance(out, L.Projection):
+                avail = {f.name for f in current.schema().fields}
+                for k, _, _ in keys:
+                    for c in expr_columns(k):
+                        if c not in out_names and c not in hidden:
+                            if c not in avail:
+                                raise KeyError(
+                                    f"ORDER BY column {c!r} not available")
+                            hidden.append(c)
+            if hidden:
+                widened = L.Projection(
+                    current,
+                    tuple(e for e, _ in items) + tuple(Col(c) for c in hidden),
+                    tuple(out_names) + tuple(hidden))
+                sorted_ = L.Sort(widened, tuple(keys))
+                out = L.Projection(sorted_, tuple(Col(n) for n in out_names),
+                                   tuple(out_names))
+            else:
+                out = L.Sort(out, tuple(keys))
         if stmt.limit is not None:
             out = L.Limit(out, stmt.limit)
         return out

@@ -1,0 +1,81 @@
+"""Arrow Flight endpoint: FlightSQL-style SQL over the wire.
+
+Reference parity: scheduler FlightSQL service (flight_sql.rs:80) +
+executor Flight result fetch (flight_service.rs:74)."""
+
+import decimal
+import json
+
+import pyarrow as pa
+import pyarrow.flight as fl
+import pytest
+
+from ballista_tpu.client import SessionContext
+from ballista_tpu.flight import BallistaFlightServer, flight_query
+
+
+@pytest.fixture(scope="module")
+def server():
+    ctx = SessionContext()
+    ctx.register_arrow("t", pa.table({
+        "g": pa.array(["a", "a", "b"]),
+        "v": pa.array([1, 2, 3], pa.int64()),
+        "price": pa.array([decimal.Decimal("1.50"), decimal.Decimal("2.25"),
+                           None], pa.decimal128(10, 2)),
+    }))
+    srv = BallistaFlightServer(ctx=ctx)
+    yield srv, f"grpc://127.0.0.1:{srv.port}"
+    srv.shutdown()
+
+
+def test_get_flight_info_and_do_get(server):
+    srv, endpoint = server
+    client = fl.connect(endpoint)
+    info = client.get_flight_info(fl.FlightDescriptor.for_command(
+        b"select g, sum(v) as s from t group by g order by g"))
+    assert info.total_records == 2
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("g").to_pylist() == ["a", "b"]
+    assert table.column("s").to_pylist() == [3, 3]
+
+
+def test_one_shot_ticket(server):
+    srv, endpoint = server
+    client = fl.connect(endpoint)
+    table = client.do_get(fl.Ticket(b"select count(*) c from t")).read_all()
+    assert table.column("c").to_pylist() == [3]
+
+
+def test_decimal_exact_over_wire(server):
+    srv, endpoint = server
+    table = flight_query(endpoint, "select price from t order by v")
+    vals = table.column("price").to_pylist()
+    assert vals[0] == decimal.Decimal("1.50")
+    assert vals[1] == decimal.Decimal("2.25")
+    assert vals[2] is None
+    assert pa.types.is_decimal(table.schema.field("price").type)
+
+
+def test_list_flights(server):
+    srv, endpoint = server
+    client = fl.connect(endpoint)
+    flights = list(client.list_flights())
+    assert len(flights) == 1
+    assert flights[0].total_records == 3
+
+
+def test_explain_action(server):
+    srv, endpoint = server
+    client = fl.connect(endpoint)
+    out = list(client.do_action(fl.Action(
+        "explain", b"select v from t where v > 1")))
+    text = out[0].body.to_pybytes().decode()
+    assert "Filter" in text and "Projection" in text
+
+
+def test_unknown_ticket_rejected(server):
+    srv, endpoint = server
+    client = fl.connect(endpoint)
+    with pytest.raises(fl.FlightServerError):
+        client.do_get(fl.Ticket(json.dumps({"ticket": "nope"}).encode())
+                      ).read_all()
