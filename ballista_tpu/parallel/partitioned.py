@@ -68,30 +68,34 @@ def partition_arrow(table, n_partitions: int, mesh=None,
             shard_cols[i][1].append(np.asarray(c.validity))
     cols = []
     sharding = shard_batch_sharding(mesh) if mesh is not None else None
+
+    def put(a):
+        if sharding is None:
+            return jnp.asarray(a)
+        # make_array_from_callback works for cross-process meshes too: each
+        # process materializes only the shards it owns (multi-host parity:
+        # an executor writes only its own partitions)
+        return jax.make_array_from_callback(a.shape, sharding,
+                                            lambda idx: a[idx])
+
     for datas, valids in shard_cols:
-        d = np.stack(datas)
-        v = np.stack(valids)
-        if sharding is not None:
-            cols.append(Column(jax.device_put(d, sharding),
-                               jax.device_put(v, sharding)))
-        else:
-            cols.append(Column(jnp.asarray(d), jnp.asarray(v)))
-    nr = jnp.asarray(num_rows)
-    if sharding is not None:
-        nr = jax.device_put(nr, sharding)
+        cols.append(Column(put(np.stack(datas)), put(np.stack(valids))))
+    nr = put(num_rows)
     return PartitionedBatch(tuple(cols), nr), schema
 
 
 def gather_partitions(pb: PartitionedBatch, schema: Schema) -> Batch:
     """Collect all shards into one host-side Batch (result egress — the
     analog of the client Flight-fetching final partitions)."""
+    from .multihost import host_local_array
+
     P_, cap = pb.n_partitions, pb.capacity
     total_cap = round_capacity(P_ * cap)
-    nrows = np.asarray(pb.num_rows)
+    nrows = host_local_array(pb.num_rows)
     cols = []
     for c in pb.columns:
-        data = np.asarray(c.data)
-        valid = np.asarray(c.validity)
+        data = host_local_array(c.data)
+        valid = host_local_array(c.validity)
         out_d = np.zeros(total_cap, dtype=data.dtype)
         out_v = np.zeros(total_cap, dtype=bool)
         off = 0

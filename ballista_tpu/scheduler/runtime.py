@@ -131,18 +131,19 @@ class DistributedRuntime:
             out, overflow, op_rows = fn(inputs)
             out.num_rows.block_until_ready()
             m.run_s = time.time() - t0
+            from ..parallel.multihost import host_local_array
             if op_labels:
                 import numpy as _np
-                totals = _np.asarray(op_rows).sum(axis=0)
+                totals = host_local_array(op_rows).sum(axis=0)
                 m.operator_rows = {lbl: int(v) for lbl, v
                                    in zip(op_labels, totals)}
-            if bool(jnp.any(overflow)):
+            if bool(host_local_array(overflow).any()):
                 raise ShuffleOverflowError(
                     f"stage {stage.stage_id}: shuffle quota exceeded "
                     "(retry with larger quota_headroom)")
             outputs[str(stage.stage_id)] = out
             schemas[stage.stage_id] = stage.root.schema
-            m.output_rows = int(jnp.sum(out.num_rows))
+            m.output_rows = int(host_local_array(out.num_rows).sum())
             log.debug("stage %d done: %s", stage.stage_id, m.as_dict())
         final = outputs[str(dplan.final_stage)]
         schema = dplan.final_schema
