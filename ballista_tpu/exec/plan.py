@@ -498,6 +498,61 @@ class HashJoinExec(ExecNode):
                 f"(on={list(self.on)}, T={self.table_size})")
 
 
+class CrossJoinExec(ExecNode):
+    """Cartesian product (DataFusion CrossJoinExec parity): output slot
+    j = (build row j // probe_cap, probe row j % probe_cap), compacted.
+    The planner bounds build_cap * probe_cap; distributed plans broadcast
+    the build side and keep the probe sharded."""
+
+    MAX_CELLS = 1 << 24
+
+    def __init__(self, build: ExecNode, probe: ExecNode):
+        self.children = (build, probe)
+        cells = build.capacity * probe.capacity
+        if cells > self.MAX_CELLS:
+            raise NotImplementedError(
+                f"cross join of {build.capacity}x{probe.capacity} rows "
+                f"exceeds the {self.MAX_CELLS} cell bound")
+        self.capacity = round_capacity(cells)
+        fields = build.schema.fields + probe.schema.fields
+        dicts = dict(build.schema.dictionaries)
+        dicts.update(probe.schema.dictionaries)
+        names = [f.name for f in fields]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate column names in join output: {names}")
+        self.schema = Schema(fields, dicts)
+
+    def evaluate(self, inputs):
+        from .distributed import _TraceCtx
+        build_b = self.children[0].evaluate(inputs)
+        probe_b = self.children[1].evaluate(inputs)
+        nb_cap, np_cap = build_b.capacity, probe_b.capacity
+        j = jnp.arange(nb_cap * np_cap, dtype=jnp.int32)
+        bi = j // np_cap
+        pi = j % np_cap
+        valid = (bi < build_b.num_rows) & (pi < probe_b.num_rows)
+        cols = []
+        for c in build_b.columns:
+            cols.append(Column(jnp.take(c.data, bi),
+                               jnp.take(c.validity, bi) & valid))
+        for c in probe_b.columns:
+            cols.append(Column(jnp.take(c.data, pi),
+                               jnp.take(c.validity, pi) & valid))
+        total = (build_b.num_rows * probe_b.num_rows).astype(jnp.int32)
+        perm, _ = compaction_perm(valid)
+        out = gather_batch(Batch(tuple(cols), total), perm, total)
+        if self.capacity != nb_cap * np_cap:
+            out = Batch(tuple(
+                Column(jnp.resize(c.data, (self.capacity,)),
+                       jnp.resize(c.validity, (self.capacity,)))
+                for c in out.columns), total)
+        _TraceCtx.record_rows(self._label(), total)
+        return _mask_after(out, total)
+
+    def _label(self):
+        return "CrossJoinExec"
+
+
 def _mask_after(b: Batch, count) -> Batch:
     livemask = jnp.arange(b.capacity, dtype=jnp.int32) < count
     cols = [Column(c.data, c.validity & livemask) for c in b.columns]

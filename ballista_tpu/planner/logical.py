@@ -164,7 +164,7 @@ class Join(LogicalPlan):
     left: LogicalPlan
     right: LogicalPlan
     on: Tuple[Tuple[str, str], ...]
-    how: str = "inner"  # inner | left_outer | full_outer | semi | anti
+    how: str = "inner"  # inner | left_outer | full_outer | semi | anti | cross
     unique_build: bool = True  # left side has unique join keys
 
     def schema(self) -> Schema:

@@ -131,6 +131,9 @@ def create_physical_plan(plan: L.LogicalPlan,
         if isinstance(p, L.Limit):
             return LimitExec(lower(p.input), p.n)
         if isinstance(p, L.Join):
+            if p.how == "cross":
+                from ..exec.plan import CrossJoinExec
+                return CrossJoinExec(lower(p.left), lower(p.right))
             # outer joins must not fuse filters into live-masks: dropped
             # rows would resurface as outer-null rows, so keep FilterExecs
             if p.how == "full_outer":

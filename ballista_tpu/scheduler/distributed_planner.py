@@ -179,6 +179,11 @@ class DistributedPlanner:
                                       table_size=16)
             return PartitionPruneExec(final)
         if isinstance(p, L.Join):
+            if p.how == "cross":
+                # broadcast the build side; probe stays sharded
+                from ..exec.plan import CrossJoinExec
+                bleaf = self._cut_gather(self._lower(p.left))
+                return CrossJoinExec(bleaf, self._lower(p.right))
             build = self._lower(p.left)
             on = list(p.on)
             # FULL OUTER needs key-colocated shards: a replicated build would

@@ -134,7 +134,7 @@ KEYWORDS = {
     "exists", "distinct", "join", "inner", "left", "right", "full", "outer",
     "on", "asc", "desc", "nulls", "first", "last", "union", "all",
     "true", "false", "extract", "year", "create", "drop", "view", "for",
-    "over", "partition", "grouping", "sets", "rollup", "cube",
+    "over", "partition", "grouping", "sets", "rollup", "cube", "cross",
 }
 
 WINDOW_FNS = ("row_number", "rank", "dense_rank", "lag", "lead",
@@ -354,6 +354,9 @@ class Parser:
     def _try_join_kw(self) -> Optional[str]:
         if self.accept("kw", "join"):
             return "inner"
+        if self.at_kw("cross") and self.peek(1).value == "join":
+            self.next(); self.next()
+            return "cross"
         if self.at_kw("inner") and self.peek(1).value == "join":
             self.next(); self.next()
             return "inner"

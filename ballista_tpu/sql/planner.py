@@ -441,8 +441,15 @@ class SqlPlanner:
                     pick = rid
                     break
             if pick is None:
-                raise NotImplementedError(
-                    f"no join path to relations {remaining} (cross join unsupported)")
+                # no equi path: cartesian product (explicit CROSS JOIN,
+                # comma-join without equality, or theta-only conditions —
+                # residual WHERE predicates filter the product afterwards)
+                pick = remaining[0]
+                current = L.Join(plans[pick], current, (), "cross")
+                current_uniq = []
+                joined_ids.add(pick)
+                remaining.remove(pick)
+                continue
             pairs = edges_between(joined_ids, pick)
             cur_cols = frozenset(p[0] for p in pairs)
             new_cols = frozenset(p[1] for p in pairs)

@@ -129,3 +129,13 @@ def test_distributed_window(env):
     np.testing.assert_allclose(got["spend"].astype(float).to_numpy(),
                                exp["spend"].astype(float).to_numpy(),
                                rtol=1e-6)
+
+
+def test_distributed_cross_join(env):
+    """CROSS JOIN distributes as broadcast build x sharded probe."""
+    ctx, pdata, mesh = env
+    got = run_distributed(ctx, mesh, """
+        select count(*) c from region cross join nation
+    """)
+    exp = len(pdata["region"]) * len(pdata["nation"])
+    assert int(got["c"][0]) == exp

@@ -97,3 +97,25 @@ def test_full_outer_join_unique_merge_path(ctx):
                   None if _isna(r["nm"]) else str(r["nm"])))
     assert rows == {(1, 10, "ann"), (1, 20, "ann"), (9, 30, None),
                     (None, None, "bob")}
+
+
+def test_cross_join(ctx):
+    df = ctx.sql("select t1.x a, t2.x b from t1 cross join t2 "
+                 "order by a, b").to_pandas()
+    assert len(df) == 6
+    assert list(df["a"]) == [1, 1, 2, 2, 3, 3]
+    assert list(df["b"]) == [3, 4, 3, 4, 3, 4]
+
+
+def test_theta_join_via_comma(ctx):
+    # no equality edge -> cross product + residual filter
+    df = ctx.sql("select t1.x a, t2.x b from t1, t2 where t1.x + 1 = t2.x "
+                 "order by a").to_pandas()
+    assert list(df["a"]) == [2, 3]
+    assert list(df["b"]) == [3, 4]
+
+
+def test_theta_join_on_inequality(ctx):
+    df = ctx.sql("select count(*) c from t1 join t2 on t1.x < t2.x").to_pandas()
+    # pairs with x1 < x2: (1,3),(1,4),(2,3),(2,4),(3,4) = 5
+    assert int(df["c"][0]) == 5
