@@ -331,6 +331,64 @@ class ExecutionGraph:
         return all(st.state is StageState.SUCCESSFUL
                    for st in self.stages.values())
 
+    # -- persistence (encode/decode_execution_graph parity,
+    #    execution_graph.rs:1327,1431) --
+    def to_dict(self) -> dict:
+        return {
+            "job_id": self.job_id,
+            "state": self.state.value,
+            "error": self.error,
+            "next_task_id": self._next_task_id,
+            "stages": [
+                {"stage_id": st.stage_id,
+                 "n_partitions": st.n_partitions,
+                 "inputs": list(st.inputs),
+                 "state": st.state.value,
+                 "failure_count": st.failure_count,
+                 "task_failures": st.task_failures,
+                 "completed_inputs": sorted(st.completed_inputs),
+                 "output_locations": {str(p): e for p, e
+                                      in st.output_locations.items()},
+                 "task_infos": [
+                     None if t is None else dataclasses.asdict(t)
+                     for t in st.task_infos]}
+                for st in self.stages.values()],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ExecutionGraph":
+        g = cls.__new__(cls)
+        g.job_id = d["job_id"]
+        g.state = JobState(d["state"])
+        g.error = d.get("error")
+        g._next_task_id = d["next_task_id"]
+        g.stages = {}
+        for sd in d["stages"]:
+            st = GraphStage(sd["stage_id"], sd["n_partitions"],
+                            tuple(sd["inputs"]))
+            st.state = StageState(sd["state"])
+            st.failure_count = sd["failure_count"]
+            st.task_failures = sd["task_failures"]
+            st.completed_inputs = set(sd["completed_inputs"])
+            st.output_locations = {int(p): e for p, e
+                                   in sd["output_locations"].items()}
+            st.task_infos = [None if t is None else TaskInfo(**t)
+                             for t in sd["task_infos"]]
+            g.stages[st.stage_id] = st
+        return g
+
+    def reset_in_flight(self):
+        """Recovery hook: running tasks died with the old scheduler
+        (running-stage state is memory-only in the reference,
+        execution_stage.rs:178-182) — unschedule them so a recovering
+        scheduler re-runs only incomplete work."""
+        for st in self.stages.values():
+            if st.state is StageState.RUNNING:
+                for i, ti in enumerate(st.task_infos):
+                    if ti is not None and ti.status == "running":
+                        st.task_infos[i] = None
+        self._revive()
+
     # -- introspection (REST /api/job/{id}/stages analog) --
     def status(self) -> dict:
         return {

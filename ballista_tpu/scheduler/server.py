@@ -198,12 +198,16 @@ class SchedulerServer:
     like SchedulerTest, test_utils.rs:409)."""
 
     def __init__(self, launcher: TaskLauncher,
-                 executor_timeout_s: float = DEFAULT_EXECUTOR_TIMEOUT_S):
+                 executor_timeout_s: float = DEFAULT_EXECUTOR_TIMEOUT_S,
+                 job_store=None):
         self.executor_manager = ExecutorManager(executor_timeout_s)
         self.task_manager = TaskManager(launcher)
         self.events: collections.deque = collections.deque()
         self.job_events: Dict[str, List[JobEvent]] = {}
         self._pending_statuses: List[TaskStatus] = []
+        # optional persistent JobState store (job_store.py): graphs saved on
+        # submit and on progress, enabling scheduler-restart takeover
+        self.job_store = job_store
 
     # -- public API (SchedulerGrpc analog) --
     def register_executor(self, meta: ExecutorMetadata):
@@ -213,9 +217,27 @@ class SchedulerServer:
     def submit_job(self, graph: ExecutionGraph) -> str:
         self.task_manager.submit(graph)
         self.job_events.setdefault(graph.job_id, [])
+        if self.job_store is not None:
+            self.job_store.save_job(graph)
         self.events.append((SchedulerEvent.JOB_SUBMITTED, graph.job_id))
         self.events.append((SchedulerEvent.TICK, None))
         return graph.job_id
+
+    def recover_jobs(self) -> List[str]:
+        """Scheduler-restart takeover: reload non-terminal jobs from the
+        store and resume them (the try_acquire_job hook the reference
+        declares but never implements, kv.rs:697)."""
+        from .job_store import recover_graphs
+        if self.job_store is None:
+            return []
+        out = []
+        for g in recover_graphs(self.job_store):
+            self.task_manager.submit(g)
+            self.job_events.setdefault(g.job_id, [])
+            out.append(g.job_id)
+        if out:
+            self.events.append((SchedulerEvent.TICK, None))
+        return out
 
     def update_task_status(self, executor_id: str,
                            statuses: List[TaskStatus]):
@@ -267,6 +289,8 @@ class SchedulerServer:
                     continue
                 evs = g.update_task_status(sts)
                 self.job_events[jid].extend(evs)
+                if self.job_store is not None and evs:
+                    self.job_store.save_job(g)
             self.task_manager.prune_finished()
         elif kind is SchedulerEvent.EXECUTOR_LOST:
             for g in self.task_manager.jobs.values():
