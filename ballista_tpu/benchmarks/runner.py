@@ -84,6 +84,62 @@ def run(sf: float, queries, iterations: int, distributed: bool):
     return results
 
 
+def loadtest(sf: float, clients: int, requests: int, queries):
+    """Concurrent-client load test against a StandaloneCluster
+    (`tpch.rs loadtest ballista`, benchmarks/src/bin/tpch.rs:454 parity):
+    each client thread submits `requests` queries round-robin through the
+    scheduler control plane; reports throughput + latency percentiles."""
+    import threading
+
+    from ..client import SessionContext
+    from ..datagen import register_tpch
+    from ..scheduler.standalone import StandaloneCluster
+    from .queries import TPCH_QUERIES
+
+    ctx = SessionContext()
+    register_tpch(ctx, sf)
+    cluster = StandaloneCluster(ctx)
+    # warm compile caches once per distinct query
+    for q in queries:
+        cluster.sql(TPCH_QUERIES[q])
+
+    latencies = []
+    lock = threading.Lock()
+    # the scheduler pump + device are serial resources in-process; the
+    # submit lock models the single-controller gRPC frontier (queueing
+    # latency is part of what the load test measures)
+    submit = threading.Lock()
+
+    def client(cid: int):
+        for i in range(requests):
+            q = queries[(cid + i) % len(queries)]
+            t0 = time.time()
+            with submit:
+                cluster.sql(TPCH_QUERIES[q])
+            dt = time.time() - t0
+            with lock:
+                latencies.append(dt)
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    latencies.sort()
+    n = len(latencies)
+    out = {"clients": clients, "requests_per_client": requests,
+           "total_queries": n, "wall_s": round(wall, 2),
+           "qps": round(n / wall, 2),
+           "p50_ms": round(latencies[n // 2] * 1000, 1),
+           "p95_ms": round(latencies[int(n * 0.95)] * 1000, 1),
+           "max_ms": round(latencies[-1] * 1000, 1)}
+    print(json.dumps(out))
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
@@ -91,10 +147,16 @@ def main(argv=None):
                     help="comma-separated query numbers (default: all)")
     ap.add_argument("--iterations", type=int, default=3)
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--loadtest", default=None, metavar="CLIENTSxREQUESTS",
+                    help="e.g. 4x8: 4 concurrent clients, 8 requests each")
     args = ap.parse_args(argv)
     queries = ([int(x) for x in args.queries.split(",")] if args.queries
                else list(range(1, 23)))
-    run(args.sf, queries, args.iterations, args.distributed)
+    if args.loadtest:
+        c, r = args.loadtest.lower().split("x")
+        loadtest(args.sf, int(c), int(r), queries)
+    else:
+        run(args.sf, queries, args.iterations, args.distributed)
 
 
 if __name__ == "__main__":

@@ -96,6 +96,35 @@ class SessionContext:
         import pyarrow.parquet as pq
         self.register_arrow(name, pq.read_table(path), primary_key)
 
+    def register_json(self, name: str, path: str, primary_key=None) -> None:
+        """Newline-delimited JSON (BallistaContext::read_json parity)."""
+        import pyarrow.json as pajson
+        self.register_arrow(name, pajson.read_json(path), primary_key)
+
+    def register_avro(self, name: str, path: str, primary_key=None) -> None:
+        """Avro registration (BallistaContext::read_avro parity) — gated on
+        an Avro reader being installed; pyarrow has none built in."""
+        raise NotImplementedError(
+            "Avro ingest requires an avro reader (fastavro/avro) which is "
+            "not available in this environment; convert to parquet/csv")
+
+    # read_* variants return a DataFrame over an anonymous registration
+    # (BallistaContext::read_csv/parquet/json, context.rs:143+)
+    def read_csv(self, path: str, schema=None, **kwargs) -> DataFrame:
+        name = f"__read_{len(self.tables)}"
+        self.register_csv(name, path, schema=schema, **kwargs)
+        return self.table(name)
+
+    def read_parquet(self, path: str) -> DataFrame:
+        name = f"__read_{len(self.tables)}"
+        self.register_parquet(name, path)
+        return self.table(name)
+
+    def read_json(self, path: str) -> DataFrame:
+        name = f"__read_{len(self.tables)}"
+        self.register_json(name, path)
+        return self.table(name)
+
     def register_udf(self, name: str, fn, out_dtype,
                      propagate_nulls: bool = True) -> None:
         """Register a scalar UDF usable from SQL / DataFrame expressions

@@ -80,3 +80,27 @@ def test_dashboard_and_udf(api):
         "select double_it(n_nationkey) as d from nation order by d desc limit 2"
     ).to_pandas()
     assert list(df["d"]) == [48, 46]
+
+
+def test_read_json_and_csv(tmp_path):
+    import json as _json
+    from ballista_tpu.client import SessionContext
+
+    jpath = tmp_path / "t.jsonl"
+    jpath.write_text("\n".join(_json.dumps({"a": i, "b": f"s{i}"})
+                               for i in range(5)))
+    cpath = tmp_path / "t.csv"
+    cpath.write_text("a,b\n1,x\n2,y\n")
+    ctx = SessionContext()
+    df = ctx.read_json(str(jpath))
+    out = df.to_pandas()
+    assert list(out["a"]) == [0, 1, 2, 3, 4]
+    df2 = ctx.read_csv(str(cpath))
+    assert list(df2.to_pandas()["b"]) == ["x", "y"]
+
+
+def test_register_avro_gated():
+    import pytest
+    from ballista_tpu.client import SessionContext
+    with pytest.raises(NotImplementedError):
+        SessionContext().register_avro("x", "nope.avro")
