@@ -58,7 +58,8 @@ class MeshTaskLauncher(TaskLauncher):
 
 class JobContext:
     def __init__(self, job_id: str, dplan: DistributedPlan,
-                 runtime: DistributedRuntime, ctx, logical_plan):
+                 runtime: DistributedRuntime, ctx, logical_plan,
+                 spiller=None):
         self.job_id = job_id
         self.dplan = dplan
         self.runtime = runtime
@@ -67,6 +68,9 @@ class JobContext:
         self.outputs: Dict[str, object] = {}
         self.op_metrics: Dict[int, dict] = {}
         self.stage_by_id = {s.stage_id: s for s in dplan.stages}
+        # Replicator parity: stage outputs spilled to disk survive loss of
+        # the in-memory copies and restore without re-running producers
+        self.spiller = spiller
 
     def run_stage(self, stage_id: int, max_quota_retries: int = 3):
         import dataclasses as dc
@@ -81,11 +85,22 @@ class JobContext:
                     pb, _ = self.runtime.table_partitions(
                         src.name, getattr(src, "columns", None))
                 else:
-                    pb = self.outputs[src.name]
+                    pb = self.outputs.get(src.name)
+                    if pb is None and self.spiller is not None:
+                        # object-store fallback read (shuffle_reader.rs:787)
+                        pb = self.spiller.restore(self.job_id, int(src.name),
+                                                  self.runtime.mesh)
+                        if pb is not None:
+                            self.outputs[src.name] = pb
+                    if pb is None:
+                        raise KeyError(
+                            f"stage {src.name} outputs lost and no spill")
                 inputs[lid] = pb
             out, overflow, op_rows = fn(inputs)
             if not bool(jnp.any(overflow)):
                 self.outputs[str(stage_id)] = out
+                if self.spiller is not None:
+                    self.spiller.spill(self.job_id, stage_id, out)
                 self.op_metrics[stage_id] = {
                     lbl: int(v) for lbl, v in zip(
                         op_labels, __import__("numpy").asarray(op_rows).sum(axis=0))
@@ -118,13 +133,17 @@ class StandaloneCluster:
     """In-process scheduler + mesh executor (BallistaContext::standalone)."""
 
     def __init__(self, ctx, mesh=None, options: Optional[DistOptions] = None,
-                 task_slots: int = 4):
+                 task_slots: int = 4, work_dir: Optional[str] = None):
         self.ctx = ctx
         self.runtime = DistributedRuntime(ctx, mesh, options)
         self.launcher = MeshTaskLauncher(self.runtime)
         self.scheduler = SchedulerServer(self.launcher)
         self.scheduler.register_executor(
             ExecutorMetadata("mesh-executor-0", task_slots=task_slots))
+        self.spiller = None
+        if work_dir is not None:
+            from .spill import StageSpiller
+            self.spiller = StageSpiller(work_dir)
 
     def submit_sql(self, sql: str) -> str:
         df = self.ctx.sql(sql)
@@ -140,7 +159,8 @@ class StandaloneCluster:
         dplan = planner.plan(plan)
         job_id = random_job_id()
         self.launcher.jobs[job_id] = JobContext(
-            job_id, dplan, self.runtime, self.ctx, plan)
+            job_id, dplan, self.runtime, self.ctx, plan,
+            spiller=self.spiller)
         graph = ExecutionGraph.from_distributed_plan(
             job_id, dplan, self.runtime.opts.n_partitions)
         self.scheduler.submit_job(graph)
