@@ -34,6 +34,35 @@ from ..ops.hash import _norm_keys
 from ..ops.sort import SortKeySpec, _rankable
 from .aggregate import _avg_dtype, _sum_dtype
 
+def _segmented_prefix_extremum(vals: jax.Array, valid: jax.Array,
+                               seg_start: jax.Array, is_max: bool):
+    """Per position p: extremum of valid vals over [seg_start[p], p].
+
+    Binary lifting: after pass k, m[p] covers a window of 2^(k+1) trailing
+    positions clipped to p's segment — combining m[p] with m[p-2^k] is
+    safe because p-2^k >= seg_start[p] implies both lie in one segment.
+    O(log n) masked shift+combine passes; no scans, no scatters."""
+    n = vals.shape[0]
+    if jnp.issubdtype(vals.dtype, jnp.floating):
+        sent = jnp.array(-jnp.inf if is_max else jnp.inf, vals.dtype)
+    else:
+        info = jnp.iinfo(vals.dtype)
+        sent = jnp.array(info.min if is_max else info.max, vals.dtype)
+    m = jnp.where(valid, vals, sent)
+    av = valid
+    pos = jnp.arange(n, dtype=jnp.int32)
+    combine = jnp.maximum if is_max else jnp.minimum
+    k = 1
+    while k < n:
+        shifted = jnp.concatenate([jnp.full(k, sent, vals.dtype), m[:-k]])
+        sh_v = jnp.concatenate([jnp.zeros(k, jnp.bool_), av[:-k]])
+        ok = (pos - k) >= seg_start
+        m = combine(m, jnp.where(ok, shifted, sent))
+        av = av | (ok & sh_v)
+        k *= 2
+    return m, av
+
+
 RANKING = ("row_number", "rank", "dense_rank")
 AGGS = ("sum", "avg", "min", "max", "count", "count_star")
 NAVIGATION = ("lag", "lead", "first_value", "last_value")
@@ -92,10 +121,6 @@ class WindowExec(ExecNode):
             if s.kind in ("rank", "dense_rank", "row_number", "lag", "lead",
                           "first_value", "last_value") and not s.order_by:
                 raise ValueError(f"{s.kind} requires OVER(... ORDER BY ...)")
-            if s.kind in ("min", "max") and s.order_by:
-                raise NotImplementedError(
-                    f"{s.kind} with ORDER BY (cumulative extrema) not yet "
-                    "supported; omit ORDER BY for whole-partition extrema")
             new_fields.append(_out_field(s, in_schema))
         names = [f.name for f in in_schema.fields] + [f.name for f in new_fields]
         if len(set(names)) != len(names):
@@ -209,7 +234,20 @@ class WindowExec(ExecNode):
             return Column(jnp.take(v, inv), jnp.ones(n, jnp.bool_))
 
         if k in ("min", "max"):
-            return self._partition_extremum(b, live, n, i, spec)
+            if not has_order:
+                return self._partition_extremum(b, live, n, i, spec)
+            # cumulative extrema: segmented prefix min/max by binary
+            # lifting (log n masked shift+combine passes — scan-free),
+            # read at the peer-run end (RANGE frame includes peers)
+            arg = self._bound_args[i]
+            c = arg.fn(b)
+            sdata = jnp.take(c.data, perm)
+            svalid = jnp.take(c.validity & live, perm)
+            pm, pv = _segmented_prefix_extremum(sdata, svalid, seg_start,
+                                                k == "max")
+            end = peer_end
+            return Column(jnp.take(jnp.take(pm, end), inv),
+                          jnp.take(jnp.take(pv, end), inv))
 
         arg = self._bound_args[i]
         if arg is not None:

@@ -102,9 +102,20 @@ def test_no_partition_by(ctx):
     assert list(df["rn"]) == [1, 2, 3, 4, 5]
 
 
-def test_min_with_order_by_unsupported(ctx):
-    with pytest.raises(NotImplementedError):
-        ctx.sql("select min(v) over (order by v) from t").to_pandas()
+def test_cumulative_min_max(ctx):
+    df = ctx.sql("""
+      select g, v,
+             min(v) over (partition by g order by v desc) as cmn,
+             max(v) over (partition by g order by v) as cmx
+      from t where v is not null order by g, v
+    """).to_pandas()
+    # group a sorted by v asc: cmx = 10,20,20 ; cmn over v desc frames:
+    # row v=10 (last in desc order) -> min(20,20,10)=10; v=20 rows are
+    # peers at the desc front -> min(20,20)=20
+    assert list(df["cmx"][:3]) == [10, 20, 20]
+    assert list(df["cmn"][:3]) == [10, 20, 20]
+    assert list(df["cmx"][3:5]) == [5, 7]
+    assert list(df["cmn"][3:5]) == [5, 7]
 
 
 def test_window_serde_roundtrip(ctx):
