@@ -36,14 +36,11 @@ def gather_batch(batch: Batch, perm: jax.Array, num_rows: jax.Array,
 
 def filter_batch(batch: Batch, mask_col: Column) -> Batch:
     """Apply a boolean predicate column: keep rows where value is true and
-    valid (SQL WHERE drops NULL predicates)."""
+    valid (SQL WHERE drops NULL predicates). Compaction rides a variadic
+    sort — 6-8x cheaper than argsort+gather on TPU (ops/vsort.py)."""
+    from .vsort import compact_batch
     keep = mask_col.data.astype(jnp.bool_) & mask_col.validity & row_mask(batch)
-    perm, count = compaction_perm(keep)
-    out = gather_batch(batch, perm, count)
-    # rows past count are garbage; mark invalid
-    live = jnp.arange(batch.capacity, dtype=jnp.int32) < count
-    cols = [Column(c.data, c.validity & live) for c in out.columns]
-    return Batch(tuple(cols), count)
+    return compact_batch(batch, keep)
 
 
 def limit_batch(batch: Batch, n: int) -> Batch:

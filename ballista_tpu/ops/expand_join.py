@@ -7,13 +7,17 @@ equal-key run lists its build rows, then its probe rows. Per probe row:
 
   n_matches   = number of build rows in its run  (= segmented count of
                 builds before it, since builds precede probes)
-  first_build = sorted position of the run's first build row (segmented
-                forward fill)
+  first_build = sorted position of the run's first build row
 
 A prefix-sum over per-probe counts assigns output slots; output slot j
 recovers its (probe row, k-th build row) with one searchsorted + gathers.
 Static output capacity with an overflow flag for the retry driver
 (capacity-with-overflow-retry, SURVEY.md §7 hard parts).
+
+Data movement is variadic-sort-first (ops/vsort.py): payloads ride the
+key sort, run-head lookups are packed gathers, per-probe quantities route
+back through a second sort keyed by concat index — random gathers cost
+~90ms/col at 6M rows vs ~11ms/col as sort payloads.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .hash import _norm_keys
+from .merge_join import _cosort, _runs
 
 
 class ExpandedMatch(NamedTuple):
@@ -58,67 +63,50 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
     p_any_null = jnp.zeros(np_, dtype=jnp.bool_)
     for v in probe_valids:
         p_any_null = p_any_null | ~v
-    comb = [jnp.concatenate([jnp.where(build_live, bk, DEAD),
-                             jnp.where(probe_live & ~p_any_null, pk, DEAD - 1)])
-            for bk, pk in zip(b_norm, p_norm)]
-    # null BUILD keys never match either
     b_any_null = jnp.zeros(nb, dtype=jnp.bool_)
     for v in build_valids:
         b_any_null = b_any_null | ~v
-    comb[0] = jnp.concatenate([
-        jnp.where(build_live & ~b_any_null, comb[0][:nb], DEAD),
-        comb[0][nb:]])
-    is_build = jnp.concatenate([build_live & ~b_any_null,
-                                jnp.zeros(np_, dtype=jnp.bool_)])
+    b_ok = build_live & ~b_any_null
+    p_ok = probe_live & ~p_any_null
+    comb = [jnp.concatenate([jnp.where(b_ok, bk, DEAD),
+                             jnp.where(p_ok, pk, DEAD - 1)])
+            for bk, pk in zip(b_norm, p_norm)]
+    is_build = jnp.concatenate([b_ok, jnp.zeros(np_, dtype=jnp.bool_)])
 
-    order = jnp.argsort(comb[-1], stable=True)
-    for k in reversed(comb[:-1]):
-        order = jnp.take(order, jnp.argsort(jnp.take(k, order), stable=True))
+    s_keys, s_build, s_cidx = _cosort(comb, is_build, n)
+    pos, first_flag, start_pos = _runs(s_keys, n)
 
-    s_keys = [jnp.take(k, order) for k in comb]
-    s_build = jnp.take(is_build, order)
-    s_orig = jnp.take(jnp.concatenate([
-        jnp.arange(nb, dtype=jnp.int32),
-        jnp.arange(np_, dtype=jnp.int32)]), order)
-
-    pos = jnp.arange(n, dtype=jnp.int32)
-    prev_same = jnp.ones(n, dtype=jnp.bool_)
-    for k in s_keys:
-        rolled = jnp.concatenate([k[:1], k[:-1]])
-        prev_same = prev_same & (k == rolled)
-    first_flag = ~prev_same | (pos == 0)
-
-    # Scan-free run machinery (associative_scan costs tens of minutes of
-    # TPU compile): builds precede probes within a run, so the run's first
-    # element is its first build (if any), and per-position build counts
-    # come from cumsum differences against the run start.
-    # start_pos per position: running max of first-positions (one cummax
-    # pass; an n-sized searchsorted here cost ~2s at 7.5M rows)
-    start_pos = jax.lax.cummax(jnp.where(first_flag, pos, 0))
+    # builds precede probes within a run: per-position build count =
+    # cumsum difference against the run start (the start's own flag added
+    # back); run-head build flag via ONE packed gather
     bsf = jnp.cumsum(s_build.astype(jnp.int32))
-    builds_upto = (bsf - jnp.take(bsf, start_pos)
-                   + jnp.take(s_build, start_pos).astype(jnp.int32))
-    head_is_build = jnp.take(s_build, start_pos)
-
-    # per probe row (original order): count + first build sorted position
-    inv = jnp.argsort(order)
-    ppos = jnp.take(inv, jnp.arange(nb, n))
-    cnt = jnp.take(builds_upto, ppos)            # builds precede probes
-    first = jnp.where(jnp.take(head_is_build, ppos),
-                      jnp.take(start_pos, ppos), -1)
-    cnt = jnp.where((first >= 0) & probe_live & ~p_any_null, cnt, 0)
-    if left_outer:
-        cnt = jnp.where(probe_live, jnp.maximum(cnt, 1), 0)
+    packed = (bsf.astype(jnp.int64) << 1) | s_build.astype(jnp.int64)
+    head = jnp.take(packed, start_pos)
+    head_bsf = (head >> 1).astype(jnp.int32)
+    head_is_build = (head & 1).astype(jnp.bool_)
+    builds_upto = bsf - head_bsf + head_is_build.astype(jnp.int32)
 
     # per-build matched flag: a build row matched iff its run contains >=1
-    # probe, i.e. the run's LAST element is a probe (builds precede probes).
-    # run_end via one reverse cummin over last-of-run positions (scan-free,
-    # same trick family as start_pos above).
+    # probe, i.e. the run's LAST element is a probe (builds precede
+    # probes). run_end via one reverse cummin over last-of-run positions.
     last_flag = jnp.concatenate([first_flag[1:], jnp.ones(1, jnp.bool_)])
     cand = jnp.where(last_flag, pos, n - 1)
     run_end = jnp.flip(jax.lax.cummin(jnp.flip(cand)))
     run_has_probe = ~jnp.take(s_build, run_end)
-    build_matched = jnp.take(s_build & run_has_probe, inv[:nb])
+    build_matched_sorted = (s_build & run_has_probe).astype(jnp.int32)
+
+    # per-position run data routes back to original rows with one sort
+    first_sorted = jnp.where(head_is_build, start_pos, -1)
+    back = jax.lax.sort(
+        (s_cidx, builds_upto, first_sorted, build_matched_sorted),
+        num_keys=1, is_stable=False)
+    cnt = back[1][nb:]                 # builds precede probes in each run
+    first = back[2][nb:]
+    build_matched = back[3][:nb].astype(jnp.bool_)
+
+    cnt = jnp.where((first >= 0) & p_ok, cnt, 0)
+    if left_outer:
+        cnt = jnp.where(probe_live, jnp.maximum(cnt, 1), 0)
 
     # prefix-sum output slots
     csum = jnp.cumsum(cnt).astype(jnp.int32)
@@ -126,13 +114,14 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
     total = csum[-1] if np_ else jnp.int32(0)
     overflow = total > out_capacity
 
+    from .vsort import rank_in_sorted
     j = jnp.arange(out_capacity, dtype=jnp.int32)
-    i = jnp.searchsorted(csum, j, side="right").astype(jnp.int32)
+    i = rank_in_sorted(csum, out_capacity)
     i = jnp.clip(i, 0, np_ - 1)
     k = j - jnp.take(out_start, i)
     valid = (j < total) & (k >= 0) & (k < jnp.take(cnt, i))
     src_pos = jnp.clip(jnp.take(first, i) + k, 0, n - 1)
-    b_row = jnp.take(s_orig, src_pos)
+    b_row = jnp.take(s_cidx, src_pos)  # build rows carry their own index
     row_matched = jnp.take(first, i) >= 0
     build_row = jnp.where(valid & row_matched, b_row, -1)
     probe_row = jnp.where(valid, i, -1)

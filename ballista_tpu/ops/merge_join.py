@@ -4,12 +4,19 @@ hash tables, scatters, or while_loops.
 Motivation (measured, v5e): the open-addressing build loop costs one
 450-880 ms scatter per probe iteration, while sorting 7.5M keys costs
 ~40 ms. So: concatenate build+probe keys, one stable lexicographic sort
-(build rows precede probe rows of the same key), then a segmented
-forward-fill scan propagates each run's build row index to its probe rows.
+(build rows precede probe rows of the same key), then the run-head build
+row propagates to its probe rows.
 
-Handles multi-key joins and SQL NULL semantics (null keys never match —
-masked after the scan). Requires unique build keys (the planner's fast
-path; duplicates go through ops.expand_join).
+Data movement is variadic-sort-first (ops/vsort.py): the flag and
+concat-index ride the key sort as payload operands, the run-head lookup is
+ONE packed gather, and results route back to original positions with a
+second sort keyed by concat index — random gathers cost ~90ms/col at 6M
+rows while sort payloads cost ~11ms/col, so the old argsort+take formul-
+ation spent 6-8x more time moving the same bytes.
+
+Handles multi-key joins and SQL NULL semantics (null keys never match).
+Requires unique build keys (the planner's fast path; duplicates go
+through ops.expand_join).
 """
 
 from __future__ import annotations
@@ -20,6 +27,27 @@ import jax
 import jax.numpy as jnp
 
 from .hash import _norm_keys
+
+
+def _cosort(comb, is_build, n):
+    """Stable lexicographic sort of combined keys carrying (is_build,
+    concat index) as payloads. Returns (s_keys, s_build, s_cidx)."""
+    cidx = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort(tuple(comb) + (is_build.astype(jnp.int32), cidx),
+                       num_keys=len(comb), is_stable=True)
+    k = len(comb)
+    return out[:k], out[k].astype(jnp.bool_), out[k + 1]
+
+
+def _runs(s_keys, n):
+    pos = jnp.arange(n, dtype=jnp.int32)
+    prev_same = jnp.ones(n, dtype=jnp.bool_)
+    for k in s_keys:
+        rolled = jnp.concatenate([k[:1], k[:-1]])
+        prev_same = prev_same & (k == rolled)
+    first = ~prev_same | (pos == 0)
+    start_pos = jax.lax.cummax(jnp.where(first, pos, 0))
+    return pos, first, start_pos
 
 
 @jax.jit
@@ -43,38 +71,20 @@ def merge_probe_unique(build_keys: Tuple[jax.Array, ...],
     is_build = jnp.concatenate([build_live,
                                 jnp.zeros(np_, dtype=jnp.bool_)])
 
-    # stable lexicographic sort; build rows precede probes of equal keys
-    # because they come first in concat order
-    order = jnp.argsort(comb[-1], stable=True)
-    for k in reversed(comb[:-1]):
-        order = jnp.take(order, jnp.argsort(jnp.take(k, order), stable=True))
+    s_keys, s_build, s_cidx = _cosort(comb, is_build, n)
+    pos, first, start_pos = _runs(s_keys, n)
 
-    s_keys = [jnp.take(k, order) for k in comb]
-    s_build = jnp.take(is_build, order)
-    s_orig = jnp.take(jnp.concatenate([
-        jnp.arange(nb, dtype=jnp.int32),
-        jnp.arange(np_, dtype=jnp.int32)]), order)
+    # run-head lookup: ONE packed gather (build flag in the low bit)
+    packed = (s_cidx.astype(jnp.int64) << 1) | s_build.astype(jnp.int64)
+    head = jnp.take(packed, start_pos)
+    head_is_build = (head & 1).astype(jnp.bool_)
+    matched_sorted = jnp.where(head_is_build,
+                               (head >> 1).astype(jnp.int32), -1)
 
-    pos = jnp.arange(n, dtype=jnp.int32)
-    prev_same = jnp.ones(n, dtype=jnp.bool_)
-    for k in s_keys:
-        rolled = jnp.concatenate([k[:1], k[:-1]])
-        prev_same = prev_same & (k == rolled)
-    first = ~prev_same | (pos == 0)
-
-    # Key insight (no scans needed): within a run, build rows precede probe
-    # rows (concat order + stable sort), so a run has a build match iff its
-    # FIRST element is a build row; start_pos per position is the running
-    # max of first-positions — one cummax pass. (associative_scan here cost
-    # tens of minutes of TPU compile; an n-sized searchsorted ~2s runtime.)
-    start_pos = jax.lax.cummax(jnp.where(first, pos, 0))
-    head_is_build = jnp.take(s_build, start_pos)
-    matched_sorted = jnp.where(head_is_build, jnp.take(s_orig, start_pos), -1)
-
-    # route results back to original probe positions via the inverse perm
-    inv = jnp.argsort(order)
-    probe_positions = jnp.take(inv, jnp.arange(nb, n))
-    match = jnp.take(matched_sorted, probe_positions)
+    # route back to original positions with one sort keyed by concat index
+    back = jax.lax.sort((s_cidx, matched_sorted), num_keys=1,
+                        is_stable=False)
+    match = back[1][nb:]
 
     any_null = jnp.zeros(np_, dtype=jnp.bool_)
     for v in probe_valids:
@@ -92,13 +102,11 @@ def merge_full_unique(build_keys: Tuple[jax.Array, ...],
                       ) -> Tuple[jax.Array, jax.Array]:
     """FULL OUTER variant: (per-probe match index or -1, per-build matched).
 
-    Same co-sort structure as merge_probe_unique, but null keys on EITHER
-    side are routed to distinct sentinels (null build keys to DEAD, null
-    probe keys to DEAD-1) so a valid build row's run contains only valid
-    live probes — which makes `build row matched iff its run has >1 element`
-    exact. The per-build flag feeds the unmatched-build append of FULL
-    OUTER JOIN (reference: DataFusion JoinType::Full under Ballista's
-    HashJoinExec delegation, SURVEY.md §1 engine kernel)."""
+    Null keys on EITHER side route to distinct sentinels (null build keys
+    to DEAD, null probe keys to DEAD-1) so a valid build row's run contains
+    only valid live probes — which makes `build row matched iff its run has
+    >1 element` exact. (Reference: DataFusion JoinType::Full under
+    Ballista's HashJoinExec delegation, SURVEY.md §1 engine kernel.)"""
     nb = build_keys[0].shape[0]
     np_ = probe_keys[0].shape[0]
     n = nb + np_
@@ -119,35 +127,22 @@ def merge_full_unique(build_keys: Tuple[jax.Array, ...],
             for bk, pk in zip(b_norm, p_norm)]
     is_build = jnp.concatenate([b_ok, jnp.zeros(np_, dtype=jnp.bool_)])
 
-    order = jnp.argsort(comb[-1], stable=True)
-    for k in reversed(comb[:-1]):
-        order = jnp.take(order, jnp.argsort(jnp.take(k, order), stable=True))
+    s_keys, s_build, s_cidx = _cosort(comb, is_build, n)
+    pos, first, start_pos = _runs(s_keys, n)
 
-    s_keys = [jnp.take(k, order) for k in comb]
-    s_build = jnp.take(is_build, order)
-    s_orig = jnp.take(jnp.concatenate([
-        jnp.arange(nb, dtype=jnp.int32),
-        jnp.arange(np_, dtype=jnp.int32)]), order)
-
-    pos = jnp.arange(n, dtype=jnp.int32)
-    prev_same = jnp.ones(n, dtype=jnp.bool_)
-    for k in s_keys:
-        rolled = jnp.concatenate([k[:1], k[:-1]])
-        prev_same = prev_same & (k == rolled)
-    first = ~prev_same | (pos == 0)
-
-    start_pos = jax.lax.cummax(jnp.where(first, pos, 0))
-    head_is_build = jnp.take(s_build, start_pos)
-    matched_sorted = jnp.where(head_is_build, jnp.take(s_orig, start_pos), -1)
-
-    inv = jnp.argsort(order)
-    probe_positions = jnp.take(inv, jnp.arange(nb, n))
-    match = jnp.take(matched_sorted, probe_positions)
-    match = jnp.where(p_ok, match, -1)
+    packed = (s_cidx.astype(jnp.int64) << 1) | s_build.astype(jnp.int64)
+    head = jnp.take(packed, start_pos)
+    head_is_build = (head & 1).astype(jnp.bool_)
+    matched_sorted = jnp.where(head_is_build,
+                               (head >> 1).astype(jnp.int32), -1)
 
     # a (unique) build row is matched iff its run has a second element —
     # builds precede probes, so that element is one of its probes
     next_in_run = jnp.concatenate([~first[1:], jnp.zeros(1, jnp.bool_)])
-    build_matched_sorted = s_build & next_in_run
-    build_matched = jnp.take(build_matched_sorted, inv[:nb])
-    return match, build_matched & b_ok
+    build_matched_sorted = (s_build & next_in_run).astype(jnp.int32)
+
+    back = jax.lax.sort((s_cidx, matched_sorted, build_matched_sorted),
+                        num_keys=1, is_stable=False)
+    match = jnp.where(p_ok, back[1][nb:], -1)
+    build_matched = back[2][:nb].astype(jnp.bool_) & b_ok
+    return match, build_matched

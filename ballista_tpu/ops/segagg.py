@@ -102,6 +102,12 @@ class SortedLayout(NamedTuple):
     T: int                   # static max groups (output capacity)
 
     def _sorted_vals(self, values, validity):
+        if self.order is None:
+            # presorted layout (layout_from_sorted_keys): the whole batch
+            # was moved by one variadic sort, so values arrive sorted —
+            # no per-aggregate gather (jnp.take costs ~90ms/col at 6M rows
+            # vs ~11ms/col riding the sort; ops/vsort.py)
+            return values, validity & self.live_sorted
         v = jnp.take(values, self.order, mode="clip")
         ok = jnp.take(validity, self.order, mode="clip") & self.live_sorted
         return v, ok
@@ -132,27 +138,19 @@ class SortedLayout(NamedTuple):
 
     def _extreme(self, values, validity, is_min):
         v, ok = self._sorted_vals(values, validity)
-        if jnp.issubdtype(v.dtype, jnp.floating):
-            sent = jnp.asarray(jnp.inf if is_min else -jnp.inf, v.dtype)
-        else:
-            info = jnp.iinfo(v.dtype)
-            sent = jnp.asarray(info.max if is_min else info.min, v.dtype)
-        x = jnp.where(ok, v, sent)
-        # segmented running min/max: reset at run starts (mask the garbage
-        # run_start entries past n_groups — they'd split segments wrongly)
-        n = x.shape[0]
-        gid = jnp.arange(self.T, dtype=jnp.int32)
-        starts_idx = jnp.where(gid < self.n_groups, self.run_start, n)
-        is_start = jnp.zeros(n + 1, jnp.bool_).at[starts_idx].set(True)[:n]
-
-        def op(a, b):
-            af, av = a
-            bf, bv = b
-            keep = jnp.minimum(av, bv) if is_min else jnp.maximum(av, bv)
-            return af | bf, jnp.where(bf, bv, keep)
-
-        _, running = jax.lax.associative_scan(op, (is_start, x))
-        out = jnp.take(running, jnp.clip(self.run_end, 0, x.shape[0] - 1))
+        # segmented prefix extremum by binary lifting (no scatter, no
+        # associative_scan — both cost seconds/minutes on TPU); per-run
+        # value read at run_end. Run starts derive from run_id changes.
+        n = v.shape[0]
+        pos = jnp.arange(n, dtype=jnp.int32)
+        prev_id = jnp.concatenate([jnp.full(1, -1, self.run_id.dtype),
+                                   self.run_id[:-1]])
+        first = self.run_id != prev_id
+        seg_start = jax.lax.cummax(jnp.where(first, pos, 0))
+        from ..exec.window import _segmented_prefix_extremum
+        running, _ = _segmented_prefix_extremum(v, ok, seg_start,
+                                                not is_min)
+        out = jnp.take(running, jnp.clip(self.run_end, 0, n - 1))
         cnt, valid = self._per_run(jnp.cumsum(ok.astype(jnp.int64)))
         return (jnp.where(valid & (cnt > 0), out, jnp.zeros((), values.dtype)),
                 valid & (cnt > 0))
@@ -196,6 +194,17 @@ def decode_direct_slot(slot_ids: jax.Array, key_cols: Sequence[Column],
     return out
 
 
+def layout_from_sorted_keys(s_keys: Sequence[jax.Array],
+                            live_sorted: jax.Array, T: int) -> SortedLayout:
+    """SortedLayout over ALREADY-sorted keys (dead rows sentineled to the
+    back): order=None means aggregate inputs arrive presorted — callers
+    move the whole batch with one variadic sort (ops/vsort.py) instead of
+    gathering per aggregate column."""
+    n = s_keys[0].shape[0]
+    T = min(T, n)
+    return _run_layout(None, list(s_keys), live_sorted, n, T)
+
+
 def sorted_layout_from_keys(norm_keys: Sequence[jax.Array], live: jax.Array,
                             T: int) -> SortedLayout:
     """Group rows by sorting normalized (int64) keys; dead rows last."""
@@ -208,6 +217,10 @@ def sorted_layout_from_keys(norm_keys: Sequence[jax.Array], live: jax.Array,
         order = jnp.take(order, jnp.argsort(key, stable=True))
     live_sorted = jnp.take(live, order)
     s_keys = [jnp.take(jnp.where(live, k, DEAD), order) for k in norm_keys]
+    return _run_layout(order, s_keys, live_sorted, n, T)
+
+
+def _run_layout(order, s_keys, live_sorted, n: int, T: int) -> SortedLayout:
     pos = jnp.arange(n, dtype=jnp.int32)
     prev_same = jnp.ones(n, dtype=jnp.bool_)
     for k in s_keys:
@@ -218,10 +231,10 @@ def sorted_layout_from_keys(norm_keys: Sequence[jax.Array], live: jax.Array,
     run_id = jnp.where(live_sorted, firsts_csum - 1, n)
     n_groups = firsts_csum[-1] if n else jnp.int32(0)
     gid = jnp.arange(T, dtype=jnp.int32)
-    # run_start[g] = first position where the running count of firsts
-    # reaches g+1 — a searchsorted, not another full argsort (each distinct
-    # large sort costs ~1min of TPU compile time)
-    run_start = jnp.searchsorted(firsts_csum, gid + 1, side="left").astype(jnp.int32)
+    # run_start[g] = position of the g-th first — one stable bool-keyed
+    # sort (ops/vsort.py; a T-query searchsorted costs seconds at 2M+)
+    from .vsort import first_positions
+    run_start = first_positions(first, T)
     run_start = jnp.clip(run_start, 0, n - 1)
     next_start = jnp.concatenate([run_start[1:], jnp.full(1, n, jnp.int32)])
     total_live = jnp.sum(live_sorted).astype(jnp.int32)

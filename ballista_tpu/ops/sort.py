@@ -65,5 +65,13 @@ def _rankable(data: jax.Array, valid: jax.Array, spec: SortKeySpec) -> jax.Array
 
 
 def sort_batch(batch: Batch, keys: Sequence[SortKeySpec]) -> Batch:
-    perm = sort_perm(batch, keys)
-    return gather_batch(batch, perm, batch.num_rows)
+    """Variadic sort: all columns ride the key sort (ops/vsort.py) —
+    liveness is the most-significant key so dead rows sink to the back."""
+    from .vsort import sort_batch_columns
+    live = row_mask(batch)
+    ranks = [~live]
+    for spec in keys:
+        col = batch.columns[spec.col_index]
+        ranks.append(_rankable(col.data, col.validity, spec))
+    out, _, _ = sort_batch_columns(tuple(ranks), batch)
+    return out

@@ -96,9 +96,11 @@ def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
         dest, live = shuffle_dest(batch, key_indices, P, salt, salt_mode)
     cap = batch.capacity
 
-    # group rows by destination (stable); dead rows (dest=P) sort last
-    order = jnp.argsort(dest, stable=True)
-    sorted_dest = jnp.take(dest, order)
+    # group rows by destination: ONE variadic sort moves every column with
+    # the dest key (ops/vsort.py — gathering via an argsort permutation is
+    # 6-8x slower than sorting payloads alongside the key on TPU)
+    from ..ops.vsort import sort_batch_columns
+    sorted_batch, _, (sorted_dest,) = sort_batch_columns((dest,), batch)
     # per-dest counts without scatter: counts[d] = searchsorted diff over
     # the sorted destinations (scatter costs ~0.5s/6M rows on v5e)
     dests = jnp.arange(P + 1, dtype=jnp.int32)
@@ -120,11 +122,9 @@ def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
     out_cols = []
     recv_counts = jax.lax.all_to_all(
         send_counts, axis_name, split_axis=0, concat_axis=0, tiled=True)
-    for c in batch.columns:
-        sd = jnp.take(c.data, order)
-        sv = jnp.take(c.validity, order)
-        send_d = jnp.take(sd, src)
-        send_v = jnp.take(sv, src) & slot_live
+    for c in sorted_batch.columns:
+        send_d = jnp.take(c.data, src)
+        send_v = jnp.take(c.validity, src) & slot_live
         recv_d = jax.lax.all_to_all(send_d, axis_name, 0, 0, tiled=True)
         recv_v = jax.lax.all_to_all(send_v, axis_name, 0, 0, tiled=True)
         out_cols.append(Column(recv_d, recv_v))
@@ -132,12 +132,9 @@ def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
     # compact received runs: row j of sender-chunk k is live iff j < recv_counts[k]
     j = jnp.arange(P * quota, dtype=jnp.int32)
     keep = (j % quota) < jnp.take(recv_counts, j // quota)
-    perm, total = compaction_perm(keep)
-    interim = Batch(tuple(out_cols), total)
-    out = gather_batch(interim, perm, total)
-    livemask = jnp.arange(P * quota, dtype=jnp.int32) < total
-    cols = [Column(c.data, c.validity & livemask) for c in out.columns]
-    return Batch(tuple(cols), total), overflow
+    from ..ops.vsort import compact_batch
+    total = jnp.sum(keep).astype(jnp.int32)
+    return compact_batch(Batch(tuple(out_cols), total), keep), overflow
 
 
 def all_gather_batch(batch: Batch, n_parts: int,
@@ -145,16 +142,16 @@ def all_gather_batch(batch: Batch, n_parts: int,
     """Inside shard_map: gather every shard's rows onto every shard
     (Ballista CoalescePartitionsExec analog for the final merge stage).
     Output capacity = n_parts * capacity."""
+    from ..ops.vsort import compact_batch
+
     cap = batch.capacity
     nrows = jax.lax.all_gather(batch.num_rows, axis_name)  # (P,)
     cols = []
     j = jnp.arange(n_parts * cap, dtype=jnp.int32)
     keep = (j % cap) < jnp.take(nrows, j // cap)
-    perm, total = compaction_perm(keep)
     for c in batch.columns:
         d = jax.lax.all_gather(c.data, axis_name, tiled=True)
         v = jax.lax.all_gather(c.validity, axis_name, tiled=True)
-        cols.append(Column(jnp.take(d, perm), jnp.take(v, perm) & keep[perm]))
-    livemask = j < total
-    cols = [Column(c.data, c.validity & livemask) for c in cols]
-    return Batch(tuple(cols), total)
+        cols.append(Column(d, v & keep))
+    total = jnp.sum(nrows).astype(jnp.int32)
+    return compact_batch(Batch(tuple(cols), total), keep)
