@@ -67,21 +67,77 @@ class BallistaFlightServer(fl.FlightServerBase):
             return B.to_arrow(batch, schema)
         return self.ctx.sql(sql).to_arrow()
 
+    # -- FlightSQL protocol dispatch (flightsql.py wire helpers) --
+
+    def _catalog_tables(self) -> pa.Table:
+        """CommandGetTables result (FlightSQL GetTables schema)."""
+        names = sorted(self.ctx.tables)
+        return pa.table({
+            "catalog_name": pa.array(["ballista"] * len(names)),
+            "db_schema_name": pa.array(["public"] * len(names)),
+            "table_name": pa.array(names),
+            "table_type": pa.array(["TABLE"] * len(names)),
+        })
+
+    def _flightsql_table(self, kind: str, payload: bytes) -> Optional[pa.Table]:
+        from . import flightsql as fsql
+        if kind == "CommandStatementQuery":
+            return self._run_sql(fsql.parse_statement_query(payload))
+        if kind == "CommandPreparedStatementQuery":
+            handle = fsql.parse_prepared_query(payload)
+            with self._lock:
+                sql = self._prepared.get(handle)
+            if sql is None:
+                raise fl.FlightServerError("unknown prepared statement")
+            return self._run_sql(sql)
+        if kind == "CommandGetTables":
+            return self._catalog_tables()
+        if kind == "CommandGetCatalogs":
+            return pa.table({"catalog_name": pa.array(["ballista"])})
+        if kind == "CommandGetDbSchemas":
+            return pa.table({"catalog_name": pa.array(["ballista"]),
+                             "db_schema_name": pa.array(["public"])})
+        return None
+
     # -- Flight verbs --
 
     def get_flight_info(self, context, descriptor):
-        sql = _sql_of(descriptor.command)
-        table = self._run_sql(sql)
+        from . import flightsql as fsql
+        table = None
+        any_msg = fsql.unpack_any(descriptor.command)
+        if any_msg is not None:
+            table = self._flightsql_table(*any_msg)
+        if table is None:
+            table = self._run_sql(_sql_of(descriptor.command))
         ticket_id = uuid.uuid4().hex
         with self._lock:
             self._results[ticket_id] = table
-        endpoint = fl.FlightEndpoint(
-            json.dumps({"ticket": ticket_id}).encode(), [])
+        if any_msg is not None:
+            ticket_bytes = fsql.ticket_statement_query(ticket_id.encode())
+        else:
+            ticket_bytes = json.dumps({"ticket": ticket_id}).encode()
+        endpoint = fl.FlightEndpoint(ticket_bytes, [])
         return fl.FlightInfo(table.schema, descriptor, [endpoint],
                              table.num_rows, table.nbytes)
 
     def do_get(self, context, ticket):
+        from . import flightsql as fsql
         raw = ticket.ticket
+        any_msg = fsql.unpack_any(raw)
+        if any_msg is not None:
+            kind, payload = any_msg
+            if kind == "TicketStatementQuery":
+                tid = fsql.parse_ticket_statement(payload).decode()
+                with self._lock:
+                    table = self._results.pop(tid, None)
+                if table is None:
+                    raise fl.FlightServerError(
+                        "unknown or already-fetched ticket")
+                return fl.RecordBatchStream(table)
+            table = self._flightsql_table(kind, payload)
+            if table is not None:
+                return fl.RecordBatchStream(table)
+            raise fl.FlightServerError(f"unsupported FlightSQL ticket {kind}")
         try:
             obj = json.loads(raw.decode("utf-8"))
         except (json.JSONDecodeError, UnicodeDecodeError):

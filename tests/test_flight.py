@@ -79,3 +79,43 @@ def test_unknown_ticket_rejected(server):
     with pytest.raises(fl.FlightServerError):
         client.do_get(fl.Ticket(json.dumps({"ticket": "nope"}).encode())
                       ).read_all()
+
+
+def test_flightsql_statement_query(server):
+    """Real FlightSQL wire envelope: Any-wrapped CommandStatementQuery in
+    the descriptor, Any-wrapped TicketStatementQuery back (what a JDBC
+    FlightSQL driver sends; flight_sql.rs parity)."""
+    from ballista_tpu import flightsql as fsql
+    srv, endpoint = server
+    client = fl.connect(endpoint)
+    cmd = fsql.command_statement_query(
+        "select g, sum(v) as s from t group by g order by g")
+    info = client.get_flight_info(fl.FlightDescriptor.for_command(cmd))
+    # ticket must be an Any-wrapped TicketStatementQuery
+    kind, payload = fsql.unpack_any(info.endpoints[0].ticket.ticket)
+    assert kind == "TicketStatementQuery"
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("s").to_pylist() == [3, 3]
+
+
+def test_flightsql_get_tables(server):
+    from ballista_tpu import flightsql as fsql
+    srv, endpoint = server
+    client = fl.connect(endpoint)
+    cmd = fsql.command_get_tables()
+    info = client.get_flight_info(fl.FlightDescriptor.for_command(cmd))
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert "t" in table.column("table_name").to_pylist()
+    assert table.schema.field("table_type").type == pa.string()
+
+
+def test_flightsql_roundtrip_encoding():
+    from ballista_tpu import flightsql as fsql
+    cmd = fsql.command_statement_query("select 1")
+    kind, payload = fsql.unpack_any(cmd)
+    assert kind == "CommandStatementQuery"
+    assert fsql.parse_statement_query(payload) == "select 1"
+    t = fsql.ticket_statement_query(b"handle123")
+    kind, payload = fsql.unpack_any(t)
+    assert kind == "TicketStatementQuery"
+    assert fsql.parse_ticket_statement(payload) == b"handle123"
