@@ -17,8 +17,19 @@ import sys
 import time
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def run(sf: float, queries, iterations: int, distributed: bool):
     import jax
+    _enable_compile_cache()
     from .. import batch as B
     from ..client import SessionContext
     from ..client.context import _rebind_scans

@@ -17,6 +17,13 @@ Frames follow SQL defaults:
   - with ORDER BY:    RANGE UNBOUNDED PRECEDING .. CURRENT ROW (peers
                       share the frame end -> csum at peer-run end)
   - without ORDER BY: whole partition
+
+Explicit frames: full ROWS BETWEEN support (UNBOUNDED/CURRENT/k
+PRECEDING/FOLLOWING — sums via prefix-sum differences at the frame
+bounds, extrema via a sparse-table range query: log n shifted-combine
+levels + two overlapping power-of-two windows per position, scan- and
+scatter-free). RANGE frames support UNBOUNDED/CURRENT bounds (value-offset
+RANGE bounds are not implemented, matching DataFusion's common subset).
 """
 
 from __future__ import annotations
@@ -63,9 +70,55 @@ def _segmented_prefix_extremum(vals: jax.Array, valid: jax.Array,
     return m, av
 
 
-RANKING = ("row_number", "rank", "dense_rank")
+RANKING = ("row_number", "rank", "dense_rank", "ntile", "percent_rank",
+           "cume_dist")
 AGGS = ("sum", "avg", "min", "max", "count", "count_star")
-NAVIGATION = ("lag", "lead", "first_value", "last_value")
+NAVIGATION = ("lag", "lead", "first_value", "last_value", "nth_value")
+
+
+def _range_extremum(vals: jax.Array, valid: jax.Array, fs: jax.Array,
+                    fe: jax.Array, is_max: bool):
+    """Per position p: extremum of valid vals over [fs[p], fe[p]] (empty
+    when fs>fe). Sparse table: level j covers [p, p+2^j-1]; a query range
+    of length L is the combine of two (overlapping) level-floor(log2 L)
+    windows anchored at fs and fe-2^j+1. O(n log n) build, 4 gathers per
+    query, no scans/scatters."""
+    n = vals.shape[0]
+    if jnp.issubdtype(vals.dtype, jnp.floating):
+        sent = jnp.array(-jnp.inf if is_max else jnp.inf, vals.dtype)
+    else:
+        info = jnp.iinfo(vals.dtype)
+        sent = jnp.array(info.min if is_max else info.max, vals.dtype)
+    combine = jnp.maximum if is_max else jnp.minimum
+    m = jnp.where(valid, vals, sent)
+    levels, vlevels = [m], [valid]
+    k = 1
+    while k < n:
+        prev, pv = levels[-1], vlevels[-1]
+        shifted = jnp.concatenate([prev[k:], jnp.full(k, sent, vals.dtype)])
+        sv = jnp.concatenate([pv[k:], jnp.zeros(k, jnp.bool_)])
+        levels.append(combine(prev, shifted))
+        vlevels.append(pv | sv)
+        k *= 2
+    st = jnp.stack(levels)                     # (L, n)
+    sv = jnp.stack(vlevels)
+    length = fe - fs + 1
+    j = jnp.where(length > 0,
+                  jnp.floor(jnp.log2(jnp.maximum(length, 1)
+                                     .astype(jnp.float64))).astype(jnp.int32),
+                  0)
+    pw = (jnp.int32(1) << j)
+    ia = jnp.clip(fs, 0, n - 1)
+    ib = jnp.clip(fe - pw + 1, 0, n - 1)
+    flat_a = j * n + ia
+    flat_b = j * n + ib
+    va = jnp.take(st.reshape(-1), flat_a)
+    vb = jnp.take(st.reshape(-1), flat_b)
+    ok_a = jnp.take(sv.reshape(-1), flat_a)
+    ok_b = jnp.take(sv.reshape(-1), flat_b)
+    nonempty = length > 0
+    out = combine(va, vb)
+    return out, (ok_a | ok_b) & nonempty
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,7 +127,8 @@ class WindowFnSpec:
     arg: Optional[Expr]             # None for row_number/rank/.../count(*)
     partition_by: Tuple[Expr, ...]
     order_by: Tuple[Tuple[Expr, bool, Optional[bool]], ...]
-    offset: int = 1                 # lag/lead distance
+    offset: int = 1                 # lag/lead distance; ntile N; nth_value k
+    frame: Optional[Tuple[str, Optional[int], Optional[int]]] = None
     alias: Optional[str] = None
 
     @property
@@ -87,16 +141,20 @@ class WindowFnSpec:
 
 def _out_field(spec: WindowFnSpec, in_schema: Schema) -> Field:
     k = spec.kind
-    if k in ("row_number", "rank", "dense_rank"):
+    if k in ("row_number", "rank", "dense_rank", "ntile"):
         return Field(spec.name, INT64, nullable=False)
     if k in ("count", "count_star"):
         return Field(spec.name, INT64, nullable=False)
+    if k in ("percent_rank", "cume_dist"):
+        from ..schema import FLOAT64
+        return Field(spec.name, FLOAT64, nullable=False)
     b = bind_expr(spec.arg, in_schema)
     if k == "sum":
         return Field(spec.name, _sum_dtype(b.dtype), nullable=True)
     if k == "avg":
         return Field(spec.name, _avg_dtype(b.dtype), nullable=True)
-    if k in ("min", "max", "lag", "lead", "first_value", "last_value"):
+    if k in ("min", "max", "lag", "lead", "first_value", "last_value",
+             "nth_value"):
         return Field(spec.name, b.dtype, nullable=True)
     raise NotImplementedError(f"window function {k}")
 
@@ -119,8 +177,16 @@ class WindowExec(ExecNode):
         new_fields = []
         for s in self.specs:
             if s.kind in ("rank", "dense_rank", "row_number", "lag", "lead",
-                          "first_value", "last_value") and not s.order_by:
+                          "first_value", "last_value", "ntile",
+                          "percent_rank", "cume_dist", "nth_value") \
+                    and not s.order_by:
                 raise ValueError(f"{s.kind} requires OVER(... ORDER BY ...)")
+            if s.frame is not None:
+                mode, lo, hi = s.frame
+                if mode == "range" and ((lo not in (None, 0))
+                                        or (hi not in (None, 0))):
+                    raise NotImplementedError(
+                        "RANGE frames with value offsets; use ROWS")
             new_fields.append(_out_field(s, in_schema))
         names = [f.name for f in in_schema.fields] + [f.name for f in new_fields]
         if len(set(names)) != len(names):
@@ -215,12 +281,32 @@ class WindowExec(ExecNode):
         return perm, inv, seg_start, seg_end, peer_start, peer_end, \
             peer_first, part_first
 
+    @staticmethod
+    def _frame_bounds(spec, pos, seg_start, seg_end, peer_start, peer_end,
+                      has_order):
+        """Per sorted position: the frame [fs, fe] (fs > fe = empty)."""
+        if spec.frame is None:
+            if has_order:
+                return seg_start, peer_end   # RANGE UNBOUNDED..CURRENT
+            return seg_start, seg_end
+        mode, lo, hi = spec.frame
+        if mode == "range":
+            fs = seg_start if lo is None else peer_start
+            fe = seg_end if hi is None else peer_end
+        else:  # rows
+            fs = seg_start if lo is None else jnp.clip(pos + lo, seg_start,
+                                                       seg_end + 1)
+            fe = seg_end if hi is None else jnp.clip(pos + hi, seg_start - 1,
+                                                     seg_end)
+        return fs, fe
+
     def _compute(self, b, live, n, i, perm, inv, seg_start, seg_end,
                  peer_start, peer_end, peer_first, part_first,
                  has_order) -> Column:
         spec = self.specs[i]
         k = spec.kind
         pos = jnp.arange(n, dtype=jnp.int32)
+        seg_size = seg_end - seg_start + 1
 
         if k == "row_number":
             v = (pos - seg_start + 1).astype(jnp.int64)
@@ -232,22 +318,50 @@ class WindowExec(ExecNode):
             pf = jnp.cumsum(peer_first.astype(jnp.int64))
             v = pf - jnp.take(pf, seg_start) + 1
             return Column(jnp.take(v, inv), jnp.ones(n, jnp.bool_))
+        if k == "ntile":
+            # SQL ntile(N): first (size mod N) buckets get one extra row
+            N = spec.offset
+            r = pos - seg_start
+            base = seg_size // N
+            rem = seg_size % N
+            cut = rem * (base + 1)
+            lo_b = r // jnp.maximum(base + 1, 1)
+            hi_b = rem + (r - cut) // jnp.maximum(base, 1)
+            v = (jnp.where(r < cut, lo_b, hi_b) + 1).astype(jnp.int64)
+            return Column(jnp.take(v, inv), jnp.ones(n, jnp.bool_))
+        if k == "percent_rank":
+            rank0 = (peer_start - seg_start).astype(jnp.float64)
+            v = jnp.where(seg_size > 1,
+                          rank0 / jnp.maximum(seg_size - 1, 1)
+                          .astype(jnp.float64), 0.0)
+            return Column(jnp.take(v, inv), jnp.ones(n, jnp.bool_))
+        if k == "cume_dist":
+            v = ((peer_end - seg_start + 1).astype(jnp.float64)
+                 / seg_size.astype(jnp.float64))
+            return Column(jnp.take(v, inv), jnp.ones(n, jnp.bool_))
+
+        fs, fe = self._frame_bounds(spec, pos, seg_start, seg_end,
+                                    peer_start, peer_end, has_order)
 
         if k in ("min", "max"):
-            if not has_order:
+            if not has_order and spec.frame is None:
                 return self._partition_extremum(b, live, n, i, spec)
-            # cumulative extrema: segmented prefix min/max by binary
-            # lifting (log n masked shift+combine passes — scan-free),
-            # read at the peer-run end (RANGE frame includes peers)
             arg = self._bound_args[i]
             c = arg.fn(b)
             sdata = jnp.take(c.data, perm)
             svalid = jnp.take(c.validity & live, perm)
-            pm, pv = _segmented_prefix_extremum(sdata, svalid, seg_start,
-                                                k == "max")
-            end = peer_end
-            return Column(jnp.take(jnp.take(pm, end), inv),
-                          jnp.take(jnp.take(pv, end), inv))
+            if spec.frame is None or spec.frame[1] is None:
+                # frame start is the partition start (constant over the
+                # span [p, fe]): segmented prefix extremum by binary
+                # lifting, read at the frame end
+                pm, pv = _segmented_prefix_extremum(sdata, svalid, fs,
+                                                    k == "max")
+                end = jnp.clip(fe, 0, n - 1)
+                ok = jnp.take(pv, end) & (fs <= fe)
+                return Column(jnp.take(jnp.take(pm, end), inv),
+                              jnp.take(ok, inv))
+            pm, pv = _range_extremum(sdata, svalid, fs, fe, k == "max")
+            return Column(jnp.take(pm, inv), jnp.take(pv, inv))
 
         arg = self._bound_args[i]
         if arg is not None:
@@ -266,18 +380,22 @@ class WindowExec(ExecNode):
             v = jnp.take(sdata, srcc)
             val = jnp.take(svalid, srcc) & in_part
             return Column(jnp.take(v, inv), jnp.take(val, inv))
-        if k == "first_value":
-            v = jnp.take(sdata, seg_start)
-            val = jnp.take(svalid, seg_start)
-            return Column(jnp.take(v, inv), jnp.take(val, inv))
-        if k == "last_value":
-            # SQL default frame ends at CURRENT ROW (+peers)
-            end = peer_end if has_order else seg_end
-            v = jnp.take(sdata, end)
-            val = jnp.take(svalid, end)
+        if k in ("first_value", "last_value", "nth_value"):
+            nonempty = fs <= fe
+            if k == "first_value":
+                idx = fs
+            elif k == "last_value":
+                idx = fe
+            else:
+                idx = fs + (spec.offset - 1)
+                nonempty = nonempty & (idx <= fe)
+            idx = jnp.clip(idx, 0, n - 1)
+            v = jnp.take(sdata, idx)
+            val = jnp.take(svalid, idx) & nonempty
             return Column(jnp.take(v, inv), jnp.take(val, inv))
 
-        # cumulative / whole-partition sum, count, avg
+        # framed / cumulative / whole-partition sum, count, avg: prefix-sum
+        # differences at the frame bounds (csum0[i] = sum over [0, i))
         out_dt = self.schema.fields[len(b.columns) + i].dtype
         if k in ("sum", "avg") and out_dt.kind in (TypeKind.DECIMAL,
                                                    TypeKind.INT64):
@@ -286,15 +404,16 @@ class WindowExec(ExecNode):
             acc = svalid.astype(jnp.int64)
         else:
             acc = jnp.where(svalid, sdata, jnp.zeros_like(sdata))
-        csum = jnp.cumsum(acc)
-        ccnt = jnp.cumsum(svalid.astype(jnp.int64))
-        end = peer_end if has_order else seg_end
-        # sum before partition = csum[seg_start] - acc[seg_start]
-        before = jnp.take(csum, seg_start) - jnp.take(acc, seg_start)
-        cbefore = (jnp.take(ccnt, seg_start)
-                   - jnp.take(svalid, seg_start).astype(jnp.int64))
-        total = jnp.take(csum, end) - before
-        count = jnp.take(ccnt, end) - cbefore
+        csum0 = jnp.concatenate([jnp.zeros(1, acc.dtype), jnp.cumsum(acc)])
+        ccnt0 = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                                 jnp.cumsum(svalid.astype(jnp.int64))])
+        nonempty = fs <= fe
+        hi_i = jnp.clip(fe + 1, 0, n)
+        lo_i = jnp.clip(fs, 0, n)
+        total = jnp.take(csum0, hi_i) - jnp.take(csum0, lo_i)
+        count = jnp.take(ccnt0, hi_i) - jnp.take(ccnt0, lo_i)
+        total = jnp.where(nonempty, total, jnp.zeros_like(total))
+        count = jnp.where(nonempty, count, 0)
 
         if k in ("count", "count_star"):
             return Column(jnp.take(count, inv), jnp.ones(n, jnp.bool_))

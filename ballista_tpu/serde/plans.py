@@ -67,7 +67,8 @@ def _enc(v: Any) -> Any:
                 "partition_by": [_enc(e) for e in v.partition_by],
                 "order_by": [[_enc(e), asc, nf]
                              for e, asc, nf in v.order_by],
-                "offset": v.offset, "alias": v.alias}
+                "offset": v.offset, "alias": v.alias,
+                "frame": list(v.frame) if v.frame is not None else None}
     if isinstance(v, DataType):
         return {"@dtype": _encode_dtype(v)}
     if isinstance(v, Schema):
@@ -96,7 +97,9 @@ def _dec(v: Any) -> Any:
                 decode_expr(v["arg"]) if v["arg"] is not None else None,
                 tuple(_dec(e) for e in v["partition_by"]),
                 tuple((_dec(e), asc, nf) for e, asc, nf in v["order_by"]),
-                v["offset"], v["alias"])
+                v["offset"],
+                frame=tuple(v["frame"]) if v.get("frame") is not None else None,
+                alias=v["alias"])
         if "@dtype" in v:
             return _decode_dtype(v["@dtype"])
         if "@schema" in v:

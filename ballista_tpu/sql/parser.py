@@ -33,10 +33,14 @@ class WindowCall(Expr):
     to a Window logical node + column reference."""
     kind: str                 # sum|avg|min|max|count|count_star|row_number|
                               # rank|dense_rank|lag|lead|first_value|last_value
+                              # ntile|percent_rank|cume_dist|nth_value
     arg: Optional[Expr]
     partition_by: Tuple[Expr, ...] = ()
     order_by: Tuple[Tuple[Expr, bool, Optional[bool]], ...] = ()
-    offset: int = 1           # lag/lead distance
+    offset: int = 1           # lag/lead distance; ntile buckets; nth_value k
+    # (mode, lo, hi): mode "rows"|"range"; lo/hi row offsets relative to the
+    # current row (negative = PRECEDING), None = UNBOUNDED on that side
+    frame: Optional[Tuple[str, Optional[int], Optional[int]]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,10 +139,12 @@ KEYWORDS = {
     "on", "asc", "desc", "nulls", "first", "last", "union", "all",
     "true", "false", "extract", "year", "create", "drop", "view", "for",
     "over", "partition", "grouping", "sets", "rollup", "cube", "cross",
+    "rows", "range", "unbounded", "preceding", "following", "current", "row",
 }
 
 WINDOW_FNS = ("row_number", "rank", "dense_rank", "lag", "lead",
-              "first_value", "last_value")
+              "first_value", "last_value", "ntile", "percent_rank",
+              "cume_dist", "nth_value")
 
 
 @dataclasses.dataclass
@@ -632,6 +638,15 @@ class Parser:
                         if not isinstance(off, Lit) or not isinstance(off.value, int):
                             raise SyntaxError(f"{low} offset must be an integer literal")
                         offset = off.value
+                    if low in ("ntile", "nth_value"):
+                        off = args[0] if low == "ntile" else (
+                            args[1] if len(args) > 1 else None)
+                        if not isinstance(off, Lit) or not isinstance(off.value, int) \
+                                or off.value < 1:
+                            raise SyntaxError(
+                                f"{low} requires a positive integer literal")
+                        offset = off.value
+                        args = [] if low == "ntile" else args[:1]
                     return self._parse_over(low, args[0] if args else None,
                                             offset=offset)
                 return ScalarFn(low, tuple(args))
@@ -673,9 +688,38 @@ class Parser:
                 order_by.append((e, asc, nulls_first))
                 if not self.accept("op", ","):
                     break
+        frame = None
+        if self.at_kw("rows") or self.at_kw("range"):
+            mode = self.next().value
+            if self.accept("kw", "between"):
+                lo = self._parse_frame_bound(start=True)
+                self.expect("kw", "and")
+                hi = self._parse_frame_bound(start=False)
+            else:
+                lo = self._parse_frame_bound(start=True)
+                hi = 0  # shorthand: frame ends at CURRENT ROW
+            frame = (mode, lo, hi)
         self.expect("op", ")")
         return WindowCall(kind, arg, tuple(partition_by), tuple(order_by),
-                          offset)
+                          offset, frame)
+
+    def _parse_frame_bound(self, start: bool) -> Optional[int]:
+        """UNBOUNDED PRECEDING/FOLLOWING -> None; CURRENT ROW -> 0;
+        k PRECEDING -> -k; k FOLLOWING -> +k."""
+        if self.accept("kw", "unbounded"):
+            if start:
+                self.expect("kw", "preceding")
+            else:
+                self.expect("kw", "following")
+            return None
+        if self.accept("kw", "current"):
+            self.expect("kw", "row")
+            return 0
+        n = int(self.expect("num").value)
+        if self.accept("kw", "preceding"):
+            return -n
+        self.expect("kw", "following")
+        return n
 
     def parse_type(self) -> DataType:
         from ..schema import FLOAT64, INT32, INT64, STRING

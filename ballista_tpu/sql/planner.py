@@ -816,7 +816,8 @@ class SqlPlanner:
                 while nm in current_names:
                     nm = f"#{nm}"
                 specs.append(WindowFnSpec(w.kind, w.arg, w.partition_by,
-                                          w.order_by, w.offset, alias=nm))
+                                          w.order_by, w.offset,
+                                          frame=w.frame, alias=nm))
                 items = [(_replace_subtree(e, w, Col(nm)), n)
                          for e, n in items]
             current = L.Window(current, tuple(specs))
