@@ -35,6 +35,23 @@ def round_capacity(n: int) -> int:
     return max(LANE, -(-int(n) // LANE) * LANE)
 
 
+def bucket_capacity(n: int) -> int:
+    """Smallest quarter-octave geometric tier >= n (lane-rounded).
+
+    Shape bucketing for the persistent compile cache (SURVEY §7 'dynamic
+    shapes vs jit'): pad capacities to tiers LANE*2^(i/4) so any data
+    whose row count moves by <19% reuses the same compiled stage
+    programs instead of paying a fresh multi-minute TPU compile. Enabled
+    per session with SessionContext(capacity_mode='bucket') /
+    ballista.capacity.mode=bucket."""
+    import math
+    n = int(n)
+    if n <= LANE:
+        return LANE
+    i = math.ceil(4 * math.log2(n / LANE))
+    return round_capacity(math.ceil(LANE * 2 ** (i / 4)))
+
+
 class Column(NamedTuple):
     data: jax.Array      # (capacity,) typed per DataType.jnp_dtype
     validity: jax.Array  # (capacity,) bool

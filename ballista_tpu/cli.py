@@ -82,6 +82,9 @@ class Repl:
             try:
                 cfg.set(parts[1], parts[2])
                 self.ctx.config = cfg
+                if parts[1] == "ballista.capacity.mode":
+                    # applies to tables registered from now on
+                    self.ctx.capacity_mode = cfg.capacity_mode()
                 print(f"{parts[1]} = {parts[2]}")
             except KeyError as e:
                 print(e)

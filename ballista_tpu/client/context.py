@@ -24,10 +24,12 @@ from .dataframe import DataFrame
 class TableProvider:
     """A registered table: pyarrow Table + lazily-converted device batch."""
 
-    def __init__(self, name: str, arrow_table, primary_key=None):
+    def __init__(self, name: str, arrow_table, primary_key=None,
+                 bucket: bool = False):
         self.name = name
         self.arrow_table = arrow_table
         self.primary_key = tuple(primary_key) if primary_key else None
+        self.bucket = bucket
         self._batch = None
         self._schema = None
         self._inferred_unique = None
@@ -48,7 +50,10 @@ class TableProvider:
 
     def _ensure(self):
         if self._batch is None:
-            self._batch, self._schema = B.from_arrow(self.arrow_table)
+            cap = (B.bucket_capacity(self.arrow_table.num_rows)
+                   if self.bucket else None)
+            self._batch, self._schema = B.from_arrow(self.arrow_table,
+                                                     capacity=cap)
 
 
 class SessionContext:
@@ -58,10 +63,14 @@ class SessionContext:
     local vs standalone split."""
 
     def __init__(self, options: Optional[PhysicalOptions] = None,
-                 distributed: bool = False, mesh=None):
+                 distributed: bool = False, mesh=None,
+                 capacity_mode: str = "exact"):
+        if capacity_mode not in ("exact", "bucket"):
+            raise ValueError("capacity_mode must be 'exact' or 'bucket'")
         self.tables: Dict[str, TableProvider] = {}
         self.views: Dict[str, tuple] = {}   # name -> (SelectStmt, col_aliases)
         self.options = options or PhysicalOptions()
+        self.capacity_mode = capacity_mode
         self._stage_cache: Dict[int, object] = {}
         self._distributed = distributed
         self._mesh = mesh
@@ -76,7 +85,8 @@ class SessionContext:
 
     # -- registration (BallistaContext::register_* parity) --
     def register_arrow(self, name: str, table, primary_key=None) -> None:
-        self.tables[name] = TableProvider(name, table, primary_key)
+        self.tables[name] = TableProvider(
+            name, table, primary_key, bucket=self.capacity_mode == "bucket")
 
     def register_pandas(self, name: str, df, primary_key=None) -> None:
         import pyarrow as pa

@@ -18,6 +18,7 @@ BALLISTA_REPARTITION_JOINS = "ballista.repartition.joins"
 BALLISTA_REPARTITION_AGGREGATIONS = "ballista.repartition.aggregations"
 BALLISTA_WITH_INFORMATION_SCHEMA = "ballista.with_information_schema"
 # TPU-native additions
+BALLISTA_CAPACITY_MODE = "ballista.capacity.mode"
 BALLISTA_BROADCAST_THRESHOLD = "ballista.join.broadcast_threshold"
 BALLISTA_MAX_GROUP_TABLE = "ballista.agg.max_group_table"
 BALLISTA_QUOTA_HEADROOM = "ballista.shuffle.quota_headroom"
@@ -29,6 +30,12 @@ def _parse_bool(s: str) -> bool:
     if s.lower() in ("false", "0", "no"):
         return False
     raise ValueError(f"not a boolean: {s!r}")
+
+
+def _parse_capacity_mode(s: str) -> str:
+    if s not in ("exact", "bucket"):
+        raise ValueError(f"not a capacity mode: {s!r}")
+    return s
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +58,11 @@ VALID_ENTRIES = {e.key: e for e in [
                 "true"),
     ConfigEntry(BALLISTA_WITH_INFORMATION_SCHEMA,
                 "Provide information_schema tables", _parse_bool, "false"),
+    ConfigEntry(BALLISTA_CAPACITY_MODE,
+                "Batch capacity sizing: 'exact' (lane-rounded row count) or "
+                "'bucket' (geometric tiers, <19% padding, reuses compiled "
+                "programs across data sizes)",
+                _parse_capacity_mode, "exact"),
     ConfigEntry(BALLISTA_BROADCAST_THRESHOLD,
                 "Max build-side rows for broadcast join", int, str(1 << 17)),
     ConfigEntry(BALLISTA_MAX_GROUP_TABLE,
@@ -87,6 +99,9 @@ class BallistaConfig:
 
     def job_name(self) -> str:
         return self.get(BALLISTA_JOB_NAME)
+
+    def capacity_mode(self) -> str:
+        return self.get(BALLISTA_CAPACITY_MODE)
 
     def to_dist_options(self, n_partitions: Optional[int] = None):
         from .scheduler.distributed_planner import DistOptions

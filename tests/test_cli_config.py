@@ -32,3 +32,43 @@ def test_cli_one_shot(tmp_path):
              "HOME": "/root"})
     assert out.returncode == 0, out.stderr[-2000:]
     assert "n" in out.stdout and "5" in out.stdout
+
+
+class TestCapacityBucketing:
+    def test_bucket_capacity_tiers(self):
+        from ballista_tpu.batch import LANE, bucket_capacity, round_capacity
+        # always >= n, lane-aligned, <= ~19% over the exact rounding
+        for n in (1, 100, 128, 129, 1000, 5000, 6001215, 10**8):
+            cap = bucket_capacity(n)
+            assert cap >= n and cap % LANE == 0
+            assert cap <= round_capacity(int(n * 1.2)) + LANE
+        # monotone
+        caps = [bucket_capacity(n) for n in range(1, 5000, 37)]
+        assert caps == sorted(caps)
+        # nearby sizes share one tier (the point: compiled-program reuse)
+        assert bucket_capacity(5000) == bucket_capacity(5400)
+        assert len({bucket_capacity(n) for n in range(1, 10**6, 997)}) < 40
+
+    def test_bucketed_session_shares_shapes(self):
+        import pyarrow as pa
+
+        from ballista_tpu.client import SessionContext
+        ctx = SessionContext(capacity_mode="bucket")
+        ctx.register_arrow("a", pa.table({"x": list(range(5000))}))
+        ctx.register_arrow("b", pa.table({"x": list(range(5400))}))
+        assert ctx.tables["a"].capacity == ctx.tables["b"].capacity
+        # results unaffected by padding
+        df = ctx.sql("select count(*) as c, sum(x) as s from b").to_pandas()
+        assert df["c"][0] == 5400 and df["s"][0] == 5400 * 5399 // 2
+
+    def test_capacity_mode_validation(self):
+        import pytest
+
+        from ballista_tpu.client import SessionContext
+        from ballista_tpu.config import BallistaConfig
+        with pytest.raises(ValueError):
+            SessionContext(capacity_mode="fuzzy")
+        with pytest.raises(ValueError):
+            BallistaConfig({"ballista.capacity.mode": "fuzzy"})
+        cfg = BallistaConfig({"ballista.capacity.mode": "bucket"})
+        assert cfg.capacity_mode() == "bucket"
