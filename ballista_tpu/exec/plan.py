@@ -80,6 +80,26 @@ class InputLeaf(ExecNode):
         return f"InputLeaf({self.input_id}, cap={self.capacity})"
 
 
+class OneRowExec(ExecNode):
+    """A single constant row — FROM-less SELECT (`select 1+1`); the
+    projection above evaluates literal expressions against it."""
+
+    def __init__(self):
+        from ..batch import LANE
+        from ..schema import INT64
+        self.children = ()
+        self.capacity = LANE
+        self.schema = Schema((Field("__one", INT64, nullable=False),), {})
+
+    def evaluate(self, inputs):
+        live = jnp.arange(self.capacity, dtype=jnp.int32) < 1
+        return Batch((Column(jnp.zeros(self.capacity, jnp.int64), live),),
+                     jnp.int32(1))
+
+    def _label(self):
+        return "OneRowExec"
+
+
 class FilterExec(ExecNode):
     def __init__(self, child: ExecNode, predicate: Expr):
         self.children = (child,)

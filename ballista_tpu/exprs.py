@@ -387,6 +387,22 @@ def _bind_arith(op: str, l: Bound, r: Bound) -> Bound:
                 v = lc.validity & rc.validity & (den != 0)
                 return Column(q, v)
             return Bound(out, True, fn)
+        if op == "%":
+            # remainder at the wider scale; sign follows the dividend
+            ts = max(ls, rs)
+            out = decimal(18, ts)
+
+            def fn(batch):
+                lc, rc = l.fn(batch), r.fn(batch)
+                a = _decimal_rescale(lc.data.astype(jnp.int64), ls, ts)
+                b = _decimal_rescale(rc.data.astype(jnp.int64), rs, ts)
+                bs = jnp.where(b == 0, jnp.ones_like(b), b)
+                q = a // bs
+                rem = a - q * bs
+                q = q + ((rem != 0) & ((a < 0) != (bs < 0))).astype(q.dtype)
+                v = lc.validity & rc.validity & (b != 0)
+                return Column(a - q * bs, v)
+            return Bound(out, True, fn)
         raise ValueError(f"unsupported decimal op {op}")
     out, fl, fr = _coerce_numeric(l, r)
 
@@ -399,18 +415,24 @@ def _bind_arith(op: str, l: Bound, r: Bound) -> Bound:
             d = a - b
         elif op == "*":
             d = a * b
-        elif op == "/":
+        elif op in ("/", "%"):
+            bs = jnp.where(b == 0, jnp.ones_like(b), b)
             if out.is_integer:
-                d = _div_round_half(a, b) if False else jnp.where(b != 0, a // jnp.where(b == 0, 1, b), 0)
+                # SQL/DataFusion semantics: / truncates toward zero and
+                # % takes the dividend's sign (not Python floor division)
+                q = a // bs
+                rem = a - q * bs
+                q = q + ((rem != 0) & ((a < 0) != (b < 0))).astype(q.dtype)
+                d = q if op == "/" else a - q * bs
             else:
-                d = a / jnp.where(b == 0, 1, b)
+                d = a / bs if op == "/" else jnp.fmod(a, bs)
         else:
             raise ValueError(op)
         v = lc.validity & rc.validity
-        if op == "/":
+        if op in ("/", "%"):
             v = v & (b != 0)
         return Column(d.astype(out.jnp_dtype), v)
-    return Bound(out, l.nullable or r.nullable or op == "/", fn)
+    return Bound(out, l.nullable or r.nullable or op in ("/", "%"), fn)
 
 
 def _bind_compare(op: str, l: Bound, r: Bound) -> Bound:
@@ -578,7 +600,7 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
         # date vs string literal
         if l.dtype.kind is TypeKind.DATE32 and r.dtype.kind is TypeKind.STRING and isinstance(e.right, Lit):
             r = bind_expr(Lit(parse_date(str(e.right.value)), DATE32), schema)
-        if e.op in ("+", "-", "*", "/"):
+        if e.op in ("+", "-", "*", "/", "%"):
             return _bind_arith(e.op, l, r)
         if e.op in ("=", "!=", "<>", "<", "<=", ">", ">="):
             return _bind_compare(e.op, l, r)

@@ -50,6 +50,19 @@ class TableScan(LogicalPlan):
 
 
 @dataclasses.dataclass
+class OneRow(LogicalPlan):
+    """FROM-less SELECT source: exactly one row with a hidden all-zero
+    column (DataFusion EmptyRelation{produce_one_row: true} parity)."""
+
+    def schema(self) -> Schema:
+        from ..schema import INT64, Field
+        return Schema((Field("__one", INT64, nullable=False),), {})
+
+    def _label(self):
+        return "OneRow"
+
+
+@dataclasses.dataclass
 class Filter(LogicalPlan):
     input: LogicalPlan
     predicate: Expr

@@ -100,6 +100,9 @@ def create_physical_plan(plan: L.LogicalPlan,
     opts = options or PhysicalOptions()
 
     def lower(p: L.LogicalPlan) -> ExecNode:
+        if isinstance(p, L.OneRow):
+            from ..exec.plan import OneRowExec
+            return OneRowExec()
         if isinstance(p, L.TableScan):
             leaf = InputLeaf(p.table_name, p.table_schema, capacities[p.table_name])
             if p.projection is not None:

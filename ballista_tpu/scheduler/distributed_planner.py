@@ -124,6 +124,10 @@ class DistributedPlanner:
         return min(_next_pow2(max(2 * child_cap, 16)), self.opts.max_group_table)
 
     def _lower(self, p: L.LogicalPlan) -> ExecNode:
+        if isinstance(p, L.OneRow):
+            # one row on shard 0 only (every shard runs the same program)
+            from ..exec.plan import OneRowExec
+            return PartitionPruneExec(OneRowExec())
         if isinstance(p, L.TableScan):
             tp = self.ctx.tables[p.table_name]
             per_shard = round_capacity(-(-tp.capacity // self.opts.n_partitions))

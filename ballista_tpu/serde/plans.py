@@ -28,7 +28,7 @@ _EXPR_TYPES = {
 _PLAN_TYPES = {
     cls.__name__: cls for cls in [
         L.TableScan, L.Filter, L.Projection, L.Aggregate, L.Sort, L.Limit,
-        L.Join, L.Distinct, L.Union, L.Window,
+        L.Join, L.Distinct, L.Union, L.Window, L.OneRow,
     ]
 }
 

@@ -328,7 +328,9 @@ class SqlPlanner:
         for j, jc in enumerate(explicit_joins):
             relations.append(self._scan(len(stmt.from_tables) + j, jc.table, outer))
         if not relations:
-            raise NotImplementedError("SELECT without FROM")
+            # FROM-less SELECT: a one-row source with no referencable
+            # columns; literal expressions evaluate against it
+            relations.append(Relation(0, [], L.OneRow(), None, []))
 
         seen: Dict[str, int] = {}
         for r in relations:

@@ -66,3 +66,39 @@ def test_group_by_null_key(ctx):
                  "order by k nulls first").to_pandas()
     assert len(df) == 3
     assert df["k"].isna().iloc[0]
+
+
+class TestFromlessAndModulo:
+    def test_select_without_from(self):
+        from ballista_tpu.client import SessionContext
+        ctx = SessionContext()
+        df = ctx.sql("select 1 + 1 as two, 7 * 6 as ans").to_pandas()
+        assert len(df) == 1
+        assert int(df["two"][0]) == 2 and int(df["ans"][0]) == 42
+
+    def test_modulo_and_trunc_division(self):
+        import pyarrow as pa
+
+        from ballista_tpu.client import SessionContext
+        ctx = SessionContext()
+        ctx.register_arrow("m", pa.table({
+            "a": pa.array([7, -7, 7, -7, 5, 0], pa.int64()),
+            "b": pa.array([2, 2, -2, -2, 0, 3], pa.int64()),
+        }))
+        df = ctx.sql("select a, b, a % b as m, a / b as d from m").to_pandas()
+        # SQL semantics: / truncates toward zero, % has dividend's sign
+        assert [None if pd_isna(x) else int(x) for x in df["d"]] == \
+            [3, -3, -3, 3, None, 0]
+        got_m = [None if pd_isna(x) else int(x) for x in df["m"]]
+        assert got_m == [1, -1, 1, -1, None, 0]
+
+    def test_float_modulo(self):
+        from ballista_tpu.client import SessionContext
+        ctx = SessionContext()
+        df = ctx.sql("select 7.5 % 2 as m").to_pandas()
+        assert abs(float(df["m"][0]) - 1.5) < 1e-9
+
+
+def pd_isna(x):
+    import pandas as pd
+    return pd.isna(x)
