@@ -64,13 +64,17 @@ class SessionContext:
 
     def __init__(self, options: Optional[PhysicalOptions] = None,
                  distributed: bool = False, mesh=None,
-                 capacity_mode: str = "exact"):
+                 capacity_mode: str = "exact",
+                 serial_partitions: Optional[int] = None):
         if capacity_mode not in ("exact", "bucket"):
             raise ValueError("capacity_mode must be 'exact' or 'bucket'")
         self.tables: Dict[str, TableProvider] = {}
         self.views: Dict[str, tuple] = {}   # name -> (SelectStmt, col_aliases)
         self.options = options or PhysicalOptions()
         self.capacity_mode = capacity_mode
+        # out-of-core: run stage DAGs partition-by-partition on one device
+        # with host-RAM shuffles (scheduler/serial.py)
+        self.serial_partitions = serial_partitions
         self._stage_cache: Dict[int, object] = {}
         self._distributed = distributed
         self._mesh = mesh
@@ -196,6 +200,10 @@ class SessionContext:
             cl = self.cluster()
             job_id = cl.submit_plan(plan)
             return cl.wait(job_id)
+        if self.serial_partitions:
+            from ..scheduler.serial import execute_serial
+            return execute_serial(self, plan, self.serial_partitions,
+                                  max_retries=max_retries)
 
         capacities = {name: tp.capacity for name, tp in self.tables.items()}
         # refresh scan schemas to include ingest-time dictionaries

@@ -24,6 +24,23 @@ from ..parallel.shuffle import all_gather_batch, hash_partition_exchange
 from .plan import ExecNode, InputLeaf
 
 
+class _PartitionCtx:
+    """Serial (out-of-core) runtime: the partition id of the shard being
+    traced, as a scalar program argument. None outside the serial runtime
+    (mesh programs read jax.lax.axis_index instead)."""
+    pid = None
+
+    def __init__(self, pid):
+        self._pid = pid
+
+    def __enter__(self):
+        _PartitionCtx.pid = self._pid
+        return self
+
+    def __exit__(self, *exc):
+        _PartitionCtx.pid = None
+
+
 class _TraceCtx:
     """Collects per-stage side outputs during tracing: overflow flags and
     per-operator output row counts (the reference ships per-operator
@@ -116,7 +133,10 @@ class PartitionPruneExec(ExecNode):
 
     def evaluate(self, inputs):
         b = self.children[0].evaluate(inputs)
-        my = jax.lax.axis_index(PARTITION_AXIS)
+        # serial (out-of-core) runtime traces outside shard_map and passes
+        # the partition id as a scalar argument instead of axis_index
+        my = (_PartitionCtx.pid if _PartitionCtx.pid is not None
+              else jax.lax.axis_index(PARTITION_AXIS))
         keep = my == 0
         n = jnp.where(keep, b.num_rows, 0).astype(jnp.int32)
         live = jnp.arange(b.capacity, dtype=jnp.int32) < n

@@ -71,15 +71,16 @@ def _replicate_batch(batch: Batch, salt: int) -> Tuple[Batch, jax.Array]:
     return Batch(tuple(cols), batch.num_rows * salt), sub
 
 
-def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
-                            n_parts: int, quota: int,
-                            axis_name: str = PARTITION_AXIS,
-                            salt: int = 1, salt_mode: str | None = None):
-    """Inside shard_map: repartition rows by key hash across the mesh.
+def exchange_send_layout(batch: Batch, key_indices: Sequence[int],
+                         n_parts: int, quota: int,
+                         salt: int = 1, salt_mode: str | None = None):
+    """The device half of a shuffle write (ShuffleWriterExec hash path):
+    group rows by destination into a (P*quota)-slot send buffer.
 
-    Returns (out_batch, overflow) where out_batch has capacity
-    n_parts*quota and overflow is a per-shard bool (quota exceeded; rows
-    dropped — caller must retry with a larger quota).
+    Returns (send_batch, send_counts, overflow): send_batch rows
+    [d*quota, d*quota+send_counts[d]) are the rows destined to partition
+    d; invalid slots are validity-masked. The mesh runtime all_to_alls
+    the buffer; the serial (out-of-core) runtime exchanges it host-side.
     """
     P = n_parts
     if salt > 1 and salt_mode == "replicate":
@@ -118,15 +119,35 @@ def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
     src = jnp.take(offsets, d_of) + k_of
     slot_live = k_of < jnp.take(send_counts, d_of)
     src = jnp.clip(src, 0, cap - 1)
+    send_cols = []
+    for c in sorted_batch.columns:
+        send_cols.append(Column(jnp.take(c.data, src),
+                                jnp.take(c.validity, src) & slot_live))
+    total = jnp.sum(send_counts).astype(jnp.int32)
+    return Batch(tuple(send_cols), total), send_counts, overflow
+
+
+def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
+                            n_parts: int, quota: int,
+                            axis_name: str = PARTITION_AXIS,
+                            salt: int = 1, salt_mode: str | None = None):
+    """Inside shard_map: repartition rows by key hash across the mesh.
+
+    Returns (out_batch, overflow) where out_batch has capacity
+    n_parts*quota and overflow is a per-shard bool (quota exceeded; rows
+    dropped — caller must retry with a larger quota).
+    """
+    P = n_parts
+    send_batch, send_counts, overflow = exchange_send_layout(
+        batch, key_indices, P, quota, salt, salt_mode)
+    quota = send_batch.capacity // P
 
     out_cols = []
     recv_counts = jax.lax.all_to_all(
         send_counts, axis_name, split_axis=0, concat_axis=0, tiled=True)
-    for c in sorted_batch.columns:
-        send_d = jnp.take(c.data, src)
-        send_v = jnp.take(c.validity, src) & slot_live
-        recv_d = jax.lax.all_to_all(send_d, axis_name, 0, 0, tiled=True)
-        recv_v = jax.lax.all_to_all(send_v, axis_name, 0, 0, tiled=True)
+    for c in send_batch.columns:
+        recv_d = jax.lax.all_to_all(c.data, axis_name, 0, 0, tiled=True)
+        recv_v = jax.lax.all_to_all(c.validity, axis_name, 0, 0, tiled=True)
         out_cols.append(Column(recv_d, recv_v))
 
     # compact received runs: row j of sender-chunk k is live iff j < recv_counts[k]
