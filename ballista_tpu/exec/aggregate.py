@@ -19,10 +19,14 @@ from ..schema import DataType, Field, FLOAT32, FLOAT64, INT64, Schema, TypeKind,
 
 @dataclasses.dataclass(frozen=True)
 class AggExpr:
-    kind: str                 # sum | count | count_star | min | max | avg
+    kind: str                 # sum | count | count_star | min | max | avg |
+                              # var_samp | var_pop | stddev_samp | stddev_pop |
+                              # corr | median | percentile
     arg: Optional[Expr] = None
     alias: Optional[str] = None
     distinct: bool = False
+    arg2: Optional[Expr] = None     # corr's second argument
+    frac: Optional[float] = None    # percentile fraction (median = 0.5)
 
     @property
     def name(self) -> str:
@@ -30,7 +34,16 @@ class AggExpr:
             return self.alias
         if self.kind == "count_star":
             return "count(*)"
+        if self.kind == "corr":
+            return f"corr({expr_name(self.arg)}, {expr_name(self.arg2)})"
         return f"{self.kind}({expr_name(self.arg)})"
+
+
+# kinds whose state cannot be merged across partitions: the distributed
+# planner shuffles raw rows on the group key and aggregates once instead
+# of the partial/final split (DataFusion treats Median the same way)
+NON_DECOMPOSABLE = ("median", "percentile")
+MOMENT_KINDS = ("var_samp", "var_pop", "stddev_samp", "stddev_pop")
 
 
 def _sum_dtype(dt: DataType) -> DataType:
@@ -71,6 +84,18 @@ class BoundAgg:
             st = _sum_dtype(self.arg.dtype)
             self.state_dtypes = [st, INT64]
             self.out_field = Field(spec.name, _avg_dtype(self.arg.dtype), nullable=True)
+        elif k in MOMENT_KINDS:
+            # one-pass moments: [sum(x), sum(x^2), n] in f64
+            self.state_dtypes = [FLOAT64, FLOAT64, INT64]
+            self.out_field = Field(spec.name, FLOAT64, nullable=True)
+        elif k == "corr":
+            self.arg2 = bind_expr(spec.arg2, in_schema)
+            self.state_dtypes = [FLOAT64, FLOAT64, FLOAT64, FLOAT64,
+                                 FLOAT64, INT64]
+            self.out_field = Field(spec.name, FLOAT64, nullable=True)
+        elif k in NON_DECOMPOSABLE:
+            self.state_dtypes = [FLOAT64]
+            self.out_field = Field(spec.name, FLOAT64, nullable=True)
         else:
             raise NotImplementedError(f"aggregate {k}")
 
@@ -104,6 +129,33 @@ class BoundAgg:
             s, sv = layout.sum(data, col.validity)
             c, _ = layout.count(data, col.validity)
             return [Column(s, sv), Column(c, jnp.ones_like(sv))]
+        if k in MOMENT_KINDS:
+            x = _as_f64(self.arg, col)
+            s1, v = layout.sum(x, col.validity)
+            s2, _ = layout.sum(x * x, col.validity)
+            n, _ = layout.count(x, col.validity)
+            ones = jnp.ones_like(v)
+            return [Column(s1, ones), Column(s2, ones),
+                    Column(n, ones)]
+        if k == "corr":
+            col2 = self.arg2.fn(batch)
+            both = col.validity & col2.validity
+            x = _as_f64(self.arg, col)
+            y = _as_f64(self.arg2, col2)
+            sx, v = layout.sum(x, both)
+            sy, _ = layout.sum(y, both)
+            sxx, _ = layout.sum(x * x, both)
+            syy, _ = layout.sum(y * y, both)
+            sxy, _ = layout.sum(x * y, both)
+            n, _ = layout.count(x, both)
+            ones = jnp.ones_like(v)
+            return [Column(sx, ones), Column(sy, ones), Column(sxx, ones),
+                    Column(syy, ones), Column(sxy, ones), Column(n, ones)]
+        if k in NON_DECOMPOSABLE:
+            frac = 0.5 if k == "median" else float(self.spec.frac)
+            x = _as_f64(self.arg, col)
+            p, v = layout.percentile(x, col.validity, frac)
+            return [Column(p, v)]
         raise NotImplementedError(k)
 
     # --- phase 2: partial states -> merged states (after shuffle) ---
@@ -125,6 +177,16 @@ class BoundAgg:
             s, sv = layout.sum(state_cols[0].data, state_cols[0].validity)
             c, _ = layout.sum(state_cols[1].data, state_cols[1].validity)
             return [Column(s, sv), Column(c, jnp.ones_like(sv, dtype=jnp.bool_))]
+        if k in MOMENT_KINDS or k == "corr":
+            out = []
+            for sc in state_cols:
+                s, v = layout.sum(sc.data, sc.validity)
+                out.append(Column(s, jnp.ones_like(v)))
+            return out
+        if k in NON_DECOMPOSABLE:
+            raise NotImplementedError(
+                f"{k} state cannot be merged; the planner must shuffle raw "
+                "rows (NON_DECOMPOSABLE fallback)")
         raise NotImplementedError(k)
 
     # --- finalize: merged states -> output column ---
@@ -142,4 +204,37 @@ class BoundAgg:
                 return Column(q, s.validity & (c.data > 0))
             d = s.data.astype(out.jnp_dtype) / jnp.maximum(c.data, 1).astype(out.jnp_dtype)
             return Column(d, s.validity & (c.data > 0))
+        if k in MOMENT_KINDS:
+            s1, s2, nn = (c.data for c in state_cols)
+            n = jnp.maximum(nn, 1).astype(jnp.float64)
+            pop = s2 / n - (s1 / n) ** 2
+            if k.endswith("_pop"):
+                var = pop
+                valid = nn > 0
+            else:
+                var = jnp.where(nn > 1, (s2 - s1 * s1 / n)
+                                / jnp.maximum(n - 1.0, 1.0), 0.0)
+                valid = nn > 1
+            var = jnp.maximum(var, 0.0)     # clamp f64 cancellation noise
+            out = jnp.sqrt(var) if k.startswith("stddev") else var
+            return Column(jnp.where(valid, out, 0.0), valid)
+        if k == "corr":
+            sx, sy, sxx, syy, sxy, nn = (c.data for c in state_cols)
+            n = nn.astype(jnp.float64)
+            cov = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            denom = jnp.sqrt(jnp.maximum(dx, 0.0) * jnp.maximum(dy, 0.0))
+            valid = (nn > 1) & (denom > 0)
+            return Column(jnp.where(valid, cov / jnp.maximum(denom, 1e-300),
+                                    0.0), valid)
+        if k in NON_DECOMPOSABLE:
+            return state_cols[0]
         raise NotImplementedError(k)
+
+
+def _as_f64(bound: Bound, col: Column):
+    d = col.data
+    if bound.dtype.kind is TypeKind.DECIMAL:
+        return d.astype(jnp.float64) / (10.0 ** bound.dtype.scale)
+    return d.astype(jnp.float64)

@@ -91,6 +91,34 @@ class MaskedLayout(NamedTuple):
     def max(self, values, validity):
         return self._extreme(values, validity, False)
 
+    def percentile(self, values, validity, frac: float):
+        cnt, gvalid = self.count(values, validity)
+        ok = self.live & validity
+        return _group_percentile(self.row_slot, ok, values, frac, cnt,
+                                 gvalid, self.T)
+
+
+def _group_percentile(gid, ok, values, frac: float, counts, gvalid, T: int):
+    """Exact linear-interpolated percentile per group (percentile_cont).
+
+    One (group, value) two-key sort packs each group's valid values into a
+    contiguous ascending run at offset exclusive-cumsum(counts); the
+    percentile is an interpolated two-gather read. No scatters; the only
+    O(n log n) work is the sort (~30ms at 6M rows on v5e)."""
+    n = values.shape[0]
+    key = jnp.where(ok, gid.astype(jnp.int32), T)
+    _, s_val = jax.lax.sort((key, values), num_keys=2, is_stable=False)
+    cnt = counts.astype(jnp.int64)
+    vstart = jnp.cumsum(cnt) - cnt          # exclusive prefix
+    pos = vstart.astype(jnp.float64) + (cnt - 1).astype(jnp.float64) * frac
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int64), 0, n - 1)
+    hi = jnp.clip(jnp.ceil(pos).astype(jnp.int64), 0, n - 1)
+    w = pos - jnp.floor(pos)
+    a = jnp.take(s_val, lo).astype(jnp.float64)
+    b = jnp.take(s_val, hi).astype(jnp.float64)
+    valid = gvalid & (cnt > 0)
+    return jnp.where(valid, a * (1.0 - w) + b * w, 0.0), valid
+
 
 class SortedLayout(NamedTuple):
     order: jax.Array         # (n,) permutation grouping equal keys
@@ -160,6 +188,12 @@ class SortedLayout(NamedTuple):
 
     def max(self, values, validity):
         return self._extreme(values, validity, False)
+
+    def percentile(self, values, validity, frac: float):
+        v, ok = self._sorted_vals(values, validity)
+        cnt, gvalid = self._per_run(jnp.cumsum(ok.astype(jnp.int64)))
+        gid = jnp.minimum(self.run_id, self.T)
+        return _group_percentile(gid, ok, v, frac, cnt, gvalid, self.T)
 
 
 def direct_slots(key_cols: Sequence[Column], bounds: Sequence[int],

@@ -65,6 +65,8 @@ def _prune(p: L.LogicalPlan, needed: Optional[Set[str]]) -> L.LogicalPlan:
         for a in p.aggs:
             if a.arg is not None:
                 child_needed |= expr_columns(a.arg)
+            if a.arg2 is not None:
+                child_needed |= expr_columns(a.arg2)
         return dataclasses.replace(p, input=_prune(p.input, child_needed))
 
     if isinstance(p, (L.Sort,)):

@@ -164,6 +164,29 @@ class DistributedPlanner:
                 group_names = (list(p.group_names) if p.group_names
                                else None)
             T = self._agg_table(child.capacity)
+            from ..exec.aggregate import NON_DECOMPOSABLE
+            if any(a.kind in NON_DECOMPOSABLE for a in aggs):
+                # median/percentile states don't merge: shuffle raw ROWS on
+                # the group key and aggregate once per shard (DataFusion
+                # treats Median the same way). Non-column group exprs fall
+                # back to a gather + single aggregate on shard 0.
+                if pred is not None:
+                    child = FilterExec(child, pred)
+                if group_exprs and all(isinstance(g, Col)
+                                       for g in group_exprs):
+                    leaf = self._cut_shuffle(
+                        child, [g.name for g in group_exprs],
+                        expected_rows=child.capacity * self.opts.n_partitions)
+                    return HashAggregateExec(leaf, group_exprs, aggs,
+                                             mode="single", table_size=T,
+                                             group_names=group_names)
+                leaf = self._cut_gather(child)
+                final = HashAggregateExec(leaf, group_exprs, aggs,
+                                          mode="single",
+                                          table_size=self._agg_table(
+                                              leaf.capacity),
+                                          group_names=group_names)
+                return PartitionPruneExec(final)
             partial = HashAggregateExec(child, group_exprs, aggs,
                                         mode="partial", table_size=T,
                                         group_names=group_names,

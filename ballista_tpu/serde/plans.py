@@ -59,7 +59,9 @@ def _enc(v: Any) -> Any:
     if isinstance(v, AggExpr):
         return {"@agg": True, "kind": v.kind,
                 "arg": encode_expr(v.arg) if v.arg is not None else None,
-                "alias": v.alias, "distinct": v.distinct}
+                "alias": v.alias, "distinct": v.distinct,
+                "arg2": encode_expr(v.arg2) if v.arg2 is not None else None,
+                "frac": v.frac}
     from ..exec.window import WindowFnSpec
     if isinstance(v, WindowFnSpec):
         return {"@winspec": True, "kind": v.kind,
@@ -89,7 +91,10 @@ def _dec(v: Any) -> Any:
         if "@agg" in v:
             return AggExpr(v["kind"],
                            decode_expr(v["arg"]) if v["arg"] is not None else None,
-                           v["alias"], v["distinct"])
+                           v["alias"], v["distinct"],
+                           arg2=(decode_expr(v["arg2"])
+                                 if v.get("arg2") is not None else None),
+                           frac=v.get("frac"))
         if "@winspec" in v:
             from ..exec.window import WindowFnSpec
             return WindowFnSpec(

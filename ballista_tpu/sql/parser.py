@@ -22,9 +22,13 @@ from ..schema import DATE32, DataType, decimal as decimal_type
 
 @dataclasses.dataclass(frozen=True)
 class AggCall(Expr):
-    kind: str                 # sum|avg|count|min|max|count_star
+    kind: str                 # sum|avg|count|min|max|count_star|var_samp|
+                              # var_pop|stddev_samp|stddev_pop|corr|median|
+                              # percentile
     arg: Optional[Expr]
     distinct: bool = False
+    arg2: Optional[Expr] = None     # corr second argument
+    frac: Optional[float] = None    # percentile fraction
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +149,16 @@ KEYWORDS = {
 WINDOW_FNS = ("row_number", "rank", "dense_rank", "lag", "lead",
               "first_value", "last_value", "ntile", "percent_rank",
               "cume_dist", "nth_value")
+
+# name -> AggExpr kind for the statistics aggregates (DataFusion surface)
+MOMENT_AGG_NAMES = {
+    "stddev": "stddev_samp", "stddev_samp": "stddev_samp",
+    "stddev_pop": "stddev_pop",
+    "var": "var_samp", "variance": "var_samp", "var_samp": "var_samp",
+    "var_pop": "var_pop",
+    "median": "median", "corr": "corr",
+    "approx_percentile_cont": "percentile", "percentile_cont": "percentile",
+}
 
 
 @dataclasses.dataclass
@@ -625,6 +639,26 @@ class Parser:
                     if self.at_kw("over"):
                         return self._parse_over(low, arg)
                     return AggCall(low, arg, distinct=distinct)
+                if low in MOMENT_AGG_NAMES:
+                    arg = self.parse_expr()
+                    arg2 = frac = None
+                    if self.accept("op", ","):
+                        second = self.parse_expr()
+                        if low in ("approx_percentile_cont",
+                                   "percentile_cont"):
+                            if not isinstance(second, Lit):
+                                raise SyntaxError(
+                                    f"{low} percentile must be a literal")
+                            frac = float(second.value)
+                        else:
+                            arg2 = second
+                    self.expect("op", ")")
+                    kind = MOMENT_AGG_NAMES[low]
+                    if kind == "corr" and arg2 is None:
+                        raise SyntaxError("corr requires two arguments")
+                    if kind == "percentile" and frac is None:
+                        raise SyntaxError(f"{low} requires a percentile")
+                    return AggCall(kind, arg, arg2=arg2, frac=frac)
                 args = []
                 if not self.accept("op", ")"):
                     args.append(self.parse_expr())

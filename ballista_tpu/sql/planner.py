@@ -630,9 +630,13 @@ class SqlPlanner:
         for i, a in enumerate(aggs):
             arg = (_rewrite_cols(a.arg, self._resolver(fw.scope))
                    if a.arg is not None else None)
+            arg2 = (_rewrite_cols(a.arg2, self._resolver(fw.scope))
+                    if a.arg2 is not None else None)
             nm = f"{tag}_a{i}"
             agg_names[a] = nm
-            agg_specs.append(AggExpr(a.kind, arg, alias=nm, distinct=a.distinct))
+            agg_specs.append(AggExpr(a.kind, arg, alias=nm,
+                                     distinct=a.distinct, arg2=arg2,
+                                     frac=a.frac))
         agg_plan = L.Aggregate(fw.plan, tuple(Col(k) for k in inner_keys),
                                tuple(agg_specs), tuple(mangled))
         item_r = _rewrite_cols(item, lambda n: n)  # cols inside aggs already handled
@@ -958,7 +962,8 @@ class SqlPlanner:
         for i, a in enumerate(agg_calls):
             nm = f"__agg{i}"
             agg_names[a] = nm
-            aggs.append(AggExpr(a.kind, a.arg, alias=nm, distinct=False))
+            aggs.append(AggExpr(a.kind, a.arg, alias=nm, distinct=False,
+                                arg2=a.arg2, frac=a.frac))
         grp_names = []
         for i, g in enumerate(group_exprs):
             grp_names.append(g.name if isinstance(g, Col) else f"__grp{i}")
@@ -987,7 +992,8 @@ class SqlPlanner:
         from ..exprs import bind_expr
         if any(a.distinct for a in agg_calls):
             raise NotImplementedError("DISTINCT aggregates with grouping sets")
-        aggs = [AggExpr(a.kind, a.arg, alias=f"__agg{i}")
+        aggs = [AggExpr(a.kind, a.arg, alias=f"__agg{i}",
+                        arg2=a.arg2, frac=a.frac)
                 for i, a in enumerate(agg_calls)]
         agg_names = {a: f"__agg{i}" for i, a in enumerate(agg_calls)}
         grp_names = [g.name if isinstance(g, Col) else f"__grp{i}"
