@@ -102,3 +102,17 @@ def test_joins(jctx, q):
     np.testing.assert_allclose(df["v1"].sum(), exp["v1"].sum(), rtol=1e-9)
     np.testing.assert_allclose(df["v2"].fillna(0).sum(),
                                exp["v2"].fillna(0).sum(), rtol=1e-9)
+
+
+def test_nyctaxi_query():
+    from ballista_tpu.benchmarks.nyctaxi import QUERIES, synthetic_tripdata
+    ctx = SessionContext()
+    t = synthetic_tripdata(4000)
+    ctx.register_arrow("tripdata", t)
+    df = ctx.sql(QUERIES["fare_amt_by_passenger"]).to_pandas()
+    pdf = t.to_pandas().groupby("passenger_count")["fare_amount"]
+    assert len(df) == pdf.ngroups
+    got = df.set_index("passenger_count").sort_index()
+    np.testing.assert_allclose(got.iloc[:, 0], pdf.min(), rtol=1e-9)
+    np.testing.assert_allclose(got.iloc[:, 1], pdf.max(), rtol=1e-9)
+    np.testing.assert_allclose(got.iloc[:, 2], pdf.sum(), rtol=1e-9)
