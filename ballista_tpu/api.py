@@ -80,14 +80,69 @@ class ApiServer:
         if m:
             h._send(200, sched.job_status(m.group(1)))
             return
-        m = re.fullmatch(r"/api/job/([a-z0-9]+)/dot", path)
+        if path == "/api/executors":
+            # api/handlers.rs get_executors: metadata + heartbeat age
+            import time as _t
+            now = _t.time()
+            h._send(200, [
+                {"id": e.meta.executor_id, "host": e.meta.host,
+                 "port": e.meta.port, "task_slots": e.meta.task_slots,
+                 "free_slots": e.free_slots, "status": e.status.value,
+                 "last_seen_s": round(now - e.last_heartbeat, 1)}
+                for e in sched.executor_manager.executors.values()])
+            return
+        m = re.fullmatch(r"/api/job/([a-z0-9]+)/dot(_svg)?", path)
         if m:
             jc = self.cluster.launcher.jobs.get(m.group(1))
             if jc is None:
                 h._send(404, {"error": "not found"})
                 return
             from .utils.dot import distributed_plan_dot
-            h._send(200, distributed_plan_dot(jc.dplan), ctype="text/vnd.graphviz")
+            dot = distributed_plan_dot(jc.dplan)
+            if m.group(2):  # /dot_svg (api/handlers.rs get_query_dot_svg)
+                svg = _render_svg(dot)
+                if svg is None:
+                    h._send(501, {"error": "graphviz 'dot' not installed"})
+                else:
+                    h._send(200, svg, ctype="image/svg+xml")
+                return
+            h._send(200, dot, ctype="text/vnd.graphviz")
+            return
+        m = re.fullmatch(r"/api/job/([a-z0-9]+)/stages", path)
+        if m:
+            # api/handlers.rs get_query_stages: per-stage state + metrics
+            status = sched.job_status(m.group(1))
+            if status.get("state") == "not_found":
+                h._send(404, {"error": "not found"})
+                return
+            jc = self.cluster.launcher.jobs.get(m.group(1))
+            op_metrics = jc.op_metrics if jc is not None else {}
+            stages = [dict(stage_id=sid, **st,
+                           metrics={"operator_rows": op_metrics.get(sid)})
+                      for sid, st in status.get("stages", {}).items()]
+            h._send(200, {"job_id": m.group(1), "stages": stages})
+            return
+        m = re.fullmatch(r"/api/job/([a-z0-9]+)/stage/(\d+)/dot", path)
+        if m:
+            jc = self.cluster.launcher.jobs.get(m.group(1))
+            if jc is None:
+                h._send(404, {"error": "not found"})
+                return
+            from .utils.dot import stage_dot
+            try:
+                h._send(200, stage_dot(jc.dplan, int(m.group(2))),
+                        ctype="text/vnd.graphviz")
+            except KeyError:
+                h._send(404, {"error": "no such stage"})
+            return
+        # KEDA external-scaler surface (proto/keda.proto:25 — IsActive /
+        # GetMetrics; served as HTTP JSON for KEDA's metrics-api scaler).
+        if path == "/api/scaler/is_active":
+            h._send(200, {"result": sched.is_active()})
+            return
+        if path == "/api/scaler/metrics":
+            h._send(200, {"metricName": "pending_tasks",
+                          "metricValue": sched.pending_task_count()})
             return
         if path == "/api/metrics":
             h._send(200, {
@@ -107,15 +162,8 @@ class ApiServer:
             return
         h._send(404, {"error": "not found"})
 
-    def cancel_job(self, job_id: str) -> bool:
-        from .scheduler.execution_graph import JobState
-        g = self.cluster.scheduler.task_manager.jobs.get(job_id)
-        if g is None:
-            return False
-        if g.state in (JobState.QUEUED, JobState.RUNNING):
-            g.state = JobState.CANCELLED
-            g.error = "cancelled by user"
-        return True
+    def cancel_job(self, job_id: str) -> bool:  # noqa: D401
+        return _cancel_job(self.cluster, job_id)
 
     # -- lifecycle --
     def start(self):
@@ -126,6 +174,31 @@ class ApiServer:
 
     def stop(self):
         self.server.shutdown()
+
+
+def _render_svg(dot: str):
+    import shutil
+    import subprocess
+    exe = shutil.which("dot")
+    if exe is None:
+        return None
+    try:
+        return subprocess.run([exe, "-Tsvg"], input=dot.encode(),
+                              capture_output=True, timeout=10,
+                              check=True).stdout.decode()
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _cancel_job(cluster, job_id: str) -> bool:
+    from .scheduler.execution_graph import JobState
+    g = cluster.scheduler.task_manager.jobs.get(job_id)
+    if g is None:
+        return False
+    if g.state in (JobState.QUEUED, JobState.RUNNING):
+        g.state = JobState.CANCELLED
+        g.error = "cancelled by user"
+    return True
 
 
 # Minimal dashboard (the reference ships a React UI consuming the same

@@ -177,6 +177,42 @@ class TaskManager:
                 pass
 
 
+class CircuitBreakerController:
+    """Scheduler-side circuit breaker (`circuit_breaker/controller.rs:15`):
+    aggregates per-partition "percent of global row limit consumed" updates
+    in a tree keyed (job, shared_state_id, stage, attempt); when the sum
+    over partitions reaches 1.0 the key trips. Trips are sticky — late
+    updates for a tripped key return it again so stragglers learn to stop
+    (the reference's per-executor trip-notification state)."""
+
+    def __init__(self):
+        self._percents: Dict[tuple, Dict[int, float]] = {}
+        self._tripped: set = set()
+
+    def update(self, updates) -> List[tuple]:
+        """updates: iterable of (job_id, shared_state_id, stage_id, attempt,
+        partition, percent). Returns keys newly tripped by this batch."""
+        trips = []
+        for job_id, sid, stage_id, attempt, partition, pct in updates:
+            key = (job_id, sid, stage_id, attempt)
+            parts = self._percents.setdefault(key, {})
+            parts[partition] = max(parts.get(partition, 0.0), float(pct))
+            if key not in self._tripped and sum(parts.values()) >= 1.0:
+                self._tripped.add(key)
+                trips.append(key)
+        return trips
+
+    def is_tripped(self, job_id: str, shared_state_id: str) -> bool:
+        return any(k[0] == job_id and k[1] == shared_state_id
+                   for k in self._tripped)
+
+    def clean_job(self, job_id: str):
+        """Stale-state GC (circuit_breaker/client.rs:493 analog)."""
+        for d in (self._percents, self._tripped):
+            for k in [k for k in d if k[0] == job_id]:
+                d.pop(k) if isinstance(d, dict) else d.discard(k)
+
+
 class SchedulerEvent(enum.Enum):
     JOB_QUEUED = "job_queued"
     JOB_SUBMITTED = "job_submitted"
@@ -208,6 +244,7 @@ class SchedulerServer:
         # optional persistent JobState store (job_store.py): graphs saved on
         # submit and on progress, enabling scheduler-restart takeover
         self.job_store = job_store
+        self.circuit_breaker = CircuitBreakerController()
 
     # -- public API (SchedulerGrpc analog) --
     def register_executor(self, meta: ExecutorMetadata):
@@ -253,6 +290,22 @@ class SchedulerServer:
             [s.executor_id for s in statuses])
         self.events.append((SchedulerEvent.TASK_UPDATING, None))
         self.events.append((SchedulerEvent.TICK, None))
+
+    def send_circuit_breaker_update(self, updates) -> List[tuple]:
+        """SendCircuitBreakerUpdate RPC analog (grpc.rs:559): feed the
+        controller; newly tripped keys preempt their stage via
+        ExecutionGraph.trip_stage. Returns the tripped keys so the sender
+        (executor/launcher) can end its streams early."""
+        trips = self.circuit_breaker.update(updates)
+        for job_id, _sid, stage_id, _attempt in trips:
+            g = self.task_manager.jobs.get(job_id)
+            if g is not None:
+                evs = g.trip_stage(stage_id)
+                self.job_events.setdefault(job_id, []).extend(evs)
+                if self.job_store is not None and evs:
+                    self.job_store.save_job(g)
+            self.events.append((SchedulerEvent.TICK, None))
+        return trips
 
     def executor_lost(self, executor_id: str):
         self.executor_manager.remove_executor(executor_id)

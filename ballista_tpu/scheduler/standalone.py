@@ -37,6 +37,32 @@ class MeshTaskLauncher(TaskLauncher):
     def __init__(self, runtime: DistributedRuntime):
         self.runtime = runtime
         self.jobs: Dict[str, "JobContext"] = {}
+        self.scheduler = None   # set by StandaloneCluster for CB updates
+
+    def _circuit_breaker_update(self, jc, stage_id: int):
+        """CircuitBreakerClient analog (circuit_breaker/client.rs:65): when
+        a stage carries a global row limit, stream per-partition
+        percent-of-limit-consumed to the scheduler controller."""
+        if self.scheduler is None:
+            return
+        from ..exec.plan import LimitExec
+        stage = jc.stage_by_id[stage_id]
+        node, limit = stage.root, None
+        while node is not None:
+            if isinstance(node, LimitExec):
+                limit = node.n
+                break
+            node = node.children[0] if node.children else None
+        if not limit:
+            return
+        out = jc.outputs.get(str(stage_id))
+        if out is None:
+            return
+        import numpy as np
+        rows = np.asarray(out.num_rows)
+        self.scheduler.send_circuit_breaker_update(
+            [(jc.job_id, "global-limit", stage_id, 0, p,
+              float(rows[p]) / limit) for p in range(len(rows))])
 
     def launch(self, tasks: List[TaskDescription], report):
         statuses = []
@@ -44,6 +70,7 @@ class MeshTaskLauncher(TaskLauncher):
             jc = self.jobs[task.job_id]
             try:
                 jc.run_stage(task.stage_id)
+                self._circuit_breaker_update(jc, task.stage_id)
                 statuses.append(TaskStatus(
                     task.task_id, task.job_id, task.stage_id, task.partitions,
                     task.executor_id, "successful"))
@@ -138,6 +165,7 @@ class StandaloneCluster:
         self.runtime = DistributedRuntime(ctx, mesh, options)
         self.launcher = MeshTaskLauncher(self.runtime)
         self.scheduler = SchedulerServer(self.launcher)
+        self.launcher.scheduler = self.scheduler
         self.scheduler.register_executor(
             ExecutorMetadata("mesh-executor-0", task_slots=task_slots))
         self.spiller = None

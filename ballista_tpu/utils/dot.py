@@ -30,6 +30,29 @@ def logical_plan_dot(plan) -> str:
     return "\n".join(lines)
 
 
+def stage_dot(dplan, stage_id: int) -> str:
+    """Single-stage operator tree (`/api/job/{id}/stage/{n}/dot` parity,
+    api/handlers.rs:292)."""
+    stage = next((s for s in dplan.stages if s.stage_id == stage_id), None)
+    if stage is None:
+        raise KeyError(stage_id)
+    lines = [f"digraph stage_{stage_id} {{", "  node [shape=box];"]
+    counter = [0]
+
+    def walk(node) -> str:
+        nid = f"n{counter[0]}"
+        counter[0] += 1
+        lines.append(f'  {nid} [label="{_esc(node._label())}"];')
+        for c in node.children:
+            cid = walk(c)
+            lines.append(f"  {cid} -> {nid};")
+        return nid
+
+    walk(stage.root)
+    lines.append("}")
+    return "\n".join(lines)
+
+
 def distributed_plan_dot(dplan) -> str:
     """Stage DAG with per-stage operator trees in clusters (the
     ExecutionGraphDot layout: one cluster per stage, edges at shuffle

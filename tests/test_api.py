@@ -57,6 +57,41 @@ def test_state_jobs_metrics_dot(api):
     assert json.loads(body)["state"] == "not_found"
 
 
+def test_executors_stages_scaler_routes(api):
+    server, cl = api
+    job_id = cl.submit_sql(TPCH_QUERIES[1])
+    cl.scheduler.run_until_idle()
+
+    code, body = get(server, "/api/executors")
+    ex = json.loads(body)
+    assert code == 200 and ex[0]["task_slots"] >= 1 and "last_seen_s" in ex[0]
+
+    code, body = get(server, f"/api/job/{job_id}/stages")
+    stages = json.loads(body)["stages"]
+    assert code == 200 and stages
+    assert all(s["state"] == "successful" for s in stages)
+    # operator-row metrics ride the stage programs (commit: scalar outputs)
+    assert any(s["metrics"]["operator_rows"] for s in stages)
+
+    sid = stages[0]["stage_id"]
+    code, body = get(server, f"/api/job/{job_id}/stage/{sid}/dot")
+    assert code == 200 and body.startswith(f"digraph stage_{sid}")
+
+    code, body = get(server, "/api/scaler/is_active")
+    assert code == 200 and json.loads(body)["result"] is False
+    code, body = get(server, "/api/scaler/metrics")
+    assert json.loads(body)["metricName"] == "pending_tasks"
+
+    # dot_svg renders when graphviz is present, 501s cleanly otherwise
+    import shutil
+    import urllib.error
+    try:
+        code, body = get(server, f"/api/job/{job_id}/dot_svg")
+        assert shutil.which("dot") and "<svg" in body
+    except urllib.error.HTTPError as e:
+        assert e.code == 501
+
+
 def test_cancel_job(api):
     server, cl = api
     job_id = cl.submit_sql(TPCH_QUERIES[6])

@@ -259,6 +259,44 @@ class TestCircuitBreaker:
         from ballista_tpu.scheduler.execution_graph import JobState
         assert g.state is JobState.SUCCESSFUL
 
+    def test_controller_aggregates_and_trips(self):
+        """CircuitBreakerController (controller.rs:15 parity): percents sum
+        across partitions; ≥1.0 trips once; late updates don't re-trip."""
+        from ballista_tpu.scheduler.server import CircuitBreakerController
+        cb = CircuitBreakerController()
+        assert cb.update([("j1", "s", 2, 0, 0, 0.4),
+                          ("j1", "s", 2, 0, 1, 0.3)]) == []
+        assert not cb.is_tripped("j1", "s")
+        # partition 0 re-reports a higher percent (max, not sum, per part)
+        trips = cb.update([("j1", "s", 2, 0, 0, 0.7)])
+        assert trips == [("j1", "s", 2, 0)]
+        assert cb.is_tripped("j1", "s")
+        assert cb.update([("j1", "s", 2, 0, 2, 0.9)]) == []  # sticky
+        cb.clean_job("j1")
+        assert not cb.is_tripped("j1", "s")
+
+    def test_scheduler_update_trips_running_stage(self):
+        """SendCircuitBreakerUpdate path (grpc.rs:559): a running stage is
+        preempted when the controller trips its key."""
+        from ballista_tpu.scheduler.server import (ExecutorMetadata,
+                                                   SchedulerServer)
+        class Blackhole(VirtualLauncher):  # test_utils.rs:335 — never reports
+            def launch(self, tasks, report):
+                self.launched.extend(tasks)
+
+        launcher = Blackhole()
+        s = SchedulerServer(launcher)
+        s.register_executor(ExecutorMetadata("e1", task_slots=2))
+        g = diamond_graph(parts=4)
+        s.submit_job(g)
+        s.run_until_idle()
+        # stage 0 running, ≤2 partitions scheduled (2 slots); limit reached:
+        trips = s.send_circuit_breaker_update(
+            [(g.job_id, "lim", 0, 0, 0, 1.0)])
+        assert trips
+        from ballista_tpu.scheduler.execution_graph import StageState
+        assert g.stages[0].state is StageState.SUCCESSFUL
+
 
 class TestJobStorePersistence:
     """ExecutionGraph persistence + scheduler-restart takeover — the

@@ -111,3 +111,14 @@ def test_operator_metrics_collected(cluster):
     # group counts are small; aggregate output rows must be tiny
     agg_rows = [v for k, v in all_ops.items() if "HashAggregateExec" in k]
     assert all(v <= 32 for v in agg_rows)
+
+
+def test_circuit_breaker_trips_on_global_limit(cluster):
+    """Data-plane row accounting (CircuitBreakerClient analog): a LIMIT
+    query's stage reports percent-consumed; the scheduler controller trips
+    once the global limit is satisfied — and results stay correct."""
+    cl, pdt = cluster
+    df = cl.sql("select l_orderkey from lineitem limit 5")
+    assert len(df) == 5
+    jid = [j for j in cl.launcher.jobs][-1]
+    assert cl.scheduler.circuit_breaker.is_tripped(jid, "global-limit")
