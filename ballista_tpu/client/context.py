@@ -177,7 +177,8 @@ class SessionContext:
         """Run a SQL script: SELECTs plus CREATE/DROP VIEW statements
         (the TPC-H Q15 shape; BallistaContext::sql similarly intercepts
         DDL, context.rs:362). Returns the last SELECT as a DataFrame."""
-        from ..sql.parser import CreateView, DropView, parse_statements
+        from ..sql.parser import (CreateExternalTable, CreateView, DropView,
+                                  ShowColumns, ShowTables, parse_statements)
         from ..sql.planner import SqlPlanner
 
         last = None
@@ -186,11 +187,68 @@ class SessionContext:
                 self.views[stmt.name] = (stmt.query, stmt.columns)
             elif isinstance(stmt, DropView):
                 self.views.pop(stmt.name, None)
+            elif isinstance(stmt, CreateExternalTable):
+                self._create_external_table(stmt)
+            elif isinstance(stmt, ShowTables):
+                last = self._show_tables()
+            elif isinstance(stmt, ShowColumns):
+                last = self._show_columns(stmt.name)
             else:
                 last = DataFrame(self, SqlPlanner(self).plan_select(stmt))
         if last is None:
             raise ValueError("no SELECT statement in script")
         return last
+
+    # -- DDL / catalog statements intercepted like BallistaContext::sql --
+    def _create_external_table(self, stmt):
+        if stmt.fmt == "csv":
+            import pyarrow.csv as pacsv
+            from ..schema import to_arrow_type
+            kwargs = {}
+            if stmt.columns:
+                kwargs["convert_options"] = pacsv.ConvertOptions(
+                    column_types={n: to_arrow_type(t)
+                                  for n, t in stmt.columns})
+                if not stmt.header:
+                    kwargs["read_options"] = pacsv.ReadOptions(
+                        column_names=[n for n, _ in stmt.columns])
+            self.register_arrow(stmt.name,
+                                pacsv.read_csv(stmt.location, **kwargs))
+        elif stmt.fmt == "parquet":
+            self.register_parquet(stmt.name, stmt.location)
+        elif stmt.fmt in ("json", "ndjson"):
+            self.register_json(stmt.name, stmt.location)
+        else:
+            raise NotImplementedError(f"STORED AS {stmt.fmt}")
+
+    def _catalog_df(self, name: str, table) -> "DataFrame":
+        self.register_arrow(name, table)
+        return self.table(name)
+
+    def _show_tables(self) -> "DataFrame":
+        """SHOW TABLES (information_schema.tables shape, config.rs
+        with_information_schema parity)."""
+        import pyarrow as pa
+        rows = [("ballista", "public", n, "BASE TABLE")
+                for n in self.tables if not n.startswith("__")]
+        rows += [("ballista", "public", n, "VIEW") for n in self.views]
+        cols = list(zip(*rows)) or [[], [], [], []]
+        return self._catalog_df("__show_tables__", pa.table(
+            {"table_catalog": cols[0], "table_schema": cols[1],
+             "table_name": cols[2], "table_type": cols[3]}))
+
+    def _show_columns(self, name: str) -> "DataFrame":
+        import pyarrow as pa
+        tp = self.tables.get(name)
+        if tp is None:
+            raise KeyError(f"table {name!r} not found")
+        sch = tp.schema
+        return self._catalog_df("__show_columns__", pa.table(
+            {"table_name": [name] * len(sch.fields),
+             "column_name": [f.name for f in sch.fields],
+             "data_type": [str(f.dtype) for f in sch.fields],
+             "is_nullable": ["YES" if f.nullable else "NO"
+                             for f in sch.fields]}))
 
     # -- execution --
     def collect(self, plan: L.LogicalPlan, max_retries: int = 3):

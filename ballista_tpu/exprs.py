@@ -38,6 +38,76 @@ class Expr:
     def __str__(self):
         return expr_name(self)
 
+    # -- DataFrame-API operator sugar (DataFusion python-binding style).
+    # NOTE: __eq__ stays structural (dataclass) so exprs work in dicts/sets;
+    # use .eq()/.neq() to build equality predicates.
+    def _bin(self, op, other, swap=False):
+        other = other if isinstance(other, Expr) else Lit(other)
+        return BinOp(op, other, self) if swap else BinOp(op, self, other)
+
+    def __gt__(self, o):
+        return self._bin(">", o)
+
+    def __ge__(self, o):
+        return self._bin(">=", o)
+
+    def __lt__(self, o):
+        return self._bin("<", o)
+
+    def __le__(self, o):
+        return self._bin("<=", o)
+
+    def __add__(self, o):
+        return self._bin("+", o)
+
+    def __radd__(self, o):
+        return self._bin("+", o, swap=True)
+
+    def __sub__(self, o):
+        return self._bin("-", o)
+
+    def __rsub__(self, o):
+        return self._bin("-", o, swap=True)
+
+    def __mul__(self, o):
+        return self._bin("*", o)
+
+    def __rmul__(self, o):
+        return self._bin("*", o, swap=True)
+
+    def __truediv__(self, o):
+        return self._bin("/", o)
+
+    def __rtruediv__(self, o):
+        return self._bin("/", o, swap=True)
+
+    def __and__(self, o):
+        return self._bin("and", o)
+
+    def __or__(self, o):
+        return self._bin("or", o)
+
+    def __invert__(self):
+        return Not(self)
+
+    def __neg__(self):
+        return Neg(self)
+
+    def eq(self, o):
+        return self._bin("=", o)
+
+    def neq(self, o):
+        return self._bin("!=", o)
+
+    def is_null(self):
+        return IsNull(self)
+
+    def is_not_null(self):
+        return IsNull(self, negated=True)
+
+    def alias(self, name):
+        return Alias(self, name)
+
 
 @dataclasses.dataclass(frozen=True)
 class Col(Expr):

@@ -93,6 +93,28 @@ class DropView:
 
 
 @dataclasses.dataclass
+class CreateExternalTable:
+    """`CREATE EXTERNAL TABLE t [(col type,…)] STORED AS fmt
+    [WITH HEADER ROW] LOCATION 'path'` — the DDL BallistaContext::sql
+    intercepts locally (context.rs:362)."""
+    name: str
+    columns: Optional[Tuple[Tuple[str, object], ...]]
+    fmt: str                 # csv | parquet | json
+    location: str
+    header: bool = False
+
+
+@dataclasses.dataclass
+class ShowTables:
+    pass
+
+
+@dataclasses.dataclass
+class ShowColumns:
+    name: str
+
+
+@dataclasses.dataclass
 class JoinClause:
     table: TableRef
     how: str          # inner | left | right | full
@@ -784,7 +806,72 @@ def parse_statements(sql: str):
     DROP VIEW (the TPC-H Q15 shape)."""
     p = Parser(tokenize(sql))
     out = []
+
+    def accept_id(word: str) -> bool:
+        t = p.peek()
+        if t.kind == "id" and t.value.lower() == word:
+            p.next()
+            return True
+        return False
+
+    def expect_id(word: str):
+        if not accept_id(word):
+            t = p.peek()
+            raise SyntaxError(f"expected {word.upper()}, got {t.value!r}")
+
     while p.peek().kind != "eof":
+        if p.accept("op", ";"):
+            continue
+        if accept_id("show"):
+            if accept_id("tables"):
+                out.append(ShowTables())
+            elif accept_id("columns"):
+                p.expect("kw", "from")
+                out.append(ShowColumns(p._name()))
+            else:
+                raise SyntaxError("expected TABLES or COLUMNS after SHOW")
+            p.accept("op", ";")
+            continue
+        if accept_id("describe"):
+            out.append(ShowColumns(p._name()))
+            p.accept("op", ";")
+            continue
+        if p.peek().kind == "kw" and p.peek().value == "create" and \
+                p.peek(1).kind == "id" and p.peek(1).value.lower() == "external":
+            p.next()  # create
+            p.next()  # external
+            expect_id("table")
+            name = p._name()
+            cols = None
+            if p.accept("op", "("):
+                cols = []
+                while True:
+                    cname = p._name()
+                    cols.append((cname, p.parse_type()))
+                    if not p.accept("op", ","):
+                        break
+                p.expect("op", ")")
+                cols = tuple(cols)
+            expect_id("stored")
+            p.expect("kw", "as")
+            fmt = p._name().lower()
+            header = False
+            while True:
+                t = p.peek()
+                if t.kind == "id" and t.value.lower() == "with":
+                    p.next()
+                    expect_id("header")
+                    p.expect("kw", "row")
+                    header = True
+                elif t.kind == "id" and t.value.lower() == "location":
+                    p.next()
+                    break
+                else:
+                    raise SyntaxError(f"expected LOCATION, got {t.value!r}")
+            loc = p.expect("str").value
+            out.append(CreateExternalTable(name, cols, fmt, loc, header))
+            p.accept("op", ";")
+            continue
         if p.accept("kw", "create"):
             p.expect("kw", "view")
             name = p._name()

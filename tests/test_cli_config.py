@@ -72,3 +72,35 @@ class TestCapacityBucketing:
             BallistaConfig({"ballista.capacity.mode": "fuzzy"})
         cfg = BallistaConfig({"ballista.capacity.mode": "bucket"})
         assert cfg.capacity_mode() == "bucket"
+
+
+def test_create_external_table_and_show(tmp_path):
+    """DDL interception parity (context.rs:362): CREATE EXTERNAL TABLE,
+    SHOW TABLES, SHOW COLUMNS / DESCRIBE run through SessionContext.sql."""
+    from ballista_tpu.client import SessionContext
+
+    csv = tmp_path / "people.csv"
+    csv.write_text("id,name,score\n1,ann,2.5\n2,bob,1.0\n3,cat,9.5\n")
+    raw = tmp_path / "raw.csv"
+    raw.write_text("4,dee\n5,eli\n")
+
+    ctx = SessionContext()
+    ctx.sql(f"CREATE EXTERNAL TABLE people STORED AS CSV WITH HEADER ROW "
+            f"LOCATION '{csv}'; SELECT 1 as ok")
+    df = ctx.sql("select name from people where score > 2 order by id")
+    assert list(df.to_pandas()["name"]) == ["ann", "cat"]
+
+    # schema-supplied, headerless variant
+    ctx.sql(f"CREATE EXTERNAL TABLE raw (id int, name varchar) "
+            f"STORED AS CSV LOCATION '{raw}'; SELECT 1 as ok")
+    assert list(ctx.sql("select id from raw").to_pandas()["id"]) == [4, 5]
+
+    t = ctx.sql("SHOW TABLES").to_pandas()
+    assert set(t["table_name"]) >= {"people", "raw"}
+    assert set(t["table_type"]) == {"BASE TABLE"}
+
+    c = ctx.sql("SHOW COLUMNS FROM people").to_pandas()
+    assert list(c["column_name"]) == ["id", "name", "score"]
+    d = ctx.sql("DESCRIBE raw").to_pandas()
+    assert list(d["column_name"]) == ["id", "name"]
+    assert list(d["data_type"]) == ["int32", "string"]
