@@ -81,14 +81,18 @@ class ApiServer:
             h._send(200, sched.job_status(m.group(1)))
             return
         if path == "/api/executors":
-            # api/handlers.rs get_executors: metadata + heartbeat age
+            # api/handlers.rs get_executors: metadata + heartbeat age +
+            # 1/5/15-min load averages (metrics/load.rs)
             import time as _t
             now = _t.time()
+            for e in sched.executor_manager.executors.values():
+                e.sample_load()
             h._send(200, [
                 {"id": e.meta.executor_id, "host": e.meta.host,
                  "port": e.meta.port, "task_slots": e.meta.task_slots,
                  "free_slots": e.free_slots, "status": e.status.value,
-                 "last_seen_s": round(now - e.last_heartbeat, 1)}
+                 "last_seen_s": round(now - e.last_heartbeat, 1),
+                 "load_avg": [round(x, 3) for x in e.load_avg]}
                 for e in sched.executor_manager.executors.values()])
             return
         m = re.fullmatch(r"/api/job/([a-z0-9]+)/dot(_svg)?", path)
@@ -158,7 +162,26 @@ class ApiServer:
                 "stage_metrics": {
                     sid: m.as_dict()
                     for sid, m in self.cluster.runtime.metrics.items()},
+                "scheduler": sched.metrics.as_dict(),
             })
+            return
+        if path == "/metrics":
+            # Prometheus exposition format (metrics/prometheus.rs endpoint)
+            h._send(200, sched.metrics.prometheus_text(
+                pending_tasks=sched.pending_task_count()),
+                ctype="text/plain; version=0.0.4")
+            return
+        if path.startswith("/api/file_metadata"):
+            # GetFileMetadata RPC analog (grpc.rs:293): parquet/csv schema
+            # inference for clients
+            from urllib.parse import parse_qs, urlparse
+            q = parse_qs(urlparse(path).query)
+            fpath = (q.get("path") or [""])[0]
+            try:
+                from .client.context import file_metadata
+                h._send(200, file_metadata(fpath))
+            except Exception as e:  # noqa: BLE001
+                h._send(400, {"error": f"{type(e).__name__}: {e}"})
             return
         h._send(404, {"error": "not found"})
 
@@ -198,6 +221,7 @@ def _cancel_job(cluster, job_id: str) -> bool:
     if g.state in (JobState.QUEUED, JobState.RUNNING):
         g.state = JobState.CANCELLED
         g.error = "cancelled by user"
+        cluster.scheduler._sweep_terminal_jobs()
     return True
 
 

@@ -7,8 +7,11 @@ REPL with meta commands). Same command surface:
   \\d                list tables     \\d <table>        describe table
   \\timing on|off    toggle timing   \\pset format ...  output format
   \\set key value    session config  \\explain <sql>    show plans
+  \\h                list functions  \\h <pattern>      search functions
+  \\quiet on|off     quiet mode
 
 Run:  python -m ballista_tpu.cli [--sf F] [--parquet DIR] [--distributed]
+      [-f script.sql] [--plugin-dir DIR]
 """
 
 from __future__ import annotations
@@ -28,14 +31,23 @@ class Repl:
         self.mesh = mesh
         self.timing = True
         self.fmt = "table"
+        self.quiet = False
 
     def execute_sql(self, sql: str):
         t0 = time.time()
         # distributed mode is handled inside the context (standalone cluster)
-        df = self.ctx.sql(sql).to_pandas()
+        try:
+            df = self.ctx.sql(sql).to_pandas()
+        except ValueError as e:
+            if "no SELECT statement" in str(e):
+                return  # DDL-only statement (CREATE TABLE/VIEW, DROP, ...)
+            raise
         elapsed = time.time() - t0
-        self.print_df(df)
-        if self.timing:
+        if not self.quiet:
+            self.print_df(df)
+        for w in self.ctx.take_warnings():
+            print(f"WARNING: {w}", file=sys.stderr)
+        if self.timing and not self.quiet:
             print(f"{len(df)} row(s) in {elapsed:.3f}s")
 
     def print_df(self, df):
@@ -72,6 +84,17 @@ class Repl:
         elif cmd == "\\timing":
             self.timing = len(parts) < 2 or parts[1] == "on"
             print(f"timing {'on' if self.timing else 'off'}")
+        elif cmd == "\\quiet":
+            # QuietMode (ballista-cli command.rs:36)
+            self.quiet = len(parts) < 2 or parts[1] == "on"
+            print(f"quiet {'on' if self.quiet else 'off'}")
+        elif cmd == "\\h":
+            # ListFunctions / SearchFunctions (command.rs:36)
+            from .functions import list_functions, search_functions
+            fns = (search_functions(parts[1]) if len(parts) > 1
+                   else list_functions())
+            for f in fns:
+                print(f"  {f.signature:55s} [{f.kind}] {f.description}")
         elif cmd == "\\pset":
             if len(parts) >= 3 and parts[1] == "format":
                 self.fmt = parts[2]
@@ -141,6 +164,13 @@ def main(argv=None):
                     help="execute over the device mesh (all local devices)")
     ap.add_argument("-c", "--command", default=None,
                     help="run one SQL command and exit")
+    ap.add_argument("-f", "--file", default=None,
+                    help="execute a SQL script file and exit "
+                    "(';'-separated statements)")
+    ap.add_argument("--plugin-dir", default=None,
+                    help="load UDF plugin modules from this directory")
+    ap.add_argument("--quiet", action="store_true",
+                    help="suppress result output (timing-only runs)")
     ap.add_argument("--format", default="table",
                     choices=["table", "csv", "json"])
     args = ap.parse_args(argv)
@@ -167,14 +197,27 @@ def main(argv=None):
             ctx.register_csv(name, path)
             print(f"registered {name}", file=sys.stderr)
 
+    if args.plugin_dir:
+        loaded = ctx.load_plugins(args.plugin_dir)
+        print(f"loaded plugins: {', '.join(loaded) or '(none)'}",
+              file=sys.stderr)
+
     mesh = None
     if args.distributed:
         from .parallel.mesh import make_mesh
         mesh = make_mesh()
     repl = Repl(ctx, args.distributed, mesh)
     repl.fmt = args.format
+    repl.quiet = args.quiet
     if args.command:
         repl.execute_sql(args.command)
+        return
+    if args.file:
+        # exec.rs file-execution parity: run each ';'-terminated statement
+        with open(args.file) as fh:
+            script = fh.read()
+        for stmt in [s.strip() for s in script.split(";") if s.strip()]:
+            repl.execute_sql(stmt)
         return
     print("ballista_tpu SQL REPL — \\? for help, \\q to quit")
     repl.run()

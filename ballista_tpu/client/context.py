@@ -79,6 +79,20 @@ class SessionContext:
         self._distributed = distributed
         self._mesh = mesh
         self._cluster = None
+        # planning warnings accumulated per session (WarningCollector,
+        # core/src/warning_collector.rs); surfaced in job status
+        self.warnings: list = []
+        self.config = None  # optional BallistaConfig (set_config)
+
+    def set_config(self, config) -> None:
+        """Apply a BallistaConfig to this session (plugin dir, capacity
+        mode; the session-config kv shipped with jobs in the reference)."""
+        from ..config import BALLISTA_PLUGIN_DIR
+        self.config = config
+        self.capacity_mode = config.capacity_mode()
+        plugin_dir = config.get(BALLISTA_PLUGIN_DIR)
+        if plugin_dir:
+            self.load_plugins(plugin_dir)
 
     def cluster(self):
         """The standalone scheduler+mesh cluster (created lazily)."""
@@ -146,6 +160,27 @@ class SessionContext:
         XLA program, so it must be jittable)."""
         from .. import exprs as E
         E.register_udf(name, fn, out_dtype, propagate_nulls)
+
+    def load_plugins(self, plugin_dir: str):
+        """Load UDF plugin modules from a directory (the dlopen plugin
+        system, core/src/plugin; plugin.py for the module contract)."""
+        from ..plugin import load_plugins
+        return load_plugins(plugin_dir, self)
+
+    def list_functions(self, kind=None):
+        """All SQL functions, built-ins + registered UDFs
+        (ballista-cli ListFunctions, command.rs:36)."""
+        from ..functions import list_functions
+        return list_functions(kind)
+
+    # -- planning warnings (WarningCollector parity,
+    #    core/src/warning_collector.rs) --
+    def warn(self, message: str) -> None:
+        self.warnings.append(message)
+
+    def take_warnings(self):
+        out, self.warnings = self.warnings, []
+        return out
 
     def unique_keys(self, name: str):
         """Unique column sets for join build-side selection (declared PK,
@@ -278,8 +313,38 @@ class SessionContext:
                 return out, exec_plan.schema
             # capacity-with-overflow-retry (expanding-join output or group
             # table too small)
+            self.warn(f"stage output overflowed capacity on attempt "
+                      f"{attempt + 1}; retrying with 4x join/group capacity")
             opts = dc.replace(opts, join_out_factor=opts.join_out_factor * 4,
                               max_group_table=opts.max_group_table * 4)
+
+
+def file_metadata(path: str) -> dict:
+    """Schema + row count of a parquet/csv/json file without a full read
+    (GetFileMetadata RPC parity, scheduler grpc.rs:293 — the reference
+    infers parquet schemas server-side for clients)."""
+    import os
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".parquet":
+        import pyarrow.parquet as pq
+        f = pq.ParquetFile(path)
+        schema = f.schema_arrow
+        meta = {"num_rows": f.metadata.num_rows,
+                "num_row_groups": f.metadata.num_row_groups}
+    elif ext == ".csv":
+        import pyarrow.csv as pacsv
+        t = pacsv.read_csv(path)  # no cheap schema-only CSV read in pyarrow
+        schema, meta = t.schema, {"num_rows": t.num_rows}
+    elif ext in (".json", ".ndjson"):
+        import pyarrow.json as pajson
+        t = pajson.read_json(path)
+        schema, meta = t.schema, {"num_rows": t.num_rows}
+    else:
+        raise ValueError(f"unsupported file type: {path!r}")
+    return {"path": path,
+            "fields": [{"name": f.name, "type": str(f.type),
+                        "nullable": f.nullable} for f in schema],
+            **meta}
 
 
 def _rebind_scans(plan: L.LogicalPlan, ctx: SessionContext) -> L.LogicalPlan:

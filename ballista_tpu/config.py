@@ -22,6 +22,7 @@ BALLISTA_CAPACITY_MODE = "ballista.capacity.mode"
 BALLISTA_BROADCAST_THRESHOLD = "ballista.join.broadcast_threshold"
 BALLISTA_MAX_GROUP_TABLE = "ballista.agg.max_group_table"
 BALLISTA_QUOTA_HEADROOM = "ballista.shuffle.quota_headroom"
+BALLISTA_PLUGIN_DIR = "ballista.plugin.dir"
 
 
 def _parse_bool(s: str) -> bool:
@@ -69,6 +70,9 @@ VALID_ENTRIES = {e.key: e for e in [
                 "Max group hash-table slots", int, str(1 << 21)),
     ConfigEntry(BALLISTA_QUOTA_HEADROOM,
                 "Shuffle per-destination quota headroom factor", float, "2.0"),
+    ConfigEntry(BALLISTA_PLUGIN_DIR,
+                "Directory of UDF plugin modules loaded at session start "
+                "(core/src/plugin plugin_dir parity)", str, ""),
 ]}
 
 

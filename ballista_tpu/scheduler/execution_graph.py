@@ -395,6 +395,8 @@ class ExecutionGraph:
             "job_id": self.job_id,
             "state": self.state.value,
             "error": self.error,
+            # planning warnings (WarningCollector -> JobStatus parity)
+            "warnings": list(getattr(self, "warnings", ())),
             "stages": {
                 sid: {
                     "state": st.state.value,

@@ -56,6 +56,21 @@ class ExecutorState:
     free_slots: int
     status: ExecutorStatus = ExecutorStatus.ACTIVE
     last_heartbeat: float = dataclasses.field(default_factory=time.time)
+    # 1/5/15-min running-task load averages (executor/src/metrics/load.rs
+    # parity: exponentially-decayed samples of the RUNNING_TASKS gauge)
+    load_avg: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    _load_t: float = dataclasses.field(default_factory=time.time)
+
+    def sample_load(self):
+        """Decay the load averages toward the current used-slot count."""
+        import math
+        now = time.time()
+        dt = max(now - self._load_t, 0.0)
+        self._load_t = now
+        used = float(self.meta.task_slots - self.free_slots)
+        self.load_avg = tuple(
+            la * math.exp(-dt / tau) + used * (1 - math.exp(-dt / tau))
+            for la, tau in zip(self.load_avg, (60.0, 300.0, 900.0)))
 
 
 class ExecutorManager:
@@ -72,6 +87,7 @@ class ExecutorManager:
         ex = self.executors.get(executor_id)
         if ex is not None:
             ex.last_heartbeat = time.time()
+            ex.sample_load()
 
     def is_dead(self, executor_id: str) -> bool:
         return executor_id in self._dead
@@ -105,12 +121,14 @@ class ExecutorManager:
             while len(out) < n and any(e.free_slots > 0 for e in pool):
                 e = pool[i % len(pool)]
                 if e.free_slots > 0:
+                    e.sample_load()
                     e.free_slots -= 1
                     out.append(e.meta.executor_id)
                 i += 1
         else:
             for e in pool:
                 while e.free_slots > 0 and len(out) < n:
+                    e.sample_load()
                     e.free_slots -= 1
                     out.append(e.meta.executor_id)
         return out
@@ -119,6 +137,7 @@ class ExecutorManager:
         for eid in executor_ids:
             e = self.executors.get(eid)
             if e is not None:
+                e.sample_load()
                 e.free_slots = min(e.free_slots + 1, e.meta.task_slots)
 
 
@@ -235,7 +254,8 @@ class SchedulerServer:
 
     def __init__(self, launcher: TaskLauncher,
                  executor_timeout_s: float = DEFAULT_EXECUTOR_TIMEOUT_S,
-                 job_store=None):
+                 job_store=None, metrics_collector=None):
+        from .metrics import InMemoryMetricsCollector
         self.executor_manager = ExecutorManager(executor_timeout_s)
         self.task_manager = TaskManager(launcher)
         self.events: collections.deque = collections.deque()
@@ -245,6 +265,9 @@ class SchedulerServer:
         # submit and on progress, enabling scheduler-restart takeover
         self.job_store = job_store
         self.circuit_breaker = CircuitBreakerController()
+        # job-lifecycle + event-processing metrics (metrics/prometheus.rs)
+        self.metrics = metrics_collector or InMemoryMetricsCollector()
+        self._job_times: Dict[str, dict] = {}  # job_id -> queued/terminal ts
 
     # -- public API (SchedulerGrpc analog) --
     def register_executor(self, meta: ExecutorMetadata):
@@ -252,6 +275,10 @@ class SchedulerServer:
         self.events.append((SchedulerEvent.TICK, None))
 
     def submit_job(self, graph: ExecutionGraph) -> str:
+        now = time.time()
+        queued_at = getattr(graph, "queued_at", now)
+        self._job_times[graph.job_id] = {"queued": queued_at}
+        self.metrics.record_submitted(graph.job_id, queued_at, now)
         self.task_manager.submit(graph)
         self.job_events.setdefault(graph.job_id, [])
         if self.job_store is not None:
@@ -327,8 +354,31 @@ class SchedulerServer:
         n = 0
         while self.events and n < max_events:
             kind, payload = self.events.popleft()
+            t0 = time.time()
             self._process(kind, payload)
+            self.metrics.record_event(kind.value, time.time() - t0)
             n += 1
+        self._sweep_terminal_jobs()
+
+    def _sweep_terminal_jobs(self):
+        """Record queued->terminal latency once per job reaching a terminal
+        state (PrometheusMetricsCollector job histograms)."""
+        now = time.time()
+        for jid, times in self._job_times.items():
+            if "terminal" in times:
+                continue
+            g = self.task_manager.jobs.get(jid)
+            if g is None:
+                continue
+            if g.state is JobState.SUCCESSFUL:
+                times["terminal"] = now
+                self.metrics.record_completed(jid, times["queued"], now)
+            elif g.state is JobState.FAILED:
+                times["terminal"] = now
+                self.metrics.record_failed(jid)
+            elif g.state is JobState.CANCELLED:
+                times["terminal"] = now
+                self.metrics.record_cancelled(jid)
 
     def _process(self, kind: SchedulerEvent, payload):
         if kind is SchedulerEvent.TASK_UPDATING:

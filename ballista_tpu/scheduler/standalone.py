@@ -191,6 +191,9 @@ class StandaloneCluster:
             spiller=self.spiller)
         graph = ExecutionGraph.from_distributed_plan(
             job_id, dplan, self.runtime.opts.n_partitions)
+        # planning warnings ride the job status (WarningCollector parity:
+        # the reference propagates session warnings into JobStatus)
+        graph.warnings = self.ctx.take_warnings()
         self.scheduler.submit_job(graph)
         return job_id
 
