@@ -217,7 +217,7 @@ def from_arrow(table, capacity: int | None = None,
             values = np.where(validity, values, 0)
         else:
             if arr.null_count:
-                arr = arr.fill_null(0)
+                arr = arr.fill_null(False if pa.types.is_boolean(arr.type) else 0)
             values = np.asarray(arr).astype(_np_dtype_for(f.dtype))
         cols.append(make_column(values, validity, f.dtype, cap))
     schema = Schema(schema.fields, dicts)

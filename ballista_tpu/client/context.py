@@ -130,11 +130,12 @@ class SessionContext:
         self.register_arrow(name, pajson.read_json(path), primary_key)
 
     def register_avro(self, name: str, path: str, primary_key=None) -> None:
-        """Avro registration (BallistaContext::read_avro parity) — gated on
-        an Avro reader being installed; pyarrow has none built in."""
-        raise NotImplementedError(
-            "Avro ingest requires an avro reader (fastavro/avro) which is "
-            "not available in this environment; convert to parquet/csv")
+        """Avro registration (BallistaContext::read_avro parity). pyarrow
+        has no Avro reader; avro.py implements the container format
+        (null/deflate codecs, nullable unions, date/timestamp/decimal
+        logical types)."""
+        from ..avro import read_avro
+        self.register_arrow(name, read_avro(path), primary_key)
 
     # read_* variants return a DataFrame over an anonymous registration
     # (BallistaContext::read_csv/parquet/json, context.rs:143+)
@@ -151,6 +152,11 @@ class SessionContext:
     def read_json(self, path: str) -> DataFrame:
         name = f"__read_{len(self.tables)}"
         self.register_json(name, path)
+        return self.table(name)
+
+    def read_avro(self, path: str) -> DataFrame:
+        name = f"__read_{len(self.tables)}"
+        self.register_avro(name, path)
         return self.table(name)
 
     def register_udf(self, name: str, fn, out_dtype,

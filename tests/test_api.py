@@ -134,8 +134,8 @@ def test_read_json_and_csv(tmp_path):
     assert list(df2.to_pandas()["b"]) == ["x", "y"]
 
 
-def test_register_avro_gated():
+def test_register_avro_missing_file():
     import pytest
     from ballista_tpu.client import SessionContext
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(FileNotFoundError):
         SessionContext().register_avro("x", "nope.avro")
