@@ -98,6 +98,11 @@ def create_physical_plan(plan: L.LogicalPlan,
                          options: Optional[PhysicalOptions] = None) -> ExecNode:
     """capacities: table_name -> row capacity of its (single) partition."""
     opts = options or PhysicalOptions()
+    # column pruning is load-bearing on TPU: every surplus column through a
+    # join costs two ~90ms/6M-row gathers at materialization plus sort
+    # payload slots in every compaction (idempotent if the caller pruned)
+    from .optimizer import prune_columns
+    plan = prune_columns(plan)
 
     def lower(p: L.LogicalPlan) -> ExecNode:
         if isinstance(p, L.OneRow):
