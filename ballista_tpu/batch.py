@@ -19,7 +19,7 @@ enter the traced program.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -58,8 +58,19 @@ class Column(NamedTuple):
 
 
 class Batch(NamedTuple):
+    """Fixed-capacity SoA batch.
+
+    Dense form (live=None): rows 0..num_rows-1 are the live rows.
+    Sparse form (live set): live rows are scattered — `live` marks them and
+    num_rows == live.sum(). Sparse batches exist only between a producer
+    that elides its output compaction (inner/semi/anti join, filter) and a
+    statically-declared mask-aware consumer (aggregate, sort, join input,
+    filter); the planner (exec/plan.py _plan_sparse_flow) guarantees no
+    other operator ever sees one.
+    """
     columns: Tuple[Column, ...]
     num_rows: jax.Array  # () int32
+    live: Optional[jax.Array] = None  # (capacity,) bool, or None if dense
 
     @property
     def capacity(self) -> int:
@@ -69,11 +80,13 @@ class Batch(NamedTuple):
         return self.columns[i]
 
     def replace_columns(self, columns) -> "Batch":
-        return Batch(tuple(columns), self.num_rows)
+        return Batch(tuple(columns), self.num_rows, self.live)
 
 
 def row_mask(batch: Batch) -> jax.Array:
     """Boolean (capacity,) mask of live rows."""
+    if batch.live is not None:
+        return batch.live
     cap = batch.capacity
     idx = jnp.arange(cap, dtype=jnp.int32)
     return idx < batch.num_rows

@@ -107,11 +107,19 @@ class FilterExec(ExecNode):
         self.schema = child.schema
         self.capacity = child.capacity
         self._bound = bind_expr(predicate, child.schema)
+        # set by plan_sparse_flow when the consumer is mask-aware: emit the
+        # keep-mask as Batch.live instead of paying the compaction sort
+        self.emit_sparse = False
 
     def evaluate(self, inputs):
         from .distributed import _TraceCtx
         b = self.children[0].evaluate(inputs)
-        out = filter_batch(b, self._bound.fn(b))
+        if self.emit_sparse:
+            c = self._bound.fn(b)
+            keep = c.data.astype(jnp.bool_) & c.validity & row_mask(b)
+            out = Batch(b.columns, jnp.sum(keep).astype(jnp.int32), keep)
+        else:
+            out = filter_batch(b, self._bound.fn(b))
         _TraceCtx.record_rows(self._label(), out.num_rows)
         return out
 
@@ -148,7 +156,7 @@ class ProjectExec(ExecNode):
         for bound in self._bounds:
             c = bound.fn(b)
             cols.append(Column(c.data, c.validity & live))
-        return Batch(tuple(cols), b.num_rows)
+        return Batch(tuple(cols), b.num_rows, b.live)
 
     def _label(self):
         return f"ProjectExec({', '.join(map(str, self.exprs))})"
@@ -376,9 +384,12 @@ class HashJoinExec(ExecNode):
                            if build_pre_filter is not None else None)
         self._probe_pre = (bind_expr(probe_pre_filter, probe.schema)
                            if probe_pre_filter is not None else None)
+        self._pre_exprs = (str(build_pre_filter), str(probe_pre_filter))
         # semi/anti only test existence: the unique-key probe handles
         # duplicate build keys correctly (first-installer slot wins)
         self.unique_build = unique_build or join_type in ("semi", "anti")
+        # set by plan_sparse_flow: emit live-mask output, skip compaction
+        self.emit_sparse = False
         if table_size is None:
             table_size = min(_next_pow2(max(2 * build.capacity, 16)), 1 << 22)
         self.table_size = table_size
@@ -443,22 +454,25 @@ class HashJoinExec(ExecNode):
         matched = match >= 0
 
         from ..ops.vsort import compact_batch
-        if self.join_type == "semi":
-            return compact_batch(probe_b, matched & plive)
-        if self.join_type == "anti":
-            return compact_batch(probe_b, ~matched & plive)
+        if self.join_type in ("semi", "anti"):
+            keep = (matched if self.join_type == "semi" else ~matched) & plive
+            if self.emit_sparse:
+                return Batch(probe_b.columns,
+                             jnp.sum(keep).astype(jnp.int32), keep)
+            return compact_batch(probe_b, keep)
 
         safe = jnp.clip(match, 0, build_b.capacity - 1)
-        build_cols = []
-        for c in build_b.columns:
-            data = jnp.take(c.data, safe, mode="clip")
-            valid = jnp.take(c.validity, safe, mode="clip") & matched
-            build_cols.append(Column(data, valid))
+        from ..ops.gather import gather_columns
+        build_cols = gather_columns(build_b.columns, safe, valid_and=matched)
         from .distributed import _TraceCtx
         all_cols = tuple(build_cols) + probe_b.columns
-        joined = Batch(all_cols, probe_b.num_rows)
+        joined = Batch(all_cols, probe_b.num_rows, probe_b.live)
         if self.join_type == "inner":
-            out = compact_batch(joined, matched & plive)
+            keep = matched & plive
+            if self.emit_sparse:
+                out = Batch(all_cols, jnp.sum(keep).astype(jnp.int32), keep)
+            else:
+                out = compact_batch(joined, keep)
             _TraceCtx.record_rows(self._label(), out.num_rows)
             return out
         if self.join_type == "left_outer":
@@ -505,13 +519,9 @@ class HashJoinExec(ExecNode):
         matched = em.build_row >= 0
         bsafe = jnp.clip(em.build_row, 0, build_b.capacity - 1)
         psafe = jnp.clip(em.probe_row, 0, probe_b.capacity - 1)
-        cols = []
-        for c in build_b.columns:
-            cols.append(Column(jnp.take(c.data, bsafe, mode="clip"),
-                               jnp.take(c.validity, bsafe, mode="clip") & matched))
-        for c in probe_b.columns:
-            cols.append(Column(jnp.take(c.data, psafe, mode="clip"),
-                               jnp.take(c.validity, psafe, mode="clip") & em.valid))
+        from ..ops.gather import gather_columns
+        cols = (gather_columns(build_b.columns, bsafe, valid_and=matched)
+                + gather_columns(probe_b.columns, psafe, valid_and=em.valid))
         out = Batch(tuple(cols), em.total)
         if self.join_type == "full_outer":
             out = self._append_unmatched_build(
@@ -557,13 +567,9 @@ class CrossJoinExec(ExecNode):
         bi = j // np_cap
         pi = j % np_cap
         valid = (bi < build_b.num_rows) & (pi < probe_b.num_rows)
-        cols = []
-        for c in build_b.columns:
-            cols.append(Column(jnp.take(c.data, bi),
-                               jnp.take(c.validity, bi) & valid))
-        for c in probe_b.columns:
-            cols.append(Column(jnp.take(c.data, pi),
-                               jnp.take(c.validity, pi) & valid))
+        from ..ops.gather import gather_columns
+        cols = (gather_columns(build_b.columns, bi, valid_and=valid)
+                + gather_columns(probe_b.columns, pi, valid_and=valid))
         total = (build_b.num_rows * probe_b.num_rows).astype(jnp.int32)
         from ..ops.vsort import sort_batch_columns
         out, _, _ = sort_batch_columns((~valid,), Batch(tuple(cols), total))
@@ -608,7 +614,7 @@ class DictRemapExec(ExecNode):
             c = cols[idx]
             code = jnp.clip(c.data, 0, lut.shape[0] - 1)
             cols[idx] = Column(lut[code], c.validity)
-        return Batch(tuple(cols), b.num_rows)
+        return Batch(tuple(cols), b.num_rows, b.live)
 
     def _label(self):
         return f"DictRemapExec(cols={sorted(self._luts)})"
@@ -630,7 +636,7 @@ class SortExec(ExecNode):
         # materialize key columns alongside, sort, drop keys
         ncols = len(b.columns)
         key_cols = tuple(kb.fn(b) for kb, _, _ in self._key_bounds)
-        tmp = Batch(b.columns + key_cols, b.num_rows)
+        tmp = Batch(b.columns + key_cols, b.num_rows, b.live)
         specs = [SortKeySpec(ncols + i, asc, nf)
                  for i, (_, asc, nf) in enumerate(self._key_bounds)]
         out = sort_batch(tmp, specs)
@@ -672,28 +678,35 @@ class CoalesceExec(ExecNode):
 
 
 def concat_batches(batches: List[Batch], capacity: int) -> Batch:
-    """Concatenate live rows of several batches into one fixed-cap batch."""
+    """Concatenate live rows of several batches into one fixed-cap batch.
+
+    Scatter-free: static array concat, then ONE stable compaction sort
+    (dead rows sink, inter-batch order preserved). Scatter-adds cost
+    450-880 ms/col at 6M rows on v5e vs ~11 ms/col as sort payloads."""
     ncols = len(batches[0].columns)
     total = jnp.int32(0)
-    offsets = []
+    keeps = []
     for b in batches:
-        offsets.append(total)
+        keeps.append(row_mask(b))
         total = total + b.num_rows
+    keep = jnp.concatenate(keeps)
     cols = []
     for ci in range(ncols):
-        dtype = batches[0].columns[ci].data.dtype
-        data = jnp.zeros(capacity, dtype=dtype)
-        valid = jnp.zeros(capacity, dtype=jnp.bool_)
-        for b, off in zip(batches, offsets):
-            c = b.columns[ci]
-            n = b.capacity
-            idx = jnp.arange(n, dtype=jnp.int32)
-            live = idx < b.num_rows
-            dest = jnp.where(live, idx + off, capacity)  # dead rows -> dropped
-            data = data.at[dest].set(c.data, mode="drop")
-            valid = valid.at[dest].set(c.validity & live, mode="drop")
-        cols.append(Column(data, valid))
-    return Batch(tuple(cols), total)
+        data = jnp.concatenate([b.columns[ci].data for b in batches])
+        valid = jnp.concatenate([b.columns[ci].validity for b in batches])
+        cols.append(Column(data, valid & keep))
+    from ..ops.vsort import compact_batch
+    big = compact_batch(Batch(tuple(cols), total), keep)
+    if big.capacity == capacity:
+        return big
+    out_cols = tuple(
+        Column(jnp.resize(c.data, (capacity,))
+               if big.capacity < capacity else c.data[:capacity],
+               (jnp.resize(c.validity, (capacity,))
+                if big.capacity < capacity else c.validity[:capacity])
+               & (jnp.arange(capacity, dtype=jnp.int32) < total))
+        for c in big.columns)
+    return Batch(out_cols, jnp.minimum(total, jnp.int32(capacity)))
 
 
 def compile_stage(root: ExecNode, donate: bool = False,
@@ -720,3 +733,35 @@ def compile_stage(root: ExecNode, donate: bool = False,
         return out, overflow
 
     return run, input_ids
+
+
+def plan_sparse_flow(root: ExecNode) -> ExecNode:
+    """Static sparse-batch routing: a filter or inner/semi/anti merge join
+    whose consumer is mask-aware skips its output compaction sort and
+    emits the keep-mask as Batch.live instead (~11 ms/column at 6M rows
+    saved per elided compaction). Consumers that read liveness through
+    row_mask() and emit dense output: aggregate, sort, filter, join
+    inputs; project/dict-remap are positional and just propagate the mask.
+    Everything else (limit, coalesce, cross join, window, exchange)
+    requires dense input, so its children keep compacting."""
+    consumers = (HashAggregateExec, SortExec, FilterExec, HashJoinExec)
+    transparent = (ProjectExec, DictRemapExec)
+
+    def walk(node: ExecNode, parent_accepts: bool) -> None:
+        if parent_accepts:
+            if isinstance(node, FilterExec):
+                node.emit_sparse = True
+            elif (isinstance(node, HashJoinExec) and node.unique_build
+                  and node.join_type in ("inner", "semi", "anti")):
+                node.emit_sparse = True
+        if isinstance(node, consumers):
+            child_accepts = True
+        elif isinstance(node, transparent):
+            child_accepts = parent_accepts
+        else:
+            child_accepts = False
+        for c in node.children:
+            walk(c, child_accepts)
+
+    walk(root, False)
+    return root

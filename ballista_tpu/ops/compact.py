@@ -23,14 +23,11 @@ def compaction_perm(keep: jax.Array):
 
 def gather_batch(batch: Batch, perm: jax.Array, num_rows: jax.Array,
                  valid: jax.Array | None = None) -> Batch:
-    """Reorder all columns by perm; optionally AND validity with `valid[perm]`."""
-    cols = []
-    for c in batch.columns:
-        data = jnp.take(c.data, perm, mode="clip")
-        v = jnp.take(c.validity, perm, mode="clip")
-        if valid is not None:
-            v = v & jnp.take(valid, perm, mode="clip")
-        cols.append(Column(data, v))
+    """Reorder all columns by perm; optionally AND validity with `valid[perm]`.
+    One packed 2D row-gather per byte-width class (ops/gather.py)."""
+    from .gather import gather_columns
+    vperm = None if valid is None else jnp.take(valid, perm, mode="clip")
+    cols = gather_columns(batch.columns, perm, valid_and=vperm)
     return Batch(tuple(cols), num_rows.astype(jnp.int32))
 
 

@@ -173,4 +173,6 @@ def create_physical_plan(plan: L.LogicalPlan,
             return CoalesceExec(align_union_inputs([lower(c) for c in p.inputs]))
         raise NotImplementedError(type(p).__name__)
 
-    return lower(plan)
+    from ..exec.cse import cse_tree
+    from ..exec.plan import plan_sparse_flow
+    return cse_tree(plan_sparse_flow(lower(plan)))

@@ -88,6 +88,11 @@ class DistributedPlanner:
 
     # -- stage cutting --
     def _close_stage(self, root: ExecNode) -> int:
+        from ..exec.cse import cse_tree
+        from ..exec.plan import plan_sparse_flow
+        plan_sparse_flow(root)  # intra-stage compaction elision; the stage
+        # root itself stays dense (walk starts parent_accepts=False)
+        root = cse_tree(root)
         sid = self._next_stage
         self._next_stage += 1
         sources = {}
