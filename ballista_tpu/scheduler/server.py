@@ -254,8 +254,13 @@ class SchedulerServer:
 
     def __init__(self, launcher: TaskLauncher,
                  executor_timeout_s: float = DEFAULT_EXECUTOR_TIMEOUT_S,
-                 job_store=None, metrics_collector=None):
+                 job_store=None, metrics_collector=None,
+                 policy: str = "push"):
         from .metrics import InMemoryMetricsCollector
+        if policy not in ("push", "pull"):
+            raise ValueError(f"unknown scheduling policy {policy!r}")
+        # TaskSchedulingPolicy{PushStaged,PullStaged} (core/src/config.rs:298)
+        self.policy = policy
         self.executor_manager = ExecutorManager(executor_timeout_s)
         self.task_manager = TaskManager(launcher)
         self.events: collections.deque = collections.deque()
@@ -317,6 +322,35 @@ class SchedulerServer:
             [s.executor_id for s in statuses])
         self.events.append((SchedulerEvent.TASK_UPDATING, None))
         self.events.append((SchedulerEvent.TICK, None))
+
+    def poll_work(self, executor_id: str, num_free_slots: int,
+                  statuses: Optional[List[TaskStatus]] = None
+                  ) -> List[TaskDescription]:
+        """Pull-staged scheduling RPC (SchedulerGrpc::poll_work,
+        grpc.rs:82): the executor reports finished task statuses and its
+        free slot count; the scheduler applies the statuses, then claims up
+        to that many tasks for this executor from the round-robin job queue.
+        Unknown/dead executors get nothing (the reference drops their
+        statuses the same way, scheduler_server/mod.rs:228)."""
+        em = self.executor_manager
+        ex = em.executors.get(executor_id)
+        if ex is None or em.is_dead(executor_id):
+            return []
+        em.heartbeat(executor_id)
+        if statuses:
+            self._pending_statuses.extend(statuses)
+            self.events.append((SchedulerEvent.TASK_UPDATING, None))
+        self.run_until_idle()
+        # the executor's report is the truth for its free slots (grpc.rs
+        # poll_work fills reservations from num_free_slots, not server state)
+        ex.free_slots = min(int(num_free_slots), ex.meta.task_slots)
+        if ex.free_slots <= 0:
+            return []
+        tasks, _unfilled = self.task_manager.fill_reservations(
+            [executor_id] * ex.free_slots)
+        ex.free_slots -= len(tasks)
+        ex.sample_load()
+        return tasks
 
     def send_circuit_breaker_update(self, updates) -> List[tuple]:
         """SendCircuitBreakerUpdate RPC analog (grpc.rs:559): feed the
@@ -399,6 +433,8 @@ class SchedulerServer:
             for g in self.task_manager.jobs.values():
                 g.reset_stages_on_lost_executor(payload)
         elif kind is SchedulerEvent.TICK:
+            if self.policy == "pull":
+                return  # pull mode: executors claim tasks via poll_work
             pending = sum(g.available_tasks()
                           for g in self.task_manager.jobs.values()
                           if g.state is JobState.RUNNING)
@@ -419,6 +455,9 @@ class SchedulerServer:
         if statuses:
             self.update_task_status(statuses[0].executor_id, statuses)
 
+    def has_pending_work(self) -> bool:
+        return bool(self.events) or self.pending_task_count() > 0
+
     # -- KEDA autoscaler metric (scheduler_server/external_scaler.rs) --
     def pending_task_count(self) -> int:
         return sum(g.available_tasks() for g in self.task_manager.jobs.values()
@@ -427,3 +466,48 @@ class SchedulerServer:
     def is_active(self) -> bool:
         return any(g.state in (JobState.RUNNING, JobState.QUEUED)
                    for g in self.task_manager.jobs.values())
+
+
+class PollLoopExecutor:
+    """Pull-mode executor loop (executor/src/execution_loop.rs:56): each
+    poll delivers the statuses of tasks finished since the last poll and
+    claims up to free-slot-count new tasks, which run through the same
+    TaskLauncher data plane as push mode. Slot permits are held for the
+    task's duration (run_received_task:192); statuses queue for the next
+    poll (the reference's std mpsc channel)."""
+
+    def __init__(self, scheduler: SchedulerServer, launcher: TaskLauncher,
+                 meta: ExecutorMetadata):
+        self.scheduler = scheduler
+        self.launcher = launcher
+        self.meta = meta
+        scheduler.register_executor(meta)
+        self._finished: List[TaskStatus] = []
+        self._running = 0
+
+    def _report(self, statuses: List[TaskStatus]):
+        self._finished.extend(statuses)
+        self._running -= len(statuses)
+
+    def poll_once(self) -> int:
+        """One PollWork round-trip; returns tasks claimed + statuses sent."""
+        free = self.meta.task_slots - self._running
+        statuses, self._finished = self._finished, []
+        tasks = self.scheduler.poll_work(
+            self.meta.executor_id, free, statuses)
+        self._running += len(tasks)
+        if tasks:
+            self.launcher.launch(tasks, self._report)
+        return len(tasks) + len(statuses)
+
+    def run_until_drained(self, max_polls: int = 100_000):
+        """Poll until two consecutive empty polls with no scheduler work
+        (the reference loop sleeps 100ms when idle; tests step instead)."""
+        idle = 0
+        for _ in range(max_polls):
+            if self.poll_once() == 0:
+                idle += 1
+                if idle >= 2 and not self.scheduler.has_pending_work():
+                    return
+            else:
+                idle = 0

@@ -160,14 +160,24 @@ class StandaloneCluster:
     """In-process scheduler + mesh executor (BallistaContext::standalone)."""
 
     def __init__(self, ctx, mesh=None, options: Optional[DistOptions] = None,
-                 task_slots: int = 4, work_dir: Optional[str] = None):
+                 task_slots: int = 4, work_dir: Optional[str] = None,
+                 policy: str = "push"):
+        from .server import PollLoopExecutor
+
         self.ctx = ctx
         self.runtime = DistributedRuntime(ctx, mesh, options)
         self.launcher = MeshTaskLauncher(self.runtime)
-        self.scheduler = SchedulerServer(self.launcher)
+        self.scheduler = SchedulerServer(self.launcher, policy=policy)
         self.launcher.scheduler = self.scheduler
-        self.scheduler.register_executor(
-            ExecutorMetadata("mesh-executor-0", task_slots=task_slots))
+        meta = ExecutorMetadata("mesh-executor-0", task_slots=task_slots)
+        self.poll_executor = None
+        if policy == "pull":
+            # pull-staged: the executor claims work via PollWork instead of
+            # the scheduler pushing LaunchTask (execution_loop.rs:56)
+            self.poll_executor = PollLoopExecutor(
+                self.scheduler, self.launcher, meta)
+        else:
+            self.scheduler.register_executor(meta)
         self.spiller = None
         if work_dir is not None:
             from .spill import StageSpiller
@@ -201,6 +211,8 @@ class StandaloneCluster:
         """Pump the scheduler until the job reaches a terminal state, then
         return (Batch, Schema) (DistributedQueryExec's poll loop analog —
         no polling needed single-controller)."""
+        if self.poll_executor is not None:
+            self.poll_executor.run_until_drained()
         self.scheduler.run_until_idle()
         g = self.scheduler.task_manager.jobs[job_id]
         if g.state is not JobState.SUCCESSFUL:

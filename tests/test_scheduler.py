@@ -239,6 +239,105 @@ class TestSchedulerServer:
         assert s.pending_task_count() == 0
 
 
+class TestPullScheduling:
+    """Pull-staged mode (PollWork, grpc.rs:82 + execution_loop.rs:56): the
+    scheduler never pushes; executors claim work by polling."""
+
+    def test_poll_loop_completes_job(self):
+        from ballista_tpu.scheduler.server import PollLoopExecutor
+        launcher = VirtualLauncher()
+        s = SchedulerServer(launcher, policy="pull")
+        ex = PollLoopExecutor(s, launcher, ExecutorMetadata("e1", task_slots=2))
+        g = diamond_graph()
+        s.submit_job(g)
+        # pull mode: submit alone launches nothing
+        s.run_until_idle()
+        assert not launcher.launched
+        ex.run_until_drained()
+        assert g.state is JobState.SUCCESSFUL
+
+    def test_poll_claims_at_most_free_slots(self):
+        launcher = VirtualLauncher()
+        s = SchedulerServer(launcher, policy="pull")
+        s.register_executor(ExecutorMetadata("e1", task_slots=4))
+        g = diamond_graph(parts=8)
+        s.submit_job(g)
+        # two runnable stages (0, 1) -> two multi-partition task groups;
+        # a 1-slot poll claims only one of them
+        tasks = s.poll_work("e1", 1)
+        assert len(tasks) == 1
+        assert s.poll_work("e1", 0) == []
+        tasks2 = s.poll_work("e1", 3)
+        assert len(tasks2) == 1  # the other runnable stage
+
+    def test_poll_from_unknown_or_dead_executor(self):
+        launcher = VirtualLauncher()
+        s = SchedulerServer(launcher, policy="pull")
+        s.submit_job(diamond_graph())
+        assert s.poll_work("ghost", 4) == []
+        s.register_executor(ExecutorMetadata("e1", task_slots=4))
+        s.executor_lost("e1")
+        assert s.poll_work("e1", 4) == []
+
+    def test_poll_statuses_drive_stage_resolution(self):
+        launcher = VirtualLauncher()
+        s = SchedulerServer(launcher, policy="pull")
+        s.register_executor(ExecutorMetadata("e1", task_slots=16))
+        g = diamond_graph()
+        s.submit_job(g)
+        tasks = s.poll_work("e1", 16)
+        assert {t.stage_id for t in tasks} == {0, 1}
+        # completing stages 0+1 via the next poll resolves stage 2
+        done = [ok(t) for t in tasks]
+        tasks2 = s.poll_work("e1", 16, done)
+        assert {t.stage_id for t in tasks2} == {2}
+
+    def test_pull_retry_on_failure(self):
+        from ballista_tpu.scheduler.server import PollLoopExecutor
+        failed_once = []
+
+        def flaky(task):
+            if task.stage_id == 2 and not failed_once:
+                failed_once.append(task)
+                return fail(task)
+            return ok(task)
+
+        launcher = VirtualLauncher(flaky)
+        s = SchedulerServer(launcher, policy="pull")
+        ex = PollLoopExecutor(s, launcher, ExecutorMetadata("e1", task_slots=4))
+        g = diamond_graph()
+        s.submit_job(g)
+        ex.run_until_drained()
+        assert g.state is JobState.SUCCESSFUL
+        assert len(failed_once) == 1
+
+    def test_two_pull_executors_share_work(self):
+        from ballista_tpu.scheduler.server import PollLoopExecutor
+        seen = {}
+
+        class Tracking(VirtualLauncher):
+            def launch(self, tasks, report):
+                for t in tasks:
+                    seen.setdefault(t.executor_id, []).append(t)
+                super().launch(tasks, report)
+
+        launcher = Tracking()
+        s = SchedulerServer(launcher, policy="pull")
+        # 1 slot each: the two initially-runnable stages (0 and 1) must
+        # land on different executors
+        e1 = PollLoopExecutor(s, launcher, ExecutorMetadata("e1", task_slots=1))
+        e2 = PollLoopExecutor(s, launcher, ExecutorMetadata("e2", task_slots=1))
+        g = diamond_graph(parts=8)
+        s.submit_job(g)
+        # interleave polls until drained
+        for _ in range(200):
+            n = e1.poll_once() + e2.poll_once()
+            if n == 0 and not s.has_pending_work():
+                break
+        assert g.state is JobState.SUCCESSFUL
+        assert set(seen) == {"e1", "e2"}
+
+
 class TestCircuitBreaker:
     def test_trip_stage_preempts_remaining_partitions(self):
         """Circuit-breaker trip (execution_graph.rs:1510 parity): a stage

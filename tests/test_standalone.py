@@ -122,3 +122,15 @@ def test_circuit_breaker_trips_on_global_limit(cluster):
     assert len(df) == 5
     jid = [j for j in cl.launcher.jobs][-1]
     assert cl.scheduler.circuit_breaker.is_tripped(jid, "global-limit")
+
+def test_pull_mode_cluster_end_to_end(cluster):
+    """Pull-staged standalone: same query flows via PollWork instead of
+    pushed LaunchTask (execution_loop.rs:56 integration analog)."""
+    cl, pdt = cluster
+    pull = StandaloneCluster(cl.ctx, cl.runtime.mesh,
+                             DistOptions(n_partitions=8), policy="pull")
+    df = pull.sql(TPCH_QUERIES[6])
+    exp = ORACLES[6](pdt)
+    np.testing.assert_allclose(df["revenue"].astype(float),
+                               exp["revenue"].astype(float))
+    assert pull.scheduler.policy == "pull"
