@@ -214,14 +214,9 @@ def _render_svg(dot: str):
 
 
 def _cancel_job(cluster, job_id: str) -> bool:
-    from .scheduler.execution_graph import JobState
-    g = cluster.scheduler.task_manager.jobs.get(job_id)
-    if g is None:
+    if cluster.scheduler.task_manager.jobs.get(job_id) is None:
         return False
-    if g.state in (JobState.QUEUED, JobState.RUNNING):
-        g.state = JobState.CANCELLED
-        g.error = "cancelled by user"
-        cluster.scheduler._sweep_terminal_jobs()
+    cluster.scheduler.cancel_job(job_id)
     return True
 
 

@@ -337,6 +337,14 @@ class SchedulerServer:
         if ex is None or em.is_dead(executor_id):
             return []
         em.heartbeat(executor_id)
+        if ex.status is not ExecutorStatus.ACTIVE:
+            # TERMINATING: keep accepting statuses, hand out no new work
+            # (executor_server.rs launch_task rejects while TERMINATING)
+            if statuses:
+                self._pending_statuses.extend(statuses)
+                self.events.append((SchedulerEvent.TASK_UPDATING, None))
+                self.run_until_idle()
+            return []
         if statuses:
             self._pending_statuses.extend(statuses)
             self.events.append((SchedulerEvent.TASK_UPDATING, None))
@@ -367,6 +375,37 @@ class SchedulerServer:
                     self.job_store.save_job(g)
             self.events.append((SchedulerEvent.TICK, None))
         return trips
+
+    def cancel_job(self, job_id: str) -> bool:
+        """CancelJob RPC (grpc.rs:523): terminal-state a queued/running job.
+        In-flight task statuses for the job are ignored on arrival (the
+        graph drops updates once terminal) and their slots return through
+        the normal status path."""
+        g = self.task_manager.jobs.get(job_id)
+        if g is None or g.state not in (JobState.QUEUED, JobState.RUNNING):
+            return False
+        g.state = JobState.CANCELLED
+        g.error = "cancelled by user"
+        if self.job_store is not None:
+            self.job_store.save_job(g)
+        self.task_manager.prune_finished()
+        self._sweep_terminal_jobs()
+        return True
+
+    def stop_executor(self, executor_id: str):
+        """Graceful-stop half 1 (StopExecutor, executor_server.rs:1157):
+        mark TERMINATING — it stops receiving tasks (alive_executors
+        filters ACTIVE) while in-flight tasks drain; the expiry sweep's
+        timeout is the termination grace period."""
+        ex = self.executor_manager.executors.get(executor_id)
+        if ex is not None:
+            ex.status = ExecutorStatus.TERMINATING
+
+    def executor_stopped(self, executor_id: str):
+        """Graceful-stop half 2 (ExecutorStopped RPC, grpc.rs:496): the
+        executor finished draining — remove it; any stages still holding
+        its outputs roll back via the executor-lost path."""
+        self.executor_lost(executor_id)
 
     def executor_lost(self, executor_id: str):
         self.executor_manager.remove_executor(executor_id)

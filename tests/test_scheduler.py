@@ -239,6 +239,56 @@ class TestSchedulerServer:
         assert s.pending_task_count() == 0
 
 
+class TestLifecycle:
+    """CancelJob + graceful executor termination (grpc.rs:523,496;
+    executor_server.rs:1157)."""
+
+    def test_cancel_running_job(self):
+        class Blackhole(TaskLauncher):  # tasks never complete
+            def launch(self, tasks, report):
+                pass
+
+        s = SchedulerServer(Blackhole())
+        s.register_executor(ExecutorMetadata("e1", task_slots=4))
+        g = diamond_graph()
+        s.submit_job(g)
+        s.run_until_idle()
+        assert g.state is JobState.RUNNING
+        assert s.cancel_job("job1")
+        assert g.state is JobState.CANCELLED
+        # cancelling again / unknown job is a no-op
+        assert not s.cancel_job("job1")
+        assert not s.cancel_job("nope")
+        # late statuses for the cancelled job are ignored, slots return
+        s.update_task_status("e1", [TaskStatus(
+            0, "job1", 0, (0, 1, 2, 3), "e1", "successful")])
+        s.run_until_idle()
+        assert g.state is JobState.CANCELLED
+
+    def test_graceful_stop_drains_then_removes(self):
+        launcher = VirtualLauncher()
+        s = SchedulerServer(launcher)
+        s.register_executor(ExecutorMetadata("e1", task_slots=4))
+        s.stop_executor("e1")
+        from ballista_tpu.scheduler.server import ExecutorStatus
+        assert (s.executor_manager.executors["e1"].status
+                is ExecutorStatus.TERMINATING)
+        # TERMINATING executors receive no new work
+        g = diamond_graph()
+        s.submit_job(g)
+        s.run_until_idle()
+        assert not launcher.launched
+        assert s.poll_work("e1", 4) == []  # pull path refuses it too
+        s.executor_stopped("e1")
+        s.run_until_idle()
+        assert "e1" not in s.executor_manager.executors
+        assert s.executor_manager.is_dead("e1")
+        # a fresh executor picks the job up
+        s.register_executor(ExecutorMetadata("e2", task_slots=4))
+        s.run_until_idle()
+        assert g.state is JobState.SUCCESSFUL
+
+
 class TestPullScheduling:
     """Pull-staged mode (PollWork, grpc.rs:82 + execution_loop.rs:56): the
     scheduler never pushes; executors claim work by polling."""
