@@ -220,32 +220,133 @@ def _cancel_job(cluster, job_id: str) -> bool:
     return True
 
 
-# Minimal dashboard (the reference ships a React UI consuming the same
-# routes, `ui/src`; this is the zero-build equivalent).
+# Zero-build dashboard SPA over the same routes the reference's React UI
+# consumes (`ui/src`: QueriesList, ExecutorsList, stage metrics, dot links).
+# Hash routing: #/ cluster view, #/job/<id> job drill-down. Status colors
+# are reserved semantics and always paired with the state text (never
+# color-alone); the progress bar is a single sequential hue.
 DASHBOARD_HTML = """<!doctype html>
-<html><head><title>ballista_tpu</title><style>
-body{font-family:monospace;margin:2em;background:#111;color:#ddd}
-table{border-collapse:collapse;margin:1em 0}
-td,th{border:1px solid #444;padding:4px 10px;text-align:left}
-h1{color:#7cf} .ok{color:#7f7} .bad{color:#f77} a{color:#7cf}
+<html><head><title>ballista_tpu scheduler</title><meta charset="utf-8"><style>
+:root{--bg:#15181d;--panel:#1d2127;--line:#2c323b;--ink:#e6e9ee;
+ --ink2:#9aa3b0;--accent:#6fb3e0;--good:#69b076;--bad:#d07d7d;
+ --run:#c9a55c;--fill:#3d6f96}
+body{font:14px/1.5 ui-monospace,Menlo,Consolas,monospace;margin:0;
+ background:var(--bg);color:var(--ink)}
+header{padding:14px 24px;border-bottom:1px solid var(--line);
+ display:flex;gap:16px;align-items:baseline}
+header h1{font-size:16px;margin:0;color:var(--accent)}
+header a{color:var(--ink2);text-decoration:none}
+main{padding:18px 24px;max-width:1100px}
+.tiles{display:flex;gap:12px;flex-wrap:wrap;margin-bottom:18px}
+.tile{background:var(--panel);border:1px solid var(--line);border-radius:6px;
+ padding:10px 18px;min-width:120px}
+.tile .v{font-size:24px} .tile .k{color:var(--ink2);font-size:12px}
+table{border-collapse:collapse;width:100%;margin:8px 0 22px}
+th{color:var(--ink2);font-weight:normal;text-align:left}
+td,th{border-bottom:1px solid var(--line);padding:6px 10px}
+tr.row:hover{background:var(--panel);cursor:pointer}
+h2{font-size:13px;color:var(--ink2);text-transform:uppercase;
+ letter-spacing:.08em;margin:18px 0 4px}
+.st{display:inline-flex;align-items:center;gap:6px}
+.st::before{content:'';width:8px;height:8px;border-radius:2px;
+ background:var(--ink2)}
+.st.successful::before{background:var(--good)}
+.st.failed::before,.st.cancelled::before{background:var(--bad)}
+.st.running::before,.st.queued::before{background:var(--run)}
+.bar{background:var(--line);border-radius:4px;height:8px;width:140px;
+ display:inline-block;vertical-align:middle;overflow:hidden}
+.bar i{display:block;height:100%;background:var(--fill);border-radius:4px}
+a{color:var(--accent)} button{background:var(--panel);color:var(--ink);
+ border:1px solid var(--line);border-radius:4px;padding:2px 10px;cursor:pointer}
+pre{background:var(--panel);border:1px solid var(--line);border-radius:6px;
+ padding:12px;overflow:auto}
+#svg svg{max-width:100%;height:auto;background:#fff;border-radius:6px}
 </style></head><body>
-<h1>ballista_tpu scheduler</h1>
-<div id="state"></div><h2>Jobs</h2><div id="jobs"></div>
+<header><h1>ballista_tpu</h1><a href="#/">cluster</a>
+<a href="/api/metrics">metrics</a><a href="/metrics">prometheus</a></header>
+<main id="app"></main>
 <script>
-async function refresh(){
-  const s = await (await fetch('/api/state')).json();
-  document.getElementById('state').innerHTML =
-    '<table><tr><th>executor</th><th>slots</th><th>status</th></tr>' +
-    s.executors.map(e=>`<tr><td>${e.id}</td><td>${e.free_slots}/${e.task_slots}</td><td>${e.status}</td></tr>`).join('') +
-    `</table>active jobs: ${s.active_jobs}`;
-  const jobs = await (await fetch('/api/jobs')).json();
-  document.getElementById('jobs').innerHTML =
-    '<table><tr><th>job</th><th>state</th><th>stages</th><th>dot</th></tr>' +
-    jobs.map(j=>{
-      const cls = j.state==='successful'?'ok':(j.state==='failed'?'bad':'');
-      const stages = Object.entries(j.stages).map(([id,st])=>`${id}:${st.state[0]}(${st.successful}/${st.partitions})`).join(' ');
-      return `<tr><td>${j.job_id}</td><td class="${cls}">${j.state}</td><td>${stages}</td><td><a href="/api/job/${j.job_id}/dot">dot</a></td></tr>`;
-    }).join('') + '</table>';
+const $ = (h) => { document.getElementById('app').innerHTML = h; };
+const esc = (s) => String(s).replace(/[&<>]/g,
+  c => ({'&':'&amp;','<':'&lt;','>':'&gt;'}[c]));
+const st = (s) => `<span class="st ${esc(s)}">${esc(s)}</span>`;
+const j = async (u) => (await fetch(u)).json();
+
+async function cluster(){
+  const [s, ex, jobs, met] = await Promise.all([
+    j('/api/state'), j('/api/executors'), j('/api/jobs'), j('/api/metrics')]);
+  const slots = ex.reduce((a,e)=>a+e.task_slots,0);
+  const free = ex.reduce((a,e)=>a+e.free_slots,0);
+  $(`
+  <div class="tiles">
+   <div class="tile"><div class="v">${ex.length}</div><div class="k">executors</div></div>
+   <div class="tile"><div class="v">${slots-free}/${slots}</div><div class="k">slots in use</div></div>
+   <div class="tile"><div class="v">${s.active_jobs}</div><div class="k">active jobs</div></div>
+   <div class="tile"><div class="v">${met.pending_tasks}</div><div class="k">pending tasks</div></div>
+   <div class="tile"><div class="v">${met.jobs_successful}/${met.jobs_total}</div><div class="k">jobs succeeded</div></div>
+  </div>
+  <h2>Executors</h2>
+  <table><tr><th>id</th><th>host</th><th>slots</th><th>status</th>
+   <th>last seen</th><th>load 1/5/15m</th></tr>
+  ${ex.map(e=>`<tr><td>${esc(e.id)}</td><td>${esc(e.host)}:${e.port}</td>
+   <td>${e.task_slots-e.free_slots}/${e.task_slots}</td><td>${st(e.status)}</td>
+   <td>${e.last_seen_s}s</td><td>${e.load_avg.join(' / ')}</td></tr>`).join('')}
+  </table>
+  <h2>Jobs</h2>
+  <table><tr><th>job</th><th>state</th><th>progress</th><th>stages</th><th></th></tr>
+  ${jobs.map(q=>{
+    const ss = Object.values(q.stages||{});
+    const parts = ss.reduce((a,x)=>a+x.partitions,0);
+    const done = ss.reduce((a,x)=>a+x.successful,0);
+    const pct = parts? Math.round(100*done/parts) : 0;
+    return `<tr class="row" onclick="location.hash='#/job/${q.job_id}'">
+     <td>${esc(q.job_id)}</td><td>${st(q.state)}</td>
+     <td><span class="bar"><i style="width:${pct}%"></i></span> ${pct}%</td>
+     <td>${ss.length}</td>
+     <td>${q.state==='running'||q.state==='queued'
+        ?`<button onclick="event.stopPropagation();cancel('${q.job_id}')">cancel</button>`:''}</td>
+    </tr>`;}).join('')}
+  </table>`);
 }
-refresh(); setInterval(refresh, 2000);
+
+async function job(id){
+  const [detail, stages] = await Promise.all([
+    j('/api/job/'+id), j('/api/job/'+id+'/stages').catch(()=>null)]);
+  if (detail.state === 'not_found') { $(`<p>job ${esc(id)} not found</p>`); return; }
+  let rows = '';
+  for (const sg of (stages && stages.stages) || []){
+    const m = sg.metrics && sg.metrics.operator_rows;
+    rows += `<tr><td>${sg.stage_id}</td><td>${st(sg.state)}</td>
+     <td>${sg.successful}/${sg.partitions}</td>
+     <td>${m?Object.entries(m).map(([k,v])=>`${esc(k)}: ${v}`).join('<br>'):''}</td>
+     <td><a href="/api/job/${esc(id)}/stage/${sg.stage_id}/dot">dot</a></td></tr>`;
+  }
+  $(`
+  <p><a href="#/">&larr; cluster</a></p>
+  <div class="tiles">
+   <div class="tile"><div class="v">${st(detail.state)}</div><div class="k">job ${esc(id)}</div></div>
+  </div>
+  ${detail.error?`<pre>${esc(detail.error)}</pre>`:''}
+  ${(detail.warnings&&detail.warnings.length)?`<pre>warnings:\\n${detail.warnings.map(esc).join('\\n')}</pre>`:''}
+  <h2>Stages</h2>
+  <table><tr><th>stage</th><th>state</th><th>partitions</th>
+   <th>operator rows</th><th>plan</th></tr>${rows}</table>
+  <h2>Stage DAG</h2>
+  <div id="svg"><p class="k"><a href="/api/job/${esc(id)}/dot">dot source</a></p></div>`);
+  try {
+    const r = await fetch('/api/job/'+id+'/dot_svg');
+    if (r.ok) document.getElementById('svg').innerHTML = await r.text();
+  } catch (e) {}
+}
+
+async function cancel(id){
+  await fetch('/api/job/'+id, {method:'PATCH'}); route();
+}
+
+function route(){
+  const m = location.hash.match(/^#\\/job\\/([a-z0-9]+)/);
+  (m ? job(m[1]) : cluster()).catch(e => $(`<pre>${esc(e)}</pre>`));
+}
+window.addEventListener('hashchange', route);
+route(); setInterval(route, 2500);
 </script></body></html>"""
