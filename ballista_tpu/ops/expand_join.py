@@ -15,9 +15,10 @@ Static output capacity with an overflow flag for the retry driver
 (capacity-with-overflow-retry, SURVEY.md §7 hard parts).
 
 Data movement is variadic-sort-first (ops/vsort.py): payloads ride the
-key sort, run-head lookups are packed gathers, per-probe quantities route
-back through a second sort keyed by concat index — random gathers cost
-~90ms/col at 6M rows vs ~11ms/col as sort payloads.
+key sort, run-head/run-end lookups are cummax forward-fills (no gathers —
+merge_join._run_head_fill), per-probe quantities route back through a
+second sort keyed by concat index, and the output-slot epilogue packs
+(cnt, first) into one gather.
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .hash import _norm_keys
-from .merge_join import _cosort, _runs
+from .merge_join import _cosort, _run_head_fill, _runs
 
 
 class ExpandedMatch(NamedTuple):
@@ -74,25 +75,31 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
     is_build = jnp.concatenate([b_ok, jnp.zeros(np_, dtype=jnp.bool_)])
 
     s_keys, s_build, s_cidx = _cosort(comb, is_build, n)
-    pos, first_flag, start_pos = _runs(s_keys, n)
+    pos, first_flag = _runs(s_keys, n)
 
     # builds precede probes within a run: per-position build count =
     # cumsum difference against the run start (the start's own flag added
-    # back); run-head build flag via ONE packed gather
+    # back); run-head build flag + start position via ONE cummax
+    # forward-fill (_run_head_fill — no gather)
     bsf = jnp.cumsum(s_build.astype(jnp.int32))
     packed = (bsf.astype(jnp.int64) << 1) | s_build.astype(jnp.int64)
-    head = jnp.take(packed, start_pos)
+    head, start_pos = _run_head_fill(pos, first_flag, packed, n)
     head_bsf = (head >> 1).astype(jnp.int32)
     head_is_build = (head & 1).astype(jnp.bool_)
     builds_upto = bsf - head_bsf + head_is_build.astype(jnp.int32)
 
     # per-build matched flag: a build row matched iff its run contains >=1
     # probe, i.e. the run's LAST element is a probe (builds precede
-    # probes). run_end via one reverse cummin over last-of-run positions.
+    # probes). Same fill trick run backward: tag run ENDS with their
+    # reversed position, forward cummax over the flipped arrays, low bit.
     last_flag = jnp.concatenate([first_flag[1:], jnp.ones(1, jnp.bool_)])
-    cand = jnp.where(last_flag, pos, n - 1)
-    run_end = jnp.flip(jax.lax.cummin(jnp.flip(cand)))
-    run_has_probe = ~jnp.take(s_build, run_end)
+    tagged_r = jnp.where(
+        jnp.flip(last_flag),
+        (pos.astype(jnp.int64) << 1) | jnp.flip(s_build).astype(jnp.int64),
+        jnp.int64(0))
+    run_end_is_build = jnp.flip(
+        (jax.lax.cummax(tagged_r) & 1).astype(jnp.bool_))
+    run_has_probe = ~run_end_is_build
     build_matched_sorted = (s_build & run_has_probe).astype(jnp.int32)
 
     # per-position run data routes back to original rows with one sort
@@ -118,11 +125,18 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
     j = jnp.arange(out_capacity, dtype=jnp.int32)
     i = rank_in_sorted(csum, out_capacity)
     i = jnp.clip(i, 0, np_ - 1)
+    # (cnt, first+1) share one packed gather (per-column 6M gathers are
+    # ~90ms on v5e; packing halves the epilogue's gather count)
+    fb = (n + 1).bit_length()
+    pk = (cnt.astype(jnp.int64) << fb) | (first + 1).astype(jnp.int64)
+    g = jnp.take(pk, i)
+    cnt_i = (g >> fb).astype(jnp.int32)
+    first_i = (g & ((1 << fb) - 1)).astype(jnp.int32) - 1
     k = j - jnp.take(out_start, i)
-    valid = (j < total) & (k >= 0) & (k < jnp.take(cnt, i))
-    src_pos = jnp.clip(jnp.take(first, i) + k, 0, n - 1)
+    valid = (j < total) & (k >= 0) & (k < cnt_i)
+    src_pos = jnp.clip(first_i + k, 0, n - 1)
     b_row = jnp.take(s_cidx, src_pos)  # build rows carry their own index
-    row_matched = jnp.take(first, i) >= 0
+    row_matched = first_i >= 0
     build_row = jnp.where(valid & row_matched, b_row, -1)
     probe_row = jnp.where(valid, i, -1)
     return ExpandedMatch(probe_row, build_row, valid,

@@ -9,10 +9,9 @@ row propagates to its probe rows.
 
 Data movement is variadic-sort-first (ops/vsort.py): the flag and
 concat-index ride the key sort as payload operands, the run-head lookup is
-ONE packed gather, and results route back to original positions with a
-second sort keyed by concat index — random gathers cost ~90ms/col at 6M
-rows while sort payloads cost ~11ms/col, so the old argsort+take formul-
-ation spent 6-8x more time moving the same bytes.
+a cummax forward-fill (_run_head_fill — a 6M-row gather costs ~115ms on
+v5e, cummax ~20ms), and results route back to original positions with a
+second sort keyed by concat index.
 
 Handles multi-key joins and SQL NULL semantics (null keys never match).
 Requires unique build keys (the planner's fast path; duplicates go
@@ -46,8 +45,24 @@ def _runs(s_keys, n):
         rolled = jnp.concatenate([k[:1], k[:-1]])
         prev_same = prev_same & (k == rolled)
     first = ~prev_same | (pos == 0)
-    start_pos = jax.lax.cummax(jnp.where(first, pos, 0))
-    return pos, first, start_pos
+    return pos, first
+
+
+def _run_head_fill(pos, first, packed, n):
+    """(head, start_pos): forward-fill `packed` from run starts — head[i] =
+    packed[start of i's run]. ONE int64 cummax replaces the old
+    cummax+gather (a 6M-row gather costs ~115ms on v5e, cummax ~20ms): tag
+    each run start with its position in the high bits so later starts
+    dominate under max, then strip the tag. `packed` must be non-negative
+    and < 2^vbits."""
+    vbits = (2 * n + 1).bit_length()
+    tagged = jnp.where(first,
+                       (pos.astype(jnp.int64) << vbits) | packed,
+                       jnp.int64(0))
+    filled = jax.lax.cummax(tagged)
+    head = filled & ((jnp.int64(1) << vbits) - 1)
+    start_pos = (filled >> vbits).astype(jnp.int32)
+    return head, start_pos
 
 
 @jax.jit
@@ -72,11 +87,11 @@ def merge_probe_unique(build_keys: Tuple[jax.Array, ...],
                                 jnp.zeros(np_, dtype=jnp.bool_)])
 
     s_keys, s_build, s_cidx = _cosort(comb, is_build, n)
-    pos, first, start_pos = _runs(s_keys, n)
+    pos, first = _runs(s_keys, n)
 
-    # run-head lookup: ONE packed gather (build flag in the low bit)
+    # run-head lookup: cummax forward-fill (build flag in the low bit)
     packed = (s_cidx.astype(jnp.int64) << 1) | s_build.astype(jnp.int64)
-    head = jnp.take(packed, start_pos)
+    head, _ = _run_head_fill(pos, first, packed, n)
     head_is_build = (head & 1).astype(jnp.bool_)
     matched_sorted = jnp.where(head_is_build,
                                (head >> 1).astype(jnp.int32), -1)
@@ -128,10 +143,10 @@ def merge_full_unique(build_keys: Tuple[jax.Array, ...],
     is_build = jnp.concatenate([b_ok, jnp.zeros(np_, dtype=jnp.bool_)])
 
     s_keys, s_build, s_cidx = _cosort(comb, is_build, n)
-    pos, first, start_pos = _runs(s_keys, n)
+    pos, first = _runs(s_keys, n)
 
     packed = (s_cidx.astype(jnp.int64) << 1) | s_build.astype(jnp.int64)
-    head = jnp.take(packed, start_pos)
+    head, _ = _run_head_fill(pos, first, packed, n)
     head_is_build = (head & 1).astype(jnp.bool_)
     matched_sorted = jnp.where(head_is_build,
                                (head >> 1).astype(jnp.int32), -1)
