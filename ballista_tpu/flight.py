@@ -38,6 +38,31 @@ def _sql_of(command: bytes) -> str:
     return text
 
 
+class _BearerAuthHandler(fl.ServerAuthHandler):
+    """Handshake issues a bearer token for valid BasicAuth credentials
+    (flight_sql.rs:80 handshake/bearer parity)."""
+
+    def __init__(self, user: str, password: str):
+        super().__init__()
+        self._user = user
+        self._password = password
+        self._tokens: set = set()
+
+    def authenticate(self, outgoing, incoming):
+        auth = fl.BasicAuth.deserialize(incoming.read())
+        if (auth.username.decode() != self._user
+                or auth.password.decode() != self._password):
+            raise fl.FlightUnauthenticatedError("bad credentials")
+        token = uuid.uuid4().hex.encode()
+        self._tokens.add(token)
+        outgoing.write(token)
+
+    def is_valid(self, token):
+        if token in self._tokens:
+            return token
+        raise fl.FlightUnauthenticatedError("invalid or missing token")
+
+
 class BallistaFlightServer(fl.FlightServerBase):
     """Flight front door over a SessionContext or StandaloneCluster.
 
@@ -49,13 +74,20 @@ class BallistaFlightServer(fl.FlightServerBase):
     """
 
     def __init__(self, ctx=None, cluster=None,
-                 location: str = "grpc://127.0.0.1:0"):
-        super().__init__(location)
+                 location: str = "grpc://127.0.0.1:0",
+                 auth: Optional[Tuple[str, str]] = None):
+        """`auth=(user, password)`: enable the handshake/bearer-token flow
+        (flight_sql.rs:80 issues bearer tokens the same way); None = open."""
+        handler = _BearerAuthHandler(*auth) if auth is not None else None
+        super().__init__(location, auth_handler=handler)
         if ctx is None and cluster is None:
             raise ValueError("need a SessionContext or StandaloneCluster")
         self.cluster = cluster
         self.ctx = ctx if ctx is not None else cluster.ctx
         self._results: Dict[str, pa.Table] = {}
+        # prepared-statement registry: handle -> SQL (flight_sql.rs
+        # statement lifecycle; created/closed via do_action)
+        self._prepared: Dict[bytes, str] = {}
         self._lock = threading.Lock()
 
     # -- execution --
@@ -162,9 +194,32 @@ class BallistaFlightServer(fl.FlightServerBase):
 
     def list_actions(self, context):
         return [("explain", "logical plan for a SQL string"),
-                ("jobs", "job list (standalone cluster only)")]
+                ("jobs", "job list (standalone cluster only)"),
+                ("CreatePreparedStatement", "FlightSQL prepared statement"),
+                ("ClosePreparedStatement", "FlightSQL prepared statement")]
 
     def do_action(self, context, action):
+        from . import flightsql as fsql
+        if action.type == "CreatePreparedStatement":
+            # body: Any-wrapped ActionCreatePreparedStatementRequest
+            # {1: query}; result: Any-wrapped ...Result {1: handle}
+            raw = action.body.to_pybytes()
+            any_msg = fsql.unpack_any(raw)
+            sql = (fsql.parse_statement_query(any_msg[1])
+                   if any_msg is not None else _sql_of(raw))
+            handle = uuid.uuid4().hex.encode()
+            with self._lock:
+                self._prepared[handle] = sql
+            yield fsql.prepared_statement_result(handle)
+            return
+        if action.type == "ClosePreparedStatement":
+            raw = action.body.to_pybytes()
+            any_msg = fsql.unpack_any(raw)
+            handle = (fsql.parse_prepared_query(any_msg[1])
+                      if any_msg is not None else raw)
+            with self._lock:
+                self._prepared.pop(handle, None)
+            return
         if action.type == "explain":
             sql = _sql_of(action.body.to_pybytes())
             plan = self.ctx.sql(sql).plan

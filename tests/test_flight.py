@@ -119,3 +119,65 @@ def test_flightsql_roundtrip_encoding():
     kind, payload = fsql.unpack_any(t)
     assert kind == "TicketStatementQuery"
     assert fsql.parse_ticket_statement(payload) == b"handle123"
+
+def test_prepared_statement_lifecycle(server):
+    """CreatePreparedStatement -> CommandPreparedStatementQuery ->
+    ClosePreparedStatement (flight_sql.rs statement lifecycle)."""
+    from ballista_tpu import flightsql as fsql
+    srv, endpoint = server
+    client = fl.connect(endpoint)
+    req = fsql.pack_any("ActionCreatePreparedStatementRequest",
+                        fsql._field_bytes(
+                            1, b"select sum(v) as s from t"))
+    res = list(client.do_action(fl.Action("CreatePreparedStatement", req)))
+    any_msg = fsql.unpack_any(res[0].body.to_pybytes())
+    assert any_msg[0] == "ActionCreatePreparedStatementResult"
+    handle = fsql.parse_prepared_query(any_msg[1])
+    # execute by handle
+    cmd = fsql.pack_any("CommandPreparedStatementQuery",
+                        fsql._field_bytes(1, handle))
+    info = client.get_flight_info(fl.FlightDescriptor.for_command(cmd))
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("s").to_pylist() == [6]
+    # close, then the handle is gone
+    close = fsql.pack_any("ActionClosePreparedStatementRequest",
+                          fsql._field_bytes(1, handle))
+    list(client.do_action(fl.Action("ClosePreparedStatement", close)))
+    with pytest.raises(fl.FlightError):
+        client.get_flight_info(fl.FlightDescriptor.for_command(cmd))
+
+
+def test_handshake_bearer_auth():
+    """Handshake issues a bearer token; wrong creds rejected
+    (flight_sql.rs:80 handshake parity)."""
+    ctx = SessionContext()
+    ctx.register_arrow("t", pa.table({"v": pa.array([1, 2], pa.int64())}))
+    srv = BallistaFlightServer(ctx=ctx, auth=("admin", "secret"))
+    endpoint = f"grpc://127.0.0.1:{srv.port}"
+    try:
+        client = fl.connect(endpoint)
+        with pytest.raises(fl.FlightError):
+            client.do_get(fl.Ticket(b"select * from t")).read_all()
+        client.authenticate_basic_token  # API presence
+        class CliAuth(fl.ClientAuthHandler):
+            def __init__(self):
+                super().__init__()
+                self.token = None
+            def authenticate(self, outgoing, incoming):
+                outgoing.write(fl.BasicAuth(b"admin", b"secret").serialize())
+                self.token = incoming.read()
+            def get_token(self):
+                return self.token
+        client.authenticate(CliAuth())
+        t = client.do_get(fl.Ticket(b"select sum(v) as s from t")).read_all()
+        assert t.column("s").to_pylist() == [3]
+        # bad credentials fail the handshake
+        bad = fl.connect(endpoint)
+        class BadAuth(CliAuth):
+            def authenticate(self, outgoing, incoming):
+                outgoing.write(fl.BasicAuth(b"admin", b"wrong").serialize())
+                self.token = incoming.read()
+        with pytest.raises(fl.FlightError):
+            bad.authenticate(BadAuth())
+    finally:
+        srv.shutdown()
