@@ -1,0 +1,88 @@
+"""Server entry point: scheduler + mesh executor + REST/UI + Flight in one
+process (the deployment unit — `scheduler_process.rs:49` serves gRPC + REST
+on one port the same way; here the controller also owns the data plane,
+single-controller SPMD).
+
+  python -m ballista_tpu.serve --port 8080 --flight-port 8815 \
+      [--init init.sql] [--sf-demo 0.01] [--work-dir /data/spill] \
+      [--policy push|pull] [--job-store /data/jobs.db]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080, help="REST/UI port")
+    ap.add_argument("--flight-port", type=int, default=8815,
+                    help="Arrow Flight SQL port (0 disables)")
+    ap.add_argument("--init", default=None,
+                    help="SQL script run at startup (CREATE EXTERNAL TABLE …)")
+    ap.add_argument("--sf-demo", type=float, default=None,
+                    help="register generated TPC-H tables at this scale")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="shuffle partitions (default: device count)")
+    ap.add_argument("--policy", choices=("push", "pull"), default="push")
+    ap.add_argument("--work-dir", default=None, help="stage-spill directory")
+    ap.add_argument("--job-store", default=None,
+                    help="sqlite path for HA job state (recovers on restart)")
+    ap.add_argument("--task-slots", type=int, default=4)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from .api import ApiServer
+    from .client import SessionContext
+    from .scheduler.distributed_planner import DistOptions
+    from .scheduler.standalone import StandaloneCluster
+
+    ctx = SessionContext()
+    if args.sf_demo:
+        from .datagen import register_tpch
+        register_tpch(ctx, args.sf_demo)
+    if args.init:
+        with open(args.init) as f:
+            for stmt in f.read().split(";"):
+                if stmt.strip():
+                    ctx.sql(stmt)
+
+    options = (DistOptions(n_partitions=args.partitions)
+               if args.partitions else None)
+    cluster = StandaloneCluster(ctx, options=options,
+                                task_slots=args.task_slots,
+                                work_dir=args.work_dir, policy=args.policy)
+    if args.job_store:
+        from .scheduler.kv import KeyValueJobStore, SqliteKeyValueStore
+        cluster.scheduler.job_store = KeyValueJobStore(
+            SqliteKeyValueStore(args.job_store))
+        recovered = cluster.scheduler.recover_jobs()
+        if recovered:
+            logging.info("recovered jobs: %s", recovered)
+
+    api = ApiServer(cluster, host=args.host, port=args.port).start()
+    logging.info("REST/UI on http://%s:%d/", args.host, api.port)
+
+    flight = None
+    if args.flight_port:
+        from .flight import BallistaFlightServer
+        flight = BallistaFlightServer(
+            cluster=cluster,
+            location=f"grpc://{args.host}:{args.flight_port}")
+        logging.info("Flight SQL on grpc://%s:%d", args.host, flight.port)
+
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        logging.info("shutting down")
+        api.stop()
+        if flight is not None:
+            flight.shutdown()
+
+
+if __name__ == "__main__":
+    main()
