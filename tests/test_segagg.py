@@ -75,23 +75,36 @@ def test_masked_layout(data):
     check_layout(layout, key_of, data)
 
 
+def presorted_layout(keys, kvalid, live, T):
+    """Sort on the host (as exec/plan.py does on-device via ops/vsort) and
+    build the presorted layout; returns (layout, perm) with perm mapping
+    sorted position -> original row."""
+    norm = np.asarray(_norm_keys((jnp.asarray(keys),), (jnp.asarray(kvalid),))[0])
+    DEAD = np.int64(2**62)
+    skey = np.where(live, norm, DEAD)
+    perm = np.argsort(skey, kind="stable")
+    layout = segagg.layout_from_sorted_keys(
+        [jnp.asarray(skey[perm])], jnp.asarray(live[perm]), T)
+    return layout, perm
+
+
 def test_sorted_layout(data):
     keys, kvalid, x, xvalid, live = data
-    norm = _norm_keys((jnp.asarray(keys),), (jnp.asarray(kvalid),))
-    layout = segagg.sorted_layout_from_keys(norm, jnp.asarray(live), 64)
+    layout, perm = presorted_layout(keys, kvalid, live, 64)
     n_groups = int(layout.n_groups)
-    src = np.asarray(layout.order)[np.asarray(layout.run_start)]
+    src = perm[np.asarray(layout.run_start)]
 
     def key_of(g):
         if g >= n_groups:
             return SKIP
         r = src[g]
         return int(keys[r]) if kvalid[r] else None
-    check_layout(layout, key_of, data)
+    # presorted layout: aggregate inputs must arrive in sorted order too
+    sdata = (keys[perm], kvalid[perm], x[perm], xvalid[perm], live[perm])
+    check_layout(layout, key_of, sdata)
 
 
 def test_sorted_layout_overflow_detection(data):
     keys, kvalid, x, xvalid, live = data
-    norm = _norm_keys((jnp.asarray(keys),), (jnp.asarray(kvalid),))
-    layout = segagg.sorted_layout_from_keys(norm, jnp.asarray(live), 4)
+    layout, _ = presorted_layout(keys, kvalid, live, 4)
     assert int(layout.n_groups) > 4  # caller must treat as overflow
