@@ -858,15 +858,20 @@ def _split_compile(root: ExecNode, with_overflow: bool):
         n.evaluate = _read
     root_ids = _needed_inputs(root, patched)
     root_fn = _jit_piece(root.evaluate)
+    all_pieces = pieces + [("__root", root_fn, root_ids)]
+    state: Dict[str, object] = {"exec": None}
 
     def run(inputs: Dict[str, Batch]):
+        if state["exec"] is None:
+            state["exec"] = _compile_pieces_parallel(all_pieces, inputs)
+        ex = state["exec"]
         vals = dict(inputs)
         flags = []
         for key, fn, ids in pieces:
-            out, ov = fn({i: vals[i] for i in ids})
+            out, ov = ex.get(key, fn)({i: vals[i] for i in ids})
             vals[key] = out
             flags.append(ov)
-        out, ov = root_fn({i: vals[i] for i in root_ids})
+        out, ov = ex.get("__root", root_fn)({i: vals[i] for i in root_ids})
         if not with_overflow:
             return out
         flags.append(ov)
@@ -874,6 +879,40 @@ def _split_compile(root: ExecNode, with_overflow: bool):
 
     root._split_cache = (run, input_ids)
     return root._split_cache
+
+
+def _compile_pieces_parallel(all_pieces, inputs: Dict[str, Batch]) -> Dict:
+    """AOT-compile every piece concurrently before the first dispatch.
+
+    Pieces are independent XLA programs, but a plain first run compiles
+    them one at a time. Here a shape-only `jax.eval_shape` pass
+    propagates each piece's output spec (fixed capacities make specs
+    exact), then all pieces .lower().compile() in a thread pool; the
+    returned {key: compiled} executables are dispatched directly. Set
+    BALLISTA_COMPILE_WORKERS=0/1 to disable (e.g. if the backend's
+    compile service can't take concurrent requests)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    # default conservative on the axon relay backend (its remote compile
+    # helper is a shared single service; concurrency unvalidated there)
+    default = "1" if jax.default_backend() == "axon" else "4"
+    workers = int(os.environ.get("BALLISTA_COMPILE_WORKERS", default))
+    if workers <= 1 or len(all_pieces) < 2:
+        return {}
+    specs = {k: jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), v)
+        for k, v in inputs.items()}
+    lowered = []
+    for key, fn, ids in all_pieces:
+        in_spec = {i: specs[i] for i in ids}
+        out_spec, _ = jax.eval_shape(fn, in_spec)
+        specs[key] = out_spec
+        lowered.append((key, fn, in_spec))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = {key: ex.submit(lambda f=fn, s=in_spec: f.lower(s).compile())
+                for key, fn, in_spec in lowered}
+        return {key: f.result() for key, f in futs.items()}
 
 
 def plan_sparse_flow(root: ExecNode) -> ExecNode:
