@@ -861,17 +861,23 @@ def _split_compile(root: ExecNode, with_overflow: bool):
     all_pieces = pieces + [("__root", root_fn, root_ids)]
     state: Dict[str, object] = {"exec": None}
 
+    labels = {key: type(n).__name__ for (key, _, _), n in zip(pieces, cuts)}
+
     def run(inputs: Dict[str, Batch]):
+        import os
         if state["exec"] is None:
             state["exec"] = _compile_pieces_parallel(all_pieces, inputs)
         ex = state["exec"]
+        timing = os.environ.get("BALLISTA_PIECE_TIMING") == "1"
         vals = dict(inputs)
         flags = []
         for key, fn, ids in pieces:
-            out, ov = ex.get(key, fn)({i: vals[i] for i in ids})
+            out, ov = _timed_piece(ex.get(key, fn), labels[key], key,
+                                   {i: vals[i] for i in ids}, timing)
             vals[key] = out
             flags.append(ov)
-        out, ov = ex.get("__root", root_fn)({i: vals[i] for i in root_ids})
+        out, ov = _timed_piece(ex.get("__root", root_fn), "root", "__root",
+                               {i: vals[i] for i in root_ids}, timing)
         if not with_overflow:
             return out
         flags.append(ov)
@@ -879,6 +885,29 @@ def _split_compile(root: ExecNode, with_overflow: bool):
 
     root._split_cache = (run, input_ids)
     return root._split_cache
+
+
+def _timed_piece(fn, label: str, key: str, inputs, timing: bool):
+    """Dispatch one piece; with BALLISTA_PIECE_TIMING=1 time it with the
+    dispatch-drain method (K dispatches then a forced device->host scalar
+    fetch — block_until_ready is not a reliable fence through the axon
+    relay) and print per-piece ms to stderr: split execution doubles as a
+    per-operator profiler."""
+    if not timing:
+        return fn(inputs)
+    import sys
+    import time
+    out = fn(inputs)  # compile + warm
+    _ = int(out[0].num_rows)
+    K = 5
+    t0 = time.time()
+    for _i in range(K):
+        out = fn(inputs)
+    n = int(out[0].num_rows)
+    ms = (time.time() - t0) / K * 1000
+    print(f"# piece {key:10s} {label:20s} {ms:9.2f} ms  ({n} rows)",
+          file=sys.stderr, flush=True)
+    return out
 
 
 def _compile_pieces_parallel(all_pieces, inputs: Dict[str, Batch]) -> Dict:
