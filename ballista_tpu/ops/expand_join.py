@@ -74,7 +74,9 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
             for bk, pk in zip(b_norm, p_norm)]
     is_build = jnp.concatenate([b_ok, jnp.zeros(np_, dtype=jnp.bool_)])
 
-    s_keys, s_build, s_cidx = _cosort(comb, is_build, n)
+    s_keys, s_packed = _cosort(comb, is_build, n)
+    s_build = (s_packed & 1).astype(jnp.bool_)
+    s_cidx = s_packed >> 1
     pos, first_flag = _runs(s_keys, n)
 
     # builds precede probes within a run: per-position build count =
@@ -102,14 +104,20 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
     run_has_probe = ~run_end_is_build
     build_matched_sorted = (s_build & run_has_probe).astype(jnp.int32)
 
-    # per-position run data routes back to original rows with one sort
+    # per-position run data routes back to original rows with one
+    # 2-operand sort: int32 cidx key + ONE packed int64 payload
+    # (builds_upto << fb+1 | first+1 << 1 | matched) — sort compile time
+    # is superlinear in operand count (was 4 operands)
     first_sorted = jnp.where(head_is_build, start_pos, -1)
-    back = jax.lax.sort(
-        (s_cidx, builds_upto, first_sorted, build_matched_sorted),
-        num_keys=1, is_stable=False)
-    cnt = back[1][nb:]                 # builds precede probes in each run
-    first = back[2][nb:]
-    build_matched = back[3][:nb].astype(jnp.bool_)
+    fb = (n + 1).bit_length()
+    pay = ((builds_upto.astype(jnp.int64) << (fb + 1))
+           | ((first_sorted + 1).astype(jnp.int64) << 1)
+           | build_matched_sorted.astype(jnp.int64))
+    back = jax.lax.sort((s_cidx, pay), num_keys=1, is_stable=False)
+    cnt = (back[1][nb:] >> (fb + 1)).astype(jnp.int32)
+    first = (((back[1][nb:] >> 1)
+              & ((jnp.int64(1) << fb) - 1)).astype(jnp.int32) - 1)
+    build_matched = (back[1][:nb] & 1).astype(jnp.bool_)
 
     cnt = jnp.where((first >= 0) & p_ok, cnt, 0)
     if left_outer:

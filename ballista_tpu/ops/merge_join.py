@@ -29,13 +29,17 @@ from .hash import _norm_keys
 
 
 def _cosort(comb, is_build, n):
-    """Stable lexicographic sort of combined keys carrying (is_build,
-    concat index) as payloads. Returns (s_keys, s_build, s_cidx)."""
+    """Stable lexicographic sort of combined keys carrying ONE packed
+    payload (cidx<<1 | is_build): sort compile time is superlinear in
+    operand count and runtime pays ~11ms/operand at 6M rows on v5e, so
+    the flag rides the index's low bit. Returns (s_keys, s_packed) with
+    s_packed = sorted (cidx<<1 | is_build) int32."""
     cidx = jnp.arange(n, dtype=jnp.int32)
-    out = jax.lax.sort(tuple(comb) + (is_build.astype(jnp.int32), cidx),
+    packed = (cidx << 1) | is_build.astype(jnp.int32)
+    out = jax.lax.sort(tuple(comb) + (packed,),
                        num_keys=len(comb), is_stable=True)
     k = len(comb)
-    return out[:k], out[k].astype(jnp.bool_), out[k + 1]
+    return out[:k], out[k]
 
 
 def _runs(s_keys, n):
@@ -86,20 +90,24 @@ def merge_probe_unique(build_keys: Tuple[jax.Array, ...],
     is_build = jnp.concatenate([build_live,
                                 jnp.zeros(np_, dtype=jnp.bool_)])
 
-    s_keys, s_build, s_cidx = _cosort(comb, is_build, n)
+    s_keys, s_packed = _cosort(comb, is_build, n)
     pos, first = _runs(s_keys, n)
 
-    # run-head lookup: cummax forward-fill (build flag in the low bit)
-    packed = (s_cidx.astype(jnp.int64) << 1) | s_build.astype(jnp.int64)
-    head, _ = _run_head_fill(pos, first, packed, n)
+    # run-head lookup: cummax forward-fill of the packed (cidx<<1 | build)
+    # payload — the cosort already carries exactly the value we fill
+    head, _ = _run_head_fill(pos, first, s_packed.astype(jnp.int64), n)
     head_is_build = (head & 1).astype(jnp.bool_)
     matched_sorted = jnp.where(head_is_build,
                                (head >> 1).astype(jnp.int32), -1)
 
-    # route back to original positions with one sort keyed by concat index
-    back = jax.lax.sort((s_cidx, matched_sorted), num_keys=1,
-                        is_stable=False)
-    match = back[1][nb:]
+    # route back to original positions: ONE single-operand int64 sort of
+    # (cidx << 32 | match+1) — cidx is a permutation, so sorting the
+    # packed limb is the inverse permutation with the result in tow
+    s_cidx = s_packed >> 1
+    limb = (s_cidx.astype(jnp.int64) << 32) | (
+        (matched_sorted + 1).astype(jnp.int64))
+    (limb,) = jax.lax.sort((limb,), num_keys=1, is_stable=False)
+    match = (limb & 0xFFFFFFFF).astype(jnp.int32)[nb:] - 1
 
     any_null = jnp.zeros(np_, dtype=jnp.bool_)
     for v in probe_valids:
@@ -142,11 +150,11 @@ def merge_full_unique(build_keys: Tuple[jax.Array, ...],
             for bk, pk in zip(b_norm, p_norm)]
     is_build = jnp.concatenate([b_ok, jnp.zeros(np_, dtype=jnp.bool_)])
 
-    s_keys, s_build, s_cidx = _cosort(comb, is_build, n)
+    s_keys, s_packed = _cosort(comb, is_build, n)
     pos, first = _runs(s_keys, n)
+    s_build = (s_packed & 1).astype(jnp.bool_)
 
-    packed = (s_cidx.astype(jnp.int64) << 1) | s_build.astype(jnp.int64)
-    head, _ = _run_head_fill(pos, first, packed, n)
+    head, _ = _run_head_fill(pos, first, s_packed.astype(jnp.int64), n)
     head_is_build = (head & 1).astype(jnp.bool_)
     matched_sorted = jnp.where(head_is_build,
                                (head >> 1).astype(jnp.int32), -1)
@@ -154,10 +162,17 @@ def merge_full_unique(build_keys: Tuple[jax.Array, ...],
     # a (unique) build row is matched iff its run has a second element —
     # builds precede probes, so that element is one of its probes
     next_in_run = jnp.concatenate([~first[1:], jnp.zeros(1, jnp.bool_)])
-    build_matched_sorted = (s_build & next_in_run).astype(jnp.int32)
+    build_matched_sorted = s_build & next_in_run
 
-    back = jax.lax.sort((s_cidx, matched_sorted, build_matched_sorted),
-                        num_keys=1, is_stable=False)
-    match = jnp.where(p_ok, back[1][nb:], -1)
-    build_matched = back[2][:nb].astype(jnp.bool_) & b_ok
+    # route back with ONE single-operand int64 sort:
+    # cidx<<33 | (match+1)<<1 | build_matched (cidx < 2^30)
+    s_cidx = s_packed >> 1
+    limb = ((s_cidx.astype(jnp.int64) << 33)
+            | ((matched_sorted + 1).astype(jnp.int64) << 1)
+            | build_matched_sorted.astype(jnp.int64))
+    (limb,) = jax.lax.sort((limb,), num_keys=1, is_stable=False)
+    match = jnp.where(p_ok,
+                      ((limb >> 1) & 0xFFFFFFFF).astype(jnp.int32)[nb:] - 1,
+                      -1)
+    build_matched = (limb & 1).astype(jnp.bool_)[:nb] & b_ok
     return match, build_matched
