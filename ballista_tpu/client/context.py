@@ -212,7 +212,9 @@ class SessionContext:
     # -- plan creation --
     def table(self, name: str) -> DataFrame:
         tp = self.tables[name]
-        return DataFrame(self, L.TableScan(name, tp.schema))
+        return DataFrame(self, L.TableScan(
+            name, tp.schema,
+            unique_cols=tuple(tuple(k) for k in self.unique_keys(name))))
 
     def sql(self, query: str) -> DataFrame:
         """Run a SQL script: SELECTs plus CREATE/DROP VIEW statements

@@ -250,6 +250,11 @@ class HashAggregateExec(ExecNode):
                     sum_dt = ba.state_dtypes[0]
                     ba.out_field = Field(a.name, _avg_dtype(sum_dt), nullable=True)
                 self._bound_aggs.append(ba)
+                # min/max state columns carry dictionary codes through the
+                # shuffle; restore the dict on the final output field
+                sd = in_schema.dictionary(f"{a.name}#s0")
+                if a.kind in ("min", "max") and sd is not None:
+                    dicts[a.name] = sd
             agg_fields = tuple(ba.out_field for ba in self._bound_aggs)
         else:
             self._bound_aggs = [BoundAgg(a, in_schema) for a in aggs]
@@ -257,6 +262,17 @@ class HashAggregateExec(ExecNode):
                 agg_fields = tuple(f for ba in self._bound_aggs for f in ba.state_fields())
             else:
                 agg_fields = tuple(ba.out_field for ba in self._bound_aggs)
+            for a in aggs:
+                # dict-coded min/max stay in code space (sorted dicts make
+                # code-extrema exact); propagate under the output name
+                # (single) / first state column (partial)
+                if a.kind in ("min", "max") and a.arg is not None:
+                    base = a.arg.child if isinstance(a.arg, Alias) else a.arg
+                    if (isinstance(base, Col)
+                            and in_schema.dictionary(base.name) is not None):
+                        out_name = (f"{a.name}#s0" if mode == "partial"
+                                    else a.name)
+                        dicts[out_name] = in_schema.dictionary(base.name)
         self.schema = Schema(key_fields + agg_fields, dicts)
 
     def evaluate(self, inputs):

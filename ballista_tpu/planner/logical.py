@@ -38,6 +38,9 @@ class TableScan(LogicalPlan):
     table_name: str
     table_schema: Schema
     projection: Optional[Tuple[str, ...]] = None
+    # unique column sets (declared PK or inferred) — feeds functional-
+    # dependency reasoning (optimizer.reduce_group_keys)
+    unique_cols: Tuple[Tuple[str, ...], ...] = ()
 
     def schema(self) -> Schema:
         if self.projection is None:
@@ -132,6 +135,13 @@ class Aggregate(LogicalPlan):
         for a in self.aggs:
             ba = BoundAgg(a, in_schema)
             fields.append(ba.out_field)
+            # min/max over a dictionary-coded column stay in code space
+            # (sorted dictionaries make code-extrema exact): keep the dict
+            if a.kind in ("min", "max") and a.arg is not None:
+                base = a.arg.child if isinstance(a.arg, Alias) else a.arg
+                if (isinstance(base, Col)
+                        and in_schema.dictionary(base.name) is not None):
+                    dicts[ba.out_field.name] = in_schema.dictionary(base.name)
         return Schema(tuple(fields), dicts)
 
     def children(self):

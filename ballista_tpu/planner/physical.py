@@ -101,8 +101,8 @@ def create_physical_plan(plan: L.LogicalPlan,
     # column pruning is load-bearing on TPU: every surplus column through a
     # join costs two ~90ms/6M-row gathers at materialization plus sort
     # payload slots in every compaction (idempotent if the caller pruned)
-    from .optimizer import prune_columns
-    plan = prune_columns(plan)
+    from .optimizer import prune_columns, reduce_group_keys
+    plan = prune_columns(reduce_group_keys(plan))
 
     def lower(p: L.LogicalPlan) -> ExecNode:
         if isinstance(p, L.OneRow):

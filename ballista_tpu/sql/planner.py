@@ -311,7 +311,9 @@ class SqlPlanner:
         schema = tp.schema
         names = [f.name for f in schema.fields]
         uniq = [frozenset(k) for k in self.ctx.unique_keys(name)]
-        plan = L.TableScan(name, schema)
+        plan = L.TableScan(name, schema,
+                           unique_cols=tuple(tuple(k)
+                                             for k in self.ctx.unique_keys(name)))
         return Relation(rel_id, names, plan, ref.alias or name, uniq)
 
     def _mangle(self) -> str:
