@@ -73,7 +73,7 @@ def run(sf: float, queries, iterations: int, distributed: bool):
                 capacities = {n: tp.capacity for n, tp in ctx.tables.items()}
                 ep = create_physical_plan(plan, capacities, ctx.options)
                 fn, ids = compile_stage(ep)
-                inputs = {i: ctx.tables[i].batch for i in set(ids)}
+                inputs = ctx.bind_inputs(ids)
                 out = fn(inputs)
                 nrows = int(out.num_rows)  # drain (compile+warmup)
                 compile_s = time.time() - t0

@@ -293,6 +293,22 @@ class SessionContext:
              "is_nullable": ["YES" if f.nullable else "NO"
                              for f in sch.fields]}))
 
+    def bind_inputs(self, input_ids) -> dict:
+        """Bind stage input ids to device batches. Column-scoped ids
+        ("table::c1,c2", emitted for pruned scans) bind a column-sliced
+        batch so unused table columns never transfer to or occupy HBM."""
+        out = {}
+        for i in set(input_ids):
+            name, _, cols = i.partition("::")
+            tp = self.tables[name]
+            b = tp.batch
+            if cols:
+                idx = [tp.schema.index_of(c) for c in cols.split(",")]
+                b = B.Batch(tuple(b.columns[j] for j in idx),
+                            b.num_rows, b.live)
+            out[i] = b
+        return out
+
     # -- execution --
     def collect(self, plan: L.LogicalPlan, max_retries: int = 3):
         import dataclasses as dc
@@ -315,7 +331,7 @@ class SessionContext:
         for attempt in range(max_retries):
             exec_plan = create_physical_plan(plan, capacities, opts)
             fn, input_ids = compile_stage(exec_plan, with_overflow=True)
-            inputs = {i: self.tables[i].batch for i in set(input_ids)}
+            inputs = self.bind_inputs(input_ids)
             out, overflow = fn(inputs)
             if not bool(overflow) or attempt == max_retries - 1:
                 return out, exec_plan.schema

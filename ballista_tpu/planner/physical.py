@@ -109,11 +109,16 @@ def create_physical_plan(plan: L.LogicalPlan,
             from ..exec.plan import OneRowExec
             return OneRowExec()
         if isinstance(p, L.TableScan):
-            leaf = InputLeaf(p.table_name, p.table_schema, capacities[p.table_name])
+            cap = capacities[p.table_name]
             if p.projection is not None:
-                return ProjectExec(leaf, [Col(n) for n in p.projection],
-                                   names=list(p.projection))
-            return leaf
+                # column-scoped input id: the runtime binds only the
+                # projected columns (SessionContext.bind_inputs), so
+                # unused table columns never reach HBM — at SF10 a full
+                # lineitem batch is ~7 GB vs ~2.5 GB for q1's columns
+                iid = p.table_name + "::" + ",".join(p.projection)
+                return InputLeaf(iid, p.table_schema.select(p.projection),
+                                 cap)
+            return InputLeaf(p.table_name, p.table_schema, cap)
         if isinstance(p, L.Filter):
             return FilterExec(lower(p.input), p.predicate)
         if isinstance(p, L.Projection):

@@ -53,7 +53,7 @@ def bench_engine(data):
     capacities = {name: tp.capacity for name, tp in ctx.tables.items()}
     exec_plan = create_physical_plan(plan, capacities, ctx.options)
     fn, input_ids = compile_stage(exec_plan)
-    inputs = {i: ctx.tables[i].batch for i in set(input_ids)}
+    inputs = ctx.bind_inputs(input_ids)
     ingest_s = time.time() - t0
 
     # warmup/compile (also warms the host<->device transfer path)
