@@ -77,7 +77,10 @@ class BoundAgg:
             st = _sum_dtype(self.arg.dtype)
             self.state_dtypes = [st]
             self.out_field = Field(spec.name, st, nullable=True)
-        elif k in ("min", "max"):
+        elif k in ("min", "max", "carry"):
+            # carry: any value of the group — all equal by construction
+            # (FD group-key demotion, planner/optimizer.py); O(T) gather
+            # instead of a segmented extremum over all rows
             self.state_dtypes = [self.arg.dtype]
             self.out_field = Field(spec.name, self.arg.dtype, nullable=True)
         elif k == "avg":
@@ -124,6 +127,9 @@ class BoundAgg:
             return [Column(m, v)]
         if k == "max":
             m, v = layout.max(data, col.validity)
+            return [Column(m, v)]
+        if k == "carry":
+            m, v = layout.carry(data, col.validity)
             return [Column(m, v)]
         if k == "avg":
             s, sv = layout.sum(data, col.validity)
@@ -173,6 +179,9 @@ class BoundAgg:
         if k == "max":
             m, v = layout.max(state_cols[0].data, state_cols[0].validity)
             return [Column(m, v)]
+        if k == "carry":
+            m, v = layout.carry(state_cols[0].data, state_cols[0].validity)
+            return [Column(m, v)]
         if k == "avg":
             s, sv = layout.sum(state_cols[0].data, state_cols[0].validity)
             c, _ = layout.sum(state_cols[1].data, state_cols[1].validity)
@@ -192,7 +201,7 @@ class BoundAgg:
     # --- finalize: merged states -> output column ---
     def finalize(self, state_cols: List[Column]) -> Column:
         k = self.spec.kind
-        if k in ("count", "count_star", "sum", "min", "max"):
+        if k in ("count", "count_star", "sum", "min", "max", "carry"):
             return state_cols[0]
         if k == "avg":
             s, c = state_cols

@@ -244,7 +244,7 @@ class HashAggregateExec(ExecNode):
                     ba.out_field = Field(a.name, INT64, nullable=False)
                 elif k == "sum":
                     ba.out_field = Field(a.name, ba.state_dtypes[0], nullable=True)
-                elif k in ("min", "max"):
+                elif k in ("min", "max", "carry"):
                     ba.out_field = Field(a.name, ba.state_dtypes[0], nullable=True)
                 elif k == "avg":
                     sum_dt = ba.state_dtypes[0]
@@ -253,7 +253,7 @@ class HashAggregateExec(ExecNode):
                 # min/max state columns carry dictionary codes through the
                 # shuffle; restore the dict on the final output field
                 sd = in_schema.dictionary(f"{a.name}#s0")
-                if a.kind in ("min", "max") and sd is not None:
+                if a.kind in ("min", "max", "carry") and sd is not None:
                     dicts[a.name] = sd
             agg_fields = tuple(ba.out_field for ba in self._bound_aggs)
         else:
@@ -266,7 +266,7 @@ class HashAggregateExec(ExecNode):
                 # dict-coded min/max stay in code space (sorted dicts make
                 # code-extrema exact); propagate under the output name
                 # (single) / first state column (partial)
-                if a.kind in ("min", "max") and a.arg is not None:
+                if a.kind in ("min", "max", "carry") and a.arg is not None:
                     base = a.arg.child if isinstance(a.arg, Alias) else a.arg
                     if (isinstance(base, Col)
                             and in_schema.dictionary(base.name) is not None):

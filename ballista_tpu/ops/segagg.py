@@ -91,6 +91,11 @@ class MaskedLayout(NamedTuple):
     def max(self, values, validity):
         return self._extreme(values, validity, False)
 
+    def carry(self, values, validity):
+        """Any value of the group (all equal by construction — the
+        functional-dependency group-key demotion, optimizer.py)."""
+        return self._extreme(values, validity, False)
+
     def percentile(self, values, validity, frac: float):
         cnt, gvalid = self.count(values, validity)
         ok = self.live & validity
@@ -193,6 +198,18 @@ class SortedLayout(NamedTuple):
 
     def max(self, values, validity):
         return self._extreme(values, validity, False)
+
+    def carry(self, values, validity):
+        """Any value of the group (all equal by construction — the FD
+        group-key demotion): ONE T-sized gather at run ends instead of
+        min's log(n) segmented-lifting passes over all n rows."""
+        v, ok = self._sorted_vals(values, validity)
+        n = v.shape[0]
+        end = jnp.clip(self.run_end, 0, n - 1)
+        out = jnp.take(v, end)
+        okg = jnp.take(ok, end)
+        gvalid = (jnp.arange(self.T, dtype=jnp.int32) < self.n_groups) & okg
+        return jnp.where(gvalid, out, jnp.zeros((), values.dtype)), gvalid
 
     def percentile(self, values, validity, frac: float):
         v, ok = self._sorted_vals(values, validity)

@@ -137,7 +137,7 @@ class Aggregate(LogicalPlan):
             fields.append(ba.out_field)
             # min/max over a dictionary-coded column stay in code space
             # (sorted dictionaries make code-extrema exact): keep the dict
-            if a.kind in ("min", "max") and a.arg is not None:
+            if a.kind in ("min", "max", "carry") and a.arg is not None:
                 base = a.arg.child if isinstance(a.arg, Alias) else a.arg
                 if (isinstance(base, Col)
                         and in_schema.dictionary(base.name) is not None):

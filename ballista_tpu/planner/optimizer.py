@@ -124,10 +124,10 @@ def _prune(p: L.LogicalPlan, needed: Optional[Set[str]]) -> L.LogicalPlan:
 # unique key determines every column of that table in any derived relation
 # (each row's T-part is one T tuple), and join equalities extend this
 # transitively (probe key = unique build key => probe key determines the
-# build row). Keys determined by a kept key demote to min() carries —
-# constant within the group, so min IS the value; sorted dictionaries make
-# code-min exact for strings. (DataFusion has the same rule for declared
-# PKs; the reference inherits it.)
+# build row). Keys determined by a kept key demote to carry() aggregates —
+# any value of the group, all equal by construction (an O(T) run-end read
+# in the sorted layout; dictionary codes round-trip exactly). (DataFusion
+# has the same rule for declared PKs; the reference inherits it.)
 # ---------------------------------------------------------------------------
 
 def reduce_group_keys(plan: L.LogicalPlan) -> L.LogicalPlan:
@@ -175,7 +175,7 @@ def reduce_group_keys(plan: L.LogicalPlan) -> L.LogicalPlan:
     keys, knames, carries = [], [], []
     for i, (e, n) in enumerate(zip(plan.group_exprs, names)):
         if demoted[i]:
-            carries.append(L.AggExpr("min", arg=Col(base[i]), alias=n))
+            carries.append(L.AggExpr("carry", arg=Col(base[i]), alias=n))
         else:
             keys.append(e)
             knames.append(n)
