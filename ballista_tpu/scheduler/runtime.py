@@ -162,8 +162,8 @@ def execute_distributed(ctx, plan, mesh=None, options: Optional[DistOptions] = N
     from ..client.context import _rebind_scans
 
     plan = _rebind_scans(plan, ctx)
-    from ..planner.optimizer import prune_columns
-    plan = prune_columns(plan)
+    from ..planner.optimizer import prune_columns, reduce_group_keys
+    plan = prune_columns(reduce_group_keys(plan))
     rt = DistributedRuntime(ctx, mesh, options)
     opts = rt.opts
     for attempt in range(max_retries):

@@ -271,10 +271,10 @@ def execute_serial(ctx, plan, n_partitions: int,
     import dataclasses as dc
 
     from ..client.context import _rebind_scans
-    from ..planner.optimizer import prune_columns
+    from ..planner.optimizer import prune_columns, reduce_group_keys
 
     plan = _rebind_scans(plan, ctx)
-    plan = prune_columns(plan)
+    plan = prune_columns(reduce_group_keys(plan))
     opts = options or ctx_dist_options(ctx, n_partitions)
     opts = dc.replace(opts, n_partitions=n_partitions)
     for attempt in range(max_retries):

@@ -191,8 +191,8 @@ class StandaloneCluster:
         from ..client.context import _rebind_scans
 
         plan = _rebind_scans(plan, self.ctx)
-        from ..planner.optimizer import prune_columns
-        plan = prune_columns(plan)
+        from ..planner.optimizer import prune_columns, reduce_group_keys
+        plan = prune_columns(reduce_group_keys(plan))
         planner = DistributedPlanner(self.ctx, self.runtime.opts)
         dplan = planner.plan(plan)
         job_id = random_job_id()
