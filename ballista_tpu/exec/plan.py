@@ -878,6 +878,13 @@ def _split_compile(root: ExecNode, with_overflow: bool):
     state: Dict[str, object] = {"exec": None}
 
     labels = {key: type(n).__name__ for (key, _, _), n in zip(pieces, cuts)}
+    # free each intermediate piece output after its last consumer runs —
+    # deep plans otherwise hold every join's full-capacity batch in HBM
+    # simultaneously (table inputs stay cached in their TableProvider)
+    last_use: Dict[str, int] = {}
+    for pos, (_key, _fn, ids) in enumerate(all_pieces):
+        for i in ids:
+            last_use[i] = pos
 
     def run(inputs: Dict[str, Batch]):
         import os
@@ -887,9 +894,12 @@ def _split_compile(root: ExecNode, with_overflow: bool):
         timing = os.environ.get("BALLISTA_PIECE_TIMING") == "1"
         vals = dict(inputs)
         flags = []
-        for key, fn, ids in pieces:
+        for pos, (key, fn, ids) in enumerate(pieces):
             out, ov = _timed_piece(ex.get(key, fn), labels[key], key,
                                    {i: vals[i] for i in ids}, timing)
+            for i in ids:
+                if i.startswith("__piece") and last_use[i] == pos:
+                    del vals[i]
             vals[key] = out
             flags.append(ov)
         out, ov = _timed_piece(ex.get("__root", root_fn), "root", "__root",
