@@ -194,12 +194,13 @@ class HashAggregateExec(ExecNode):
         # the OUTPUT capacity must shrink with it — otherwise downstream
         # operators process table_size-padded batches for a 12-row result
         self._static_direct_T = None
+        self._key_nullables = [b.nullable for b in self._group_bounds]
         if group_exprs:
             bounds = [bind_expr(e, in_schema).code_bound for e in group_exprs]
             if all(b is not None for b in bounds):
                 prod = 1
-                for b in bounds:
-                    prod *= b + 1
+                for b, nu in zip(bounds, self._key_nullables):
+                    prod *= b + (1 if nu else 0)
                 from ..ops.segagg import DIRECT_MAX
                 if prod <= DIRECT_MAX:
                     self._static_direct_T = prod
@@ -299,18 +300,21 @@ class HashAggregateExec(ExecNode):
             n_groups = jnp.int32(1)
             used = jnp.ones(1, dtype=jnp.bool_)
         elif direct_T is not None and direct_T <= segagg.MASKED_MAX:
-            slot, T_used = segagg.direct_slots(key_cols, bounds, live)
+            slot, T_used = segagg.direct_slots(key_cols, bounds, live,
+                                               self._key_nullables)
             layout = segagg.MaskedLayout(slot, live, T_used)
             counts, _ = layout.count_star()
             used = counts > 0
             n_groups = jnp.sum(used).astype(jnp.int32)
             slot_ids = jnp.arange(T_used, dtype=jnp.int32)
-            for col in segagg.decode_direct_slot(slot_ids, key_cols, bounds):
+            for col in segagg.decode_direct_slot(slot_ids, key_cols, bounds,
+                                                 self._key_nullables):
                 key_out.append(Column(col.data, col.validity & used))
         else:
             T_used = self.table_size
             if direct_T is not None:
-                slot, _ = segagg.direct_slots(key_cols, bounds, live)
+                slot, _ = segagg.direct_slots(key_cols, bounds, live,
+                                              self._key_nullables)
                 norm = [slot.astype(jnp.int64)]
             else:
                 norm = _norm_keys(tuple(c.data for c in key_cols),

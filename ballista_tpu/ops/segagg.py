@@ -219,34 +219,47 @@ class SortedLayout(NamedTuple):
 
 
 def direct_slots(key_cols: Sequence[Column], bounds: Sequence[int],
-                 live: jax.Array) -> Tuple[jax.Array, int]:
+                 live: jax.Array,
+                 nullables: Optional[Sequence[bool]] = None
+                 ) -> Tuple[jax.Array, int]:
     """Composite group slot from statically-bounded key codes.
 
-    Each key contributes (bound + 1) values (the +1 encodes NULL), so no
-    hash table or claim loop is needed: slot = sum(code_i * stride_i)."""
+    A nullable key contributes (bound + 1) values (the +1 encodes NULL);
+    a non-nullable key contributes exactly `bound` — TPC-H q1's
+    (returnflag, linestatus) slot table shrinks 12 -> 6, halving the
+    masked broadcast-reduce traffic. No hash table or claim loop:
+    slot = sum(code_i * stride_i)."""
+    if nullables is None:
+        nullables = [True] * len(bounds)
     T = 1
-    for b in bounds:
-        T *= b + 1
+    for b, nu in zip(bounds, nullables):
+        T *= b + (1 if nu else 0)
     slot = jnp.zeros(key_cols[0].data.shape[0], dtype=jnp.int32)
     stride = 1
-    for col, b in zip(key_cols, bounds):
-        code = jnp.where(col.validity,
-                         jnp.clip(col.data.astype(jnp.int32), 0, b - 1), b)
+    for col, b, nu in zip(key_cols, bounds, nullables):
+        code = jnp.clip(col.data.astype(jnp.int32), 0, b - 1)
+        if nu:
+            code = jnp.where(col.validity, code, b)
         slot = slot + code * jnp.int32(stride)
-        stride *= b + 1
+        stride *= b + (1 if nu else 0)
     return jnp.where(live, slot, T), T
 
 
 def decode_direct_slot(slot_ids: jax.Array, key_cols: Sequence[Column],
-                       bounds: Sequence[int]) -> List[Column]:
+                       bounds: Sequence[int],
+                       nullables: Optional[Sequence[bool]] = None
+                       ) -> List[Column]:
     """Reconstruct key columns from composite slot ids (arithmetic only)."""
+    if nullables is None:
+        nullables = [True] * len(bounds)
     out = []
     stride = 1
-    for col, b in zip(key_cols, bounds):
-        code = (slot_ids // stride) % (b + 1)
-        valid = code < b
+    for col, b, nu in zip(key_cols, bounds, nullables):
+        width = b + (1 if nu else 0)
+        code = (slot_ids // stride) % width
+        valid = code < b if nu else jnp.ones_like(code, dtype=jnp.bool_)
         out.append(Column(code.astype(col.data.dtype), valid))
-        stride *= b + 1
+        stride *= width
     return out
 
 
