@@ -560,6 +560,51 @@ class SqlPlanner:
                 fw.plan, tuple(Col(k) for k in inner_keys), tuple(mangled)))
             return L.Join(inner, current, tuple(zip(mangled, outer_keys)), how)
 
+        # <>-correlated EXISTS fast path (the Q21 shape):
+        #   EXISTS(SELECT .. WHERE inner.k = outer.k AND inner.d <> outer.d)
+        # holds iff the k-group's distinct non-null d values include one
+        # different from outer.d:  cd >= 2  OR  (cd >= 1 AND min_d <> d),
+        # with cd = count(distinct d) per k. One dedup aggregate + a
+        # unique-build left join REPLACES the expanding self-join +
+        # unique-key dedup of the general path (lineitem x lineitem at
+        # SF1 was the single most expensive piece of the whole suite).
+        res = fw.corr_residual
+        if (len(res) == 1 and isinstance(res[0], BinOp)
+                and res[0].op in ("!=", "<>")):
+            lcol, rcol = res[0].left, res[0].right
+            if isinstance(lcol, Col) and isinstance(rcol, Col):
+                lo = lcol.name.startswith(OUTER_MARK)
+                ro = rcol.name.startswith(OUTER_MARK)
+                if lo != ro:
+                    from ..exprs import IsNull
+                    outer_d = (lcol if lo else rcol).name[len(OUTER_MARK):]
+                    inner_d = (rcol if lo else lcol).name
+                    td, cd, md = f"{tag}_d", f"{tag}_cd", f"{tag}_md"
+                    dedup = L.Distinct(L.Projection(
+                        fw.plan,
+                        tuple(Col(k) for k in inner_keys) + (Col(inner_d),),
+                        tuple(mangled) + (td,)))
+                    agg = L.Aggregate(
+                        dedup, tuple(Col(m) for m in mangled),
+                        (AggExpr("count", Col(td), alias=cd),
+                         AggExpr("min", Col(td), alias=md)),
+                        group_names=tuple(mangled))
+                    joined = L.Join(agg, current,
+                                    tuple(zip(mangled, outer_keys)),
+                                    "left_outer", unique_build=True)
+                    # every branch is definite (non-NULL) under the guards,
+                    # so Not() for anti is safe
+                    pred = BinOp(
+                        "and",
+                        BinOp("and", Not(IsNull(Col(cd))),
+                              Not(IsNull(Col(outer_d)))),
+                        BinOp("or",
+                              BinOp(">=", Col(cd), Lit(2)),
+                              BinOp("and", BinOp(">=", Col(cd), Lit(1)),
+                                    BinOp("!=", Col(md), Col(outer_d)))))
+                    return L.Filter(joined,
+                                    pred if how == "semi" else Not(pred))
+
         # residual-correlated EXISTS (Q21): join pairs, filter residual,
         # dedupe on the outer relation's unique key, then semi/anti join
         ukey = next((sorted(s) for s in current_uniq), None)
