@@ -34,6 +34,78 @@ MASKED_MAX = 64
 DIRECT_MAX = 1 << 20
 
 
+def _matmul_seg_sum(row_slot: jax.Array, contrib: jax.Array, T: int):
+    """Exact int64 segment sums as an int8 one-hot matmul on the MXU.
+
+    The (T, n) masked broadcast-reduce reads every contribution T times
+    (~48B/row at T=6); this reads it once: the value splits into ten
+    7-bit int8 limbs (|limb| <= 127 so n <= 2^24 rows per dot keeps the
+    int32 accumulator exact), one int8 dot_general against the (n, T)
+    one-hot hits the MXU, and the (T, 10) int32 limb sums recombine in
+    uint64 (mod-2^64 wraparound makes signed sums exact). Rows with
+    slot >= T (dead) fall out of the one-hot."""
+    n = contrib.shape[0]
+    v = contrib.astype(jnp.int64).astype(jnp.uint64)
+    limbs = jnp.stack([((v >> (7 * l)) & 0x7F).astype(jnp.int8)
+                       for l in range(10)], axis=1)        # (n, 10)
+    gids = jnp.arange(T, dtype=jnp.int32)
+    CHUNK = 1 << 24
+    if n <= CHUNK:
+        oh = (row_slot[:, None] == gids[None, :]).astype(jnp.int8)
+        acc = jax.lax.dot_general(oh, limbs, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        acc = acc.astype(jnp.int64)[None]
+    else:
+        pad = (-n) % CHUNK
+        slot_p = jnp.pad(row_slot, (0, pad), constant_values=T)
+        limbs_p = jnp.pad(limbs, ((0, pad), (0, 0)))
+        def body(carry, xs):
+            s, lm = xs
+            oh = (s[:, None] == gids[None, :]).astype(jnp.int8)
+            part = jax.lax.dot_general(oh, lm, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
+            return carry + part.astype(jnp.int64), None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((T, 10), jnp.int64),
+            (slot_p.reshape(-1, CHUNK), limbs_p.reshape(-1, CHUNK, 10)))
+        acc = acc[None]
+    acc = acc[0]
+    tot = jnp.zeros(T, jnp.uint64)
+    for l in range(10):
+        tot = tot + (acc[:, l].astype(jnp.uint64) << (7 * l))
+    return tot.astype(jnp.int64)
+
+
+def _matmul_seg_count(row_slot: jax.Array, mask: jax.Array, T: int):
+    """Per-slot row counts as one int8 one-hot matmul (see _matmul_seg_sum)."""
+    n = row_slot.shape[0]
+    gids = jnp.arange(T, dtype=jnp.int32)
+    slot = jnp.where(mask, row_slot, T)
+    ones = jnp.ones((n, 1), jnp.int8)
+    CHUNK = 1 << 24
+    if n <= CHUNK:
+        oh = (slot[:, None] == gids[None, :]).astype(jnp.int8)
+        acc = jax.lax.dot_general(oh, ones, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return acc[:, 0].astype(jnp.int64)
+    pad = (-n) % CHUNK
+    slot_p = jnp.pad(slot, (0, pad), constant_values=T)
+    def body(carry, s):
+        oh = (s[:, None] == gids[None, :]).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            oh, jnp.ones((CHUNK, 1), jnp.int8), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return carry + part[:, 0].astype(jnp.int64), None
+    acc, _ = jax.lax.scan(body, jnp.zeros((T,), jnp.int64),
+                          slot_p.reshape(-1, CHUNK))
+    return acc
+
+
+def _use_matmul_agg() -> bool:
+    import os
+    return os.environ.get("BALLISTA_MATMUL_AGG", "0") == "1"
+
+
 class MaskedLayout(NamedTuple):
     row_slot: jax.Array      # (n,) int32 in [0, T); dead rows -> T
     live: jax.Array          # (n,) bool
@@ -43,6 +115,9 @@ class MaskedLayout(NamedTuple):
     # over a (T, n) fused generator — XLA keeps it in-register, ~15 ms for
     # 10 int64 aggregates x 12 groups at 6M rows. The unrolled per-group
     # loop form produced 10x slower code AND minutes of extra compile time.
+    # BALLISTA_MATMUL_AGG=1 switches integer sums/counts to the MXU
+    # one-hot limb matmul (_matmul_seg_sum), which reads each value once
+    # instead of T times.
 
     def _onehot(self):
         gids = jnp.arange(self.T, dtype=jnp.int32)
@@ -51,25 +126,30 @@ class MaskedLayout(NamedTuple):
     def sum(self, values, validity):
         active = self.live & validity
         v = jnp.where(active, values, jnp.zeros((), values.dtype))
+        cnt = self.count(values, validity)[0]
+        if _use_matmul_agg() and jnp.issubdtype(values.dtype, jnp.integer):
+            out = _matmul_seg_sum(self.row_slot, v, self.T)
+            return out.astype(values.dtype), cnt > 0
         # barrier: without it XLA re-evaluates the (often expensive decimal)
         # contribution expression inside the (T, n) reduce generator T times
         v = jax.lax.optimization_barrier(v)
         out = jnp.sum(jnp.where(self._onehot(), v[None, :],
                                 jnp.zeros((), v.dtype)), axis=1)
-        cnt = self.count(values, validity)[0]
         return out, cnt > 0
 
-    def count(self, values, validity):
-        active = (self.live & validity).astype(jnp.int64)
-        active = jax.lax.optimization_barrier(active)
+    def _count_mask(self, mask):
+        if _use_matmul_agg():
+            out = _matmul_seg_count(self.row_slot, mask, self.T)
+            return out, jnp.ones(self.T, dtype=jnp.bool_)
+        active = jax.lax.optimization_barrier(mask.astype(jnp.int64))
         out = jnp.sum(jnp.where(self._onehot(), active[None, :], 0), axis=1)
         return out, jnp.ones(self.T, dtype=jnp.bool_)
 
+    def count(self, values, validity):
+        return self._count_mask(self.live & validity)
+
     def count_star(self):
-        one = self.live.astype(jnp.int64)
-        one = jax.lax.optimization_barrier(one)
-        out = jnp.sum(jnp.where(self._onehot(), one[None, :], 0), axis=1)
-        return out, jnp.ones(self.T, dtype=jnp.bool_)
+        return self._count_mask(self.live)
 
     def _extreme(self, values, validity, is_min):
         active = self.live & validity
