@@ -657,8 +657,11 @@ class SortExec(ExecNode):
         ncols = len(b.columns)
         key_cols = tuple(kb.fn(b) for kb, _, _ in self._key_bounds)
         tmp = Batch(b.columns + key_cols, b.num_rows, b.live)
-        specs = [SortKeySpec(ncols + i, asc, nf)
-                 for i, (_, asc, nf) in enumerate(self._key_bounds)]
+        specs = [SortKeySpec(ncols + i, asc, nf, code_bound=kb.code_bound,
+                             narrow=kb.dtype.kind in (TypeKind.INT32,
+                                                      TypeKind.DATE32,
+                                                      TypeKind.BOOL))
+                 for i, (kb, asc, nf) in enumerate(self._key_bounds)]
         out = sort_batch(tmp, specs)
         return Batch(out.columns[:ncols], out.num_rows)
 

@@ -25,6 +25,11 @@ class SortKeySpec(NamedTuple):
     col_index: int
     ascending: bool = True
     nulls_first: bool | None = None  # None -> DataFusion default
+    # static packing metadata (sort compile time is superlinear in operand
+    # count): code_bound = exclusive code upper bound (dict/bool columns);
+    # narrow = 32-bit integer/date column (packs as a biased 33-bit field)
+    code_bound: int | None = None
+    narrow: bool = False
 
 
 def sort_perm(batch: Batch, keys: Sequence[SortKeySpec]) -> jax.Array:
@@ -64,14 +69,80 @@ def _rankable(data: jax.Array, valid: jax.Array, spec: SortKeySpec) -> jax.Array
     return jnp.where(valid, d, -big if nulls_first else big)
 
 
+def _packed_field(col: Column, spec: SortKeySpec):
+    """(bits, non-negative order-preserving int64) for a statically
+    bounded key, or None. Value layout inside `bits`: nulls take slot 0
+    (nulls first) or the top slot (nulls last); descending reverses the
+    code range. Lexicographic order of concatenated fields == multi-key
+    sort order, so consecutive bounded keys share one int64 operand."""
+    nulls_first = spec.nulls_first
+    if nulls_first is None:
+        nulls_first = not spec.ascending
+    if spec.code_bound is not None:
+        B = int(spec.code_bound)
+        code = jnp.clip(col.data.astype(jnp.int64), 0, B - 1)
+        if not spec.ascending:
+            code = (B - 1) - code
+        val = jnp.where(col.validity,
+                        code + (1 if nulls_first else 0),
+                        jnp.int64(0 if nulls_first else B))
+        return (B + 1).bit_length(), val
+    if spec.narrow:
+        v = col.data.astype(jnp.int64) + (jnp.int64(1) << 31)  # [0, 2^32)
+        if not spec.ascending:
+            v = ((jnp.int64(1) << 32) - 1) - v
+        val = jnp.where(col.validity,
+                        v + (1 if nulls_first else 0),
+                        jnp.int64(0) if nulls_first
+                        else (jnp.int64(1) << 32) + 1)
+        return 34, val
+    return None
+
+
 def sort_batch(batch: Batch, keys: Sequence[SortKeySpec]) -> Batch:
     """Variadic sort: all columns ride the key sort (ops/vsort.py) —
-    liveness is the most-significant key so dead rows sink to the back."""
+    liveness is the most-significant key so dead rows sink to the back.
+    Consecutive statically-bounded keys (dict codes, 32-bit ints/dates)
+    pack into shared int64 limbs, and the liveness bit rides the first
+    packed limb: sort compile time is superlinear in operand count."""
     from .vsort import sort_batch_columns
     live = row_mask(batch)
-    ranks = [~live]
+    ranks = []
+    group_bits = 0
+    group_val = None
+    live_pending = True  # fold ~live into the first packed group
+
+    def flush():
+        nonlocal group_bits, group_val
+        if group_val is not None:
+            ranks.append(group_val)
+            group_bits, group_val = 0, None
+
     for spec in keys:
         col = batch.columns[spec.col_index]
-        ranks.append(_rankable(col.data, col.validity, spec))
+        f = _packed_field(col, spec)
+        if f is None:
+            if live_pending:
+                # unbounded first key: liveness stays its own operand
+                ranks.insert(0, ~live)
+            flush()
+            ranks.append(_rankable(col.data, col.validity, spec))
+            live_pending = False
+            continue
+        bits, val = f
+        if group_val is not None and group_bits + bits > 62:
+            flush()
+        if group_val is None:
+            lead = ((~live).astype(jnp.int64) if live_pending
+                    else jnp.int64(0))
+            group_val = (lead << bits) | val
+            group_bits = bits + (1 if live_pending else 0)
+            live_pending = False
+        else:
+            group_val = (group_val << bits) | val
+            group_bits += bits
+    if live_pending:
+        ranks.insert(0, ~live)
+    flush()
     out, _, _ = sort_batch_columns(tuple(ranks), batch)
     return out
