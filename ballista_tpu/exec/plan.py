@@ -970,8 +970,20 @@ def _compile_pieces_parallel(all_pieces, inputs: Dict[str, Batch]) -> Dict:
         out_spec, _ = jax.eval_shape(fn, in_spec)
         specs[key] = out_spec
         lowered.append((key, fn, in_spec))
+    timing = os.environ.get("BALLISTA_PIECE_TIMING") == "1"
+
+    def compile_one(key, f, s):
+        import sys
+        import time
+        t0 = time.time()
+        c = f.lower(s).compile()
+        if timing:
+            print(f"# compile {key:10s} {time.time() - t0:8.1f}s",
+                  file=sys.stderr, flush=True)
+        return c
+
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        futs = {key: ex.submit(lambda f=fn, s=in_spec: f.lower(s).compile())
+        futs = {key: ex.submit(compile_one, key, fn, in_spec)
                 for key, fn, in_spec in lowered}
         return {key: f.result() for key, f in futs.items()}
 
