@@ -151,6 +151,41 @@ def loadtest(sf: float, clients: int, requests: int, queries):
     return out
 
 
+def run_isolated(sf: float, queries, iterations: int, distributed: bool,
+                 per_query_timeout: int):
+    """Each query in its own subprocess with a hard timeout: one
+    pathological compile can't consume the whole suite's budget (the
+    reference's tpch.rs runs queries sequentially in-process; compile
+    latency makes isolation worth having here)."""
+    import json as _json
+    import subprocess
+
+    results = {}
+    for q in queries:
+        cmd = [sys.executable, "-m", "ballista_tpu.benchmarks.runner",
+               "--sf", str(sf), "--queries", str(q),
+               "--iterations", str(iterations)]
+        if distributed:
+            cmd.append("--distributed")
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=per_query_timeout)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            results[q] = _json.loads(line)["queries"][str(q)]
+            print(out.stdout.splitlines()[0], flush=True)
+        except subprocess.TimeoutExpired:
+            results[q] = {"error": f"timeout>{per_query_timeout}s"}
+            print(f"q{q:2d}  TIMEOUT >{per_query_timeout}s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            results[q] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"q{q:2d}  ERROR {type(e).__name__}: {e}", flush=True)
+    total = sum(r["ms"] for r in results.values() if "ms" in r)
+    print(json.dumps({"sf": sf, "total_ms": round(total, 1),
+                      "queries": results}))
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
@@ -158,6 +193,8 @@ def main(argv=None):
                     help="comma-separated query numbers (default: all)")
     ap.add_argument("--iterations", type=int, default=3)
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--isolate", type=int, default=None, metavar="SECONDS",
+                    help="run each query in a subprocess with this timeout")
     ap.add_argument("--loadtest", default=None, metavar="CLIENTSxREQUESTS",
                     help="e.g. 4x8: 4 concurrent clients, 8 requests each")
     args = ap.parse_args(argv)
@@ -166,6 +203,9 @@ def main(argv=None):
     if args.loadtest:
         c, r = args.loadtest.lower().split("x")
         loadtest(args.sf, int(c), int(r), queries)
+    elif args.isolate:
+        run_isolated(args.sf, queries, args.iterations, args.distributed,
+                     args.isolate)
     else:
         run(args.sf, queries, args.iterations, args.distributed)
 
