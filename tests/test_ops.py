@@ -129,3 +129,32 @@ def test_join_null_keys_never_match():
     got = list(np.asarray(m)[:2])
     assert got[0] == -1  # NULL = NULL is not a match
     assert got[1] == 1
+
+
+def test_packed_sort_key_edges():
+    """Bounded-key packing (ops/sort.py): int32 extremes, desc dict codes,
+    and null slots must order exactly like the unpacked rank path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ballista_tpu.batch import Batch, Column
+    from ballista_tpu.ops.sort import SortKeySpec, sort_batch
+
+    n = 128
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 5, n).astype(np.int32)
+    cvalid = rng.random(n) > 0.2
+    ints = rng.choice(np.array([-2**31, -1, 0, 7, 2**31 - 1]), n).astype(np.int32)
+    ivalid = rng.random(n) > 0.2
+    rows = np.arange(n, dtype=np.int64)
+    b = Batch((Column(jnp.asarray(codes), jnp.asarray(cvalid)),
+               Column(jnp.asarray(ints), jnp.asarray(ivalid)),
+               Column(jnp.asarray(rows), jnp.ones(n, bool))),
+              jnp.int32(n))
+
+    packed = [SortKeySpec(0, False, None, code_bound=5),
+              SortKeySpec(1, True, None, narrow=True)]
+    plain = [SortKeySpec(0, False, None), SortKeySpec(1, True, None)]
+    got = sort_batch(b, packed)
+    exp = sort_batch(b, plain)
+    assert np.array_equal(np.asarray(got.columns[2].data),
+                          np.asarray(exp.columns[2].data))
