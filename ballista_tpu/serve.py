@@ -32,8 +32,37 @@ def main(argv=None):
     ap.add_argument("--job-store", default=None,
                     help="sqlite path for HA job state (recovers on restart)")
     ap.add_argument("--task-slots", type=int, default=4)
+    ap.add_argument("--log-file", default=None,
+                    help="rolling log file (executor_process.rs rolling "
+                         "appender parity)")
+    ap.add_argument("--log-rotation", default="daily",
+                    choices=("minutely", "hourly", "daily", "never"),
+                    help="log rotation policy (LogRotationPolicy parity)")
+    ap.add_argument("--log-level", default="info",
+                    help="level, optionally per module: "
+                         "'info,ballista_tpu.scheduler=debug'")
     args = ap.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+
+    handlers = None
+    if args.log_file:
+        from logging.handlers import TimedRotatingFileHandler
+        when = {"minutely": "M", "hourly": "H", "daily": "D",
+                "never": "midnight"}[args.log_rotation]
+        fh = TimedRotatingFileHandler(
+            args.log_file, when=when,
+            backupCount=0 if args.log_rotation == "never" else 7)
+        handlers = [fh, logging.StreamHandler()]
+    parts = [p.strip() for p in args.log_level.split(",") if p.strip()]
+    root_level = (parts[0] if parts and "=" not in parts[0] else "info")
+    logging.basicConfig(
+        level=getattr(logging, root_level.upper(), logging.INFO),
+        handlers=handlers,
+        format="%(asctime)s %(levelname)s %(name)s %(message)s")
+    for p in parts:
+        if "=" in p:  # per-module level, executor_config_spec.toml:123-132
+            mod, lvl = p.split("=", 1)
+            logging.getLogger(mod).setLevel(
+                getattr(logging, lvl.upper(), logging.INFO))
 
     from .api import ApiServer
     from .client import SessionContext
