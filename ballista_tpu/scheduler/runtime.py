@@ -71,35 +71,46 @@ class DistributedRuntime:
         return self._table_cache[key]
 
     # -- stage execution --
-    def _compile_stage(self, stage: Stage):
+    def _shard_piece(self, eval_fn, is_root: bool):
+        """One shard_map'd jitted program evaluating `eval_fn` per shard.
+        Handoff between pieces is a leading-axis Batch (liveness mask
+        preserved for sparse-flow boundaries); the stage root keeps the
+        PartitionedBatch contract (stage roots are dense)."""
         from jax import shard_map
 
-        root = stage.root
-        leaf_ids = sorted({l.input_id for l in root.leaves()})
-
-        op_labels: List[str] = []
+        labels: List[str] = []
 
         def per_shard(inputs):
             batches = {}
-            for k, pb in inputs.items():
-                cols = tuple(Column(c.data[0], c.validity[0]) for c in pb.columns)
-                batches[k] = Batch(cols, pb.num_rows[0])
+            for k, v in inputs.items():
+                cols = tuple(Column(c.data[0], c.validity[0])
+                             for c in v.columns)
+                if isinstance(v, PartitionedBatch):
+                    batches[k] = Batch(cols, v.num_rows[0])
+                else:
+                    live = v.live[0] if v.live is not None else None
+                    batches[k] = Batch(cols, v.num_rows[0], live)
             with _TraceCtx() as tc:
-                out = root.evaluate(batches)
+                out = eval_fn(batches)
                 if tc.overflow:
                     overflow = tc.overflow[0]
                     for f in tc.overflow[1:]:
                         overflow = overflow | f
                 else:
                     overflow = jnp.bool_(False)
-                op_labels.clear()
-                op_labels.extend(l for l, _ in tc.op_rows)
+                labels.clear()
+                labels.extend(l for l, _ in tc.op_rows)
                 rows = jnp.stack([jnp.asarray(r, jnp.int32)
-                                  for _, r in tc.op_rows]) if tc.op_rows                     else jnp.zeros(0, jnp.int32)
-            out_pb = PartitionedBatch(
-                tuple(Column(c.data[None], c.validity[None]) for c in out.columns),
-                out.num_rows[None])
-            return out_pb, overflow[None], rows[None]
+                                  for _, r in tc.op_rows]) if tc.op_rows \
+                    else jnp.zeros(0, jnp.int32)
+            wrapped_cols = tuple(Column(c.data[None], c.validity[None])
+                                 for c in out.columns)
+            if is_root:
+                out_w = PartitionedBatch(wrapped_cols, out.num_rows[None])
+            else:
+                live = out.live[None] if out.live is not None else None
+                out_w = Batch(wrapped_cols, out.num_rows[None], live)
+            return out_w, overflow[None], rows[None]
 
         spec = P(PARTITION_AXIS)
         # check_vma=False: kernel while_loops carry constant-initialized
@@ -108,7 +119,84 @@ class DistributedRuntime:
         fn = shard_map(per_shard, mesh=self.mesh,
                        in_specs=(spec,), out_specs=(spec, spec, spec),
                        check_vma=False)
-        return jax.jit(fn), leaf_ids, op_labels
+        return jax.jit(fn), labels
+
+    def _compile_stage(self, stage: Stage):
+        import os
+
+        root = stage.root
+        leaf_ids = sorted({l.input_id for l in root.leaves()})
+
+        # piece-split stage bodies exactly like the local path
+        # (exec/plan.py _split_compile): TPU compile time is superlinear
+        # in program size, and a stage with several broadcast joins is as
+        # big as a local multi-join plan
+        from ..exec.plan import _CUT_NODE_NAMES, _HEAVY_NODE_NAMES, \
+            _needed_inputs
+        order, seen = [], set()
+
+        def post(n):
+            if id(n) in seen:
+                return
+            seen.add(id(n))
+            for c in n.children:
+                post(c)
+            order.append(n)
+
+        post(root)
+        heavy = [n for n in order if type(n).__name__ in _HEAVY_NODE_NAMES]
+        cuts = [n for n in order
+                if type(n).__name__ in _CUT_NODE_NAMES and n is not root]
+        split = os.environ.get("BALLISTA_SPLIT_STAGES", "1") != "0"
+        if not split or len(heavy) < 2 or not cuts:
+            fn, labels = self._shard_piece(root.evaluate, True)
+            return fn, leaf_ids, labels
+
+        cached = getattr(root, "_stage_split_cache", None)
+        if cached is not None:
+            return cached
+        patched: Dict[int, str] = {}
+        pieces = []
+        for k, n in enumerate(cuts):
+            key = f"__sp{stage.stage_id}_{k}"
+            ids = _needed_inputs(n, patched)
+            pfn, plabels = self._shard_piece(n.evaluate, False)
+            pieces.append((key, pfn, ids, plabels))
+            patched[id(n)] = key
+
+            def _read(batches, _key=key):
+                return batches[_key]
+
+            n.evaluate = _read
+        root_ids = _needed_inputs(root, patched)
+        rfn, rlabels = self._shard_piece(root.evaluate, True)
+        op_labels: List[str] = []
+
+        def run(inputs):
+            vals = dict(inputs)
+            flags, rows_list, labels = [], [], []
+            for key, pfn, ids, plabels in pieces:
+                out, ov, rows = pfn({i: vals[i] for i in ids})
+                vals[key] = out
+                flags.append(ov)
+                rows_list.append(rows)
+                labels.extend(plabels)
+            out, ov, rows = rfn({i: vals[i] for i in root_ids})
+            flags.append(ov)
+            rows_list.append(rows)
+            labels.extend(rlabels)
+            op_labels[:] = labels
+            overflow = flags[0]
+            for f in flags[1:]:
+                overflow = overflow | f
+            all_rows = jnp.concatenate(
+                [r for r in rows_list if r.shape[1]], axis=1) \
+                if any(r.shape[1] for r in rows_list) \
+                else rows_list[0]
+            return out, overflow, all_rows
+
+        root._stage_split_cache = (run, leaf_ids, op_labels)
+        return root._stage_split_cache
 
     def execute(self, dplan: DistributedPlan):
         outputs: Dict[str, PartitionedBatch] = {}
