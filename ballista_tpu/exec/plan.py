@@ -464,6 +464,15 @@ class HashJoinExec(ExecNode):
                 blive,
                 tuple(c.data for c in pkeys), tuple(c.validity for c in pkeys),
                 plive)
+        elif build_b.capacity <= 256:
+            # tiny build (nation/region scale): fused broadcast compare —
+            # zero sorts vs the cosort's two (ops/merge_join.py)
+            from ..ops.merge_join import tiny_probe_unique
+            match = tiny_probe_unique(
+                tuple(c.data for c in bkeys), tuple(c.validity for c in bkeys),
+                blive,
+                tuple(c.data for c in pkeys), tuple(c.validity for c in pkeys),
+                plive)
         else:
             from ..ops.merge_join import merge_probe_unique
             match = merge_probe_unique(
