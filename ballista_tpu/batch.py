@@ -188,6 +188,7 @@ def from_arrow(table, capacity: int | None = None,
     schema = schema_from_arrow(table.schema)
     cols = []
     dicts = {}
+    int_bounds = {}
     for i, f in enumerate(schema.fields):
         arr = table.column(i).combine_chunks()
         if isinstance(arr, pa.ChunkedArray):
@@ -232,8 +233,15 @@ def from_arrow(table, capacity: int | None = None,
             if arr.null_count:
                 arr = arr.fill_null(False if pa.types.is_boolean(arr.type) else 0)
             values = np.asarray(arr).astype(_np_dtype_for(f.dtype))
+        if f.dtype.kind in (TypeKind.INT32, TypeKind.INT64,
+                            TypeKind.DATE32, TypeKind.DECIMAL) and n:
+            vv = values[validity] if not validity.all() else values
+            if len(vv):
+                # value bounds let sort/join/group keys pack into shared
+                # int64 limbs downstream (planning metadata)
+                int_bounds[f.name] = (int(vv.min()), int(vv.max()))
         cols.append(make_column(values, validity, f.dtype, cap))
-    schema = Schema(schema.fields, dicts)
+    schema = Schema(schema.fields, dicts, int_bounds)
     return Batch(tuple(cols), jnp.int32(n)), schema
 
 

@@ -146,7 +146,9 @@ class ProjectExec(ExecNode):
             base = e.child if isinstance(e, Alias) else e
             if isinstance(base, Col) and child.schema.dictionary(base.name) is not None:
                 dicts[n] = child.schema.dictionary(base.name)
-        self.schema = Schema(fields, dicts)
+        bounds = {n: b.int_bound
+                  for n, b in zip(names, self._bounds) if b.int_bound}
+        self.schema = Schema(fields, dicts, bounds)
         self.capacity = child.capacity
 
     def evaluate(self, inputs):
@@ -274,7 +276,18 @@ class HashAggregateExec(ExecNode):
                         out_name = (f"{a.name}#s0" if mode == "partial"
                                     else a.name)
                         dicts[out_name] = in_schema.dictionary(base.name)
-        self.schema = Schema(key_fields + agg_fields, dicts)
+        bounds = {n: b.int_bound
+                  for n, b in zip(self._group_names, self._group_bounds)
+                  if b.int_bound}
+        for a in aggs:
+            if a.kind in ("min", "max", "carry") and a.arg is not None:
+                base = a.arg.child if isinstance(a.arg, Alias) else a.arg
+                if isinstance(base, Col):
+                    ib = in_schema.int_bound(base.name)
+                    if ib is not None:
+                        bounds[f"{a.name}#s0" if mode == "partial"
+                               else a.name] = ib
+        self.schema = Schema(key_fields + agg_fields, dicts, bounds)
 
     def evaluate(self, inputs):
         from .distributed import _TraceCtx
@@ -317,8 +330,19 @@ class HashAggregateExec(ExecNode):
                                               self._key_nullables)
                 norm = [slot.astype(jnp.int64)]
             else:
-                norm = _norm_keys(tuple(c.data for c in key_cols),
-                                  tuple(c.validity for c in key_cols))
+                # pack bounded keys into shared limbs: the grouping sort's
+                # operand count drops (e.g. (l_orderkey, l_suppkey) dedups
+                # become one-key sorts)
+                from ..ops.hash import pack_key_columns, plan_key_packing
+                kb = [gb.int_bound
+                      or ((0, gb.code_bound - 1) if gb.code_bound else None)
+                      for gb in self._group_bounds]
+                grp, unp = plan_key_packing(kb, null_slots=True)
+                kcols = key_cols
+                if len(grp) + len(unp) < len(key_cols):
+                    kcols = pack_key_columns(key_cols, grp, unp, True)
+                norm = _norm_keys(tuple(c.data for c in kcols),
+                                  tuple(c.validity for c in kcols))
             # presort the WHOLE batch by the group keys with one variadic
             # sort (ops/vsort.py): every aggregate then reads presorted
             # columns instead of paying a ~90ms/col random gather
@@ -424,6 +448,21 @@ class HashJoinExec(ExecNode):
             self.capacity = round_capacity(self.capacity + build.capacity)
         self._build_idx = [build.schema.index_of(a) for a, _ in on]
         self._probe_idx = [probe.schema.index_of(b) for _, b in on]
+        # multi-key joins: pack bounded keys into shared limbs (both
+        # sides use the merged bounds so equality is preserved) — the
+        # join's cosort drops key operands
+        self._key_pack = None
+        if len(on) > 1:
+            merged = []
+            for a, b in on:
+                ba = build.schema.int_bound(a)
+                pb = probe.schema.int_bound(b)
+                merged.append(None if ba is None or pb is None
+                              else (min(ba[0], pb[0]), max(ba[1], pb[1])))
+            from ..ops.hash import plan_key_packing
+            grp, unp = plan_key_packing(merged, null_slots=False)
+            if len(grp) + len(unp) < len(on):
+                self._key_pack = (grp, unp)
         if join_type in ("semi", "anti"):
             self.schema = probe.schema
         else:
@@ -432,10 +471,12 @@ class HashJoinExec(ExecNode):
                 fields = tuple(Field(f.name, f.dtype, True) for f in fields)
             dicts = dict(build.schema.dictionaries)
             dicts.update(probe.schema.dictionaries)
+            bounds = dict(build.schema.int_bounds)
+            bounds.update(probe.schema.int_bounds)
             names = [f.name for f in fields]
             if len(set(names)) != len(names):
                 raise ValueError(f"duplicate column names in join output: {names}")
-            self.schema = Schema(fields, dicts)
+            self.schema = Schema(fields, dicts, bounds)
 
     def evaluate(self, inputs):
         build_b = self.children[0].evaluate(inputs)
@@ -451,6 +492,11 @@ class HashJoinExec(ExecNode):
         if self._probe_pre is not None:
             c = self._probe_pre.fn(probe_b)
             plive = plive & c.data.astype(jnp.bool_) & c.validity
+        if self._key_pack is not None:
+            from ..ops.hash import pack_key_columns
+            grp, unp = self._key_pack
+            bkeys = pack_key_columns(bkeys, grp, unp, False)
+            pkeys = pack_key_columns(pkeys, grp, unp, False)
         if not self.unique_build:
             return self._evaluate_expanding(build_b, probe_b, bkeys, pkeys,
                                             blive, plive)
@@ -582,10 +628,12 @@ class CrossJoinExec(ExecNode):
         fields = build.schema.fields + probe.schema.fields
         dicts = dict(build.schema.dictionaries)
         dicts.update(probe.schema.dictionaries)
+        bounds = dict(build.schema.int_bounds)
+        bounds.update(probe.schema.int_bounds)
         names = [f.name for f in fields]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate column names in join output: {names}")
-        self.schema = Schema(fields, dicts)
+        self.schema = Schema(fields, dicts, bounds)
 
     def evaluate(self, inputs):
         from .distributed import _TraceCtx
@@ -634,7 +682,8 @@ class DictRemapExec(ExecNode):
                       for n, l in luts.items()}
         dicts = dict(child.schema.dictionaries)
         dicts.update(new_dicts)
-        self.schema = Schema(child.schema.fields, dicts)
+        self.schema = Schema(child.schema.fields, dicts,
+                             child.schema.int_bounds)
 
     def evaluate(self, inputs):
         b = self.children[0].evaluate(inputs)
@@ -669,7 +718,9 @@ class SortExec(ExecNode):
         specs = [SortKeySpec(ncols + i, asc, nf, code_bound=kb.code_bound,
                              narrow=kb.dtype.kind in (TypeKind.INT32,
                                                       TypeKind.DATE32,
-                                                      TypeKind.BOOL))
+                                                      TypeKind.BOOL),
+                             lo=kb.int_bound[0] if kb.int_bound else None,
+                             hi=kb.int_bound[1] if kb.int_bound else None)
                  for i, (kb, asc, nf) in enumerate(self._key_bounds)]
         out = sort_batch(tmp, specs)
         return Batch(out.columns[:ncols], out.num_rows)

@@ -192,7 +192,8 @@ class WindowExec(ExecNode):
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate column names in window output: {names}")
         self.schema = Schema(in_schema.fields + tuple(new_fields),
-                             dict(in_schema.dictionaries))
+                             dict(in_schema.dictionaries),
+                             in_schema.int_bounds)
         # group specs by shared clause
         self._groups: Dict[Tuple, List[int]] = {}
         for i, s in enumerate(self.specs):

@@ -311,6 +311,10 @@ class Bound:
     # (dictionary size, 2 for bool) — lets the aggregate planner use
     # direct composite group slots instead of a hash table
     code_bound: Optional[int] = None
+    # ingest-time (lo, hi) value bounds for integer/date/decimal columns
+    # (schema.int_bounds) — lets sort/join/group keys pack into shared
+    # int64 limbs
+    int_bound: Optional[tuple] = None
 
 
 def _const_column(value, dtype: DataType, valid: bool = True):
@@ -592,7 +596,8 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
         elif f.dtype.kind is TypeKind.BOOL:
             bound = 2
         return Bound(f.dtype, f.nullable, lambda batch: batch.columns[idx],
-                     dictionary=dic, code_bound=bound)
+                     dictionary=dic, code_bound=bound,
+                     int_bound=schema.int_bound(e.name))
 
     if isinstance(e, Lit):
         dtype = e.dtype or infer_lit_dtype(e.value)
@@ -926,6 +931,19 @@ def _bind_scalar_fn(e: ScalarFn, schema: Schema) -> Bound:
             return Column(data, valid)
         return Bound(out, all(p.nullable for p in parts), fn)
     raise NotImplementedError(f"scalar function {e.name}")
+
+
+def propagate_bounds(exprs, names, in_schema: Schema) -> dict:
+    """{out_name: (lo, hi)} for passthrough (possibly aliased) columns —
+    the int-bounds analog of per-site dictionary propagation."""
+    out = {}
+    for e, n in zip(exprs, names):
+        base = e.child if isinstance(e, Alias) else e
+        if isinstance(base, Col):
+            b = in_schema.int_bound(base.name)
+            if b is not None:
+                out[n] = b
+    return out
 
 
 def output_field(e: Expr, schema: Schema) -> Field:

@@ -74,6 +74,70 @@ def _norm_keys(key_datas, key_valids):
     return out
 
 
+def plan_key_packing(bounds, null_slots: bool, max_bits: int = 62):
+    """Static packing plan for equality keys with known value bounds.
+
+    bounds: per key, (lo, hi) or None. Keys with bounds pack into shared
+    <=62-bit int64 limbs (equality-preserving bijection; sort compile
+    time is superlinear in operand count and every limb saved is ~11ms
+    of data movement at 6M rows). null_slots=True reserves slot 0 per
+    field so NULL forms its own group (grouping semantics); False leaves
+    NULL to the packed column's validity (join semantics: null keys
+    never match). Field widths round up to 4-bit multiples so compiled
+    programs survive modest data growth. Returns (groups, unpacked):
+    groups = lists of (key_index, lo, bits); unpacked = key indices kept
+    as their own operand."""
+    fields = []
+    for b in bounds:
+        if b is None:
+            fields.append(None)
+            continue
+        lo, hi = int(b[0]), int(b[1])
+        span = hi - lo
+        need = (span + (2 if null_slots else 1)).bit_length()
+        bits = max(((need + 3) // 4) * 4, 4)
+        fields.append((lo, bits) if bits <= max_bits else None)
+    groups, cur, cur_bits, unpacked = [], [], 0, []
+    for i, f in enumerate(fields):
+        if f is None:
+            unpacked.append(i)
+            continue
+        lo, bits = f
+        if cur and cur_bits + bits > max_bits:
+            groups.append(cur)
+            cur, cur_bits = [], 0
+        cur.append((i, lo, bits))
+        cur_bits += bits
+    if cur:
+        groups.append(cur)
+    return groups, unpacked
+
+
+def pack_key_columns(cols, groups, unpacked, null_slots: bool):
+    """Apply a plan_key_packing plan to a list of Columns; returns the
+    reduced column list (packed limbs first, then unpacked keys)."""
+    from ..batch import Column
+    out = []
+    for g in groups:
+        v = None
+        valid_all = None
+        for i, lo, bits in g:
+            c = cols[i]
+            d = c.data.astype(jnp.int64) - jnp.int64(lo)
+            if null_slots:
+                fv = jnp.where(c.validity, d + 1, jnp.int64(0))
+            else:
+                fv = jnp.where(c.validity, d, jnp.int64(0))
+                valid_all = (c.validity if valid_all is None
+                             else valid_all & c.validity)
+            v = fv if v is None else ((v << bits) | fv)
+        validity = (jnp.ones_like(v, dtype=jnp.bool_) if null_slots
+                    else valid_all)
+        out.append(Column(v, validity))
+    out.extend(cols[i] for i in unpacked)
+    return out
+
+
 @partial(jax.jit, static_argnames=("table_size",))
 def group_codes(key_datas: Tuple[jax.Array, ...],
                 key_valids: Tuple[jax.Array, ...],

@@ -27,9 +27,12 @@ class SortKeySpec(NamedTuple):
     nulls_first: bool | None = None  # None -> DataFusion default
     # static packing metadata (sort compile time is superlinear in operand
     # count): code_bound = exclusive code upper bound (dict/bool columns);
-    # narrow = 32-bit integer/date column (packs as a biased 33-bit field)
+    # narrow = 32-bit integer/date column (packs as a biased 33-bit field);
+    # lo/hi = ingest-time value bounds (schema.int_bounds)
     code_bound: int | None = None
     narrow: bool = False
+    lo: int | None = None
+    hi: int | None = None
 
 
 def sort_perm(batch: Batch, keys: Sequence[SortKeySpec]) -> jax.Array:
@@ -87,6 +90,19 @@ def _packed_field(col: Column, spec: SortKeySpec):
                         code + (1 if nulls_first else 0),
                         jnp.int64(0 if nulls_first else B))
         return (B + 1).bit_length(), val
+    if spec.lo is not None and spec.hi is not None:
+        span = int(spec.hi) - int(spec.lo)
+        # round width to 4-bit multiples: compiled programs survive
+        # modest data growth (bounds are compile-time constants)
+        bits = max((((span + 2).bit_length() + 3) // 4) * 4, 4)
+        if bits <= 62:
+            v = col.data.astype(jnp.int64) - jnp.int64(spec.lo)
+            if not spec.ascending:
+                v = span - v
+            val = jnp.where(col.validity,
+                            v + (1 if nulls_first else 0),
+                            jnp.int64(0 if nulls_first else span + 1))
+            return bits, val
     if spec.narrow:
         v = col.data.astype(jnp.int64) + (jnp.int64(1) << 31)  # [0, 2^32)
         if not spec.ascending:

@@ -101,7 +101,9 @@ class Projection(LogicalPlan):
             base = e.child if isinstance(e, Alias) else e
             if isinstance(base, Col) and in_schema.dictionary(base.name) is not None:
                 dicts[n] = in_schema.dictionary(base.name)
-        return Schema(tuple(fields), dicts)
+        from ..exprs import propagate_bounds
+        bounds = propagate_bounds(self.exprs, names, in_schema)
+        return Schema(tuple(fields), dicts, bounds)
 
     def children(self):
         return (self.input,)
@@ -132,17 +134,23 @@ class Aggregate(LogicalPlan):
             base = e.child if isinstance(e, Alias) else e
             if isinstance(base, Col) and in_schema.dictionary(base.name) is not None:
                 dicts[n] = in_schema.dictionary(base.name)
+        from ..exprs import propagate_bounds
+        bounds = propagate_bounds(self.group_exprs, names, in_schema)
         for a in self.aggs:
             ba = BoundAgg(a, in_schema)
             fields.append(ba.out_field)
             # min/max over a dictionary-coded column stay in code space
-            # (sorted dictionaries make code-extrema exact): keep the dict
+            # (sorted dictionaries make code-extrema exact): keep the dict;
+            # same for int bounds (extrema/carries stay in range)
             if a.kind in ("min", "max", "carry") and a.arg is not None:
                 base = a.arg.child if isinstance(a.arg, Alias) else a.arg
-                if (isinstance(base, Col)
-                        and in_schema.dictionary(base.name) is not None):
-                    dicts[ba.out_field.name] = in_schema.dictionary(base.name)
-        return Schema(tuple(fields), dicts)
+                if isinstance(base, Col):
+                    if in_schema.dictionary(base.name) is not None:
+                        dicts[ba.out_field.name] = in_schema.dictionary(base.name)
+                    ib = in_schema.int_bound(base.name)
+                    if ib is not None:
+                        bounds[ba.out_field.name] = ib
+        return Schema(tuple(fields), dicts, bounds)
 
     def children(self):
         return (self.input,)
@@ -199,7 +207,9 @@ class Join(LogicalPlan):
             fields = tuple(Field(f.name, f.dtype, True) for f in fields)
         dicts = dict(ls.dictionaries)
         dicts.update(rs.dictionaries)
-        return Schema(fields, dicts)
+        bounds = dict(ls.int_bounds)
+        bounds.update(rs.int_bounds)
+        return Schema(fields, dicts, bounds)
 
     def children(self):
         return (self.left, self.right)
@@ -223,7 +233,8 @@ class Window(LogicalPlan):
         in_schema = self.input.schema()
         fields = in_schema.fields + tuple(
             _out_field(s, in_schema) for s in self.specs)
-        return Schema(fields, dict(in_schema.dictionaries))
+        return Schema(fields, dict(in_schema.dictionaries),
+                      in_schema.int_bounds)
 
     def children(self):
         return (self.input,)

@@ -117,9 +117,16 @@ class Schema:
     """
 
     def __init__(self, fields: Tuple[Field, ...],
-                 dictionaries: Optional[dict] = None):
+                 dictionaries: Optional[dict] = None,
+                 int_bounds: Optional[dict] = None):
         self.fields = tuple(fields)
         self.dictionaries = dict(dictionaries or {})  # name -> np.ndarray[str]
+        # name -> (lo, hi): ingest-time value bounds for integer/date/
+        # decimal columns. Planning metadata that lets sort/join/group
+        # keys pack into shared int64 limbs (sort compile time is
+        # superlinear in operand count); safe to drop anywhere — packing
+        # simply doesn't happen.
+        self.int_bounds = dict(int_bounds or {})
         self._index = {f.name: i for i, f in enumerate(self.fields)}
 
     def __len__(self):
@@ -145,19 +152,24 @@ class Schema:
     def dictionary(self, name: str) -> Optional[np.ndarray]:
         return self.dictionaries.get(name)
 
+    def int_bound(self, name: str):
+        return self.int_bounds.get(name)
+
     def with_dictionary(self, name: str, dictionary: np.ndarray) -> "Schema":
         d = dict(self.dictionaries)
         d[name] = dictionary
-        return Schema(self.fields, d)
+        return Schema(self.fields, d, self.int_bounds)
 
     def select(self, names) -> "Schema":
         fields = tuple(self.field(n) for n in names)
         dicts = {n: self.dictionaries[n] for n in names if n in self.dictionaries}
-        return Schema(fields, dicts)
+        bounds = {n: self.int_bounds[n] for n in names if n in self.int_bounds}
+        return Schema(fields, dicts, bounds)
 
     def rename(self, mapping: dict) -> "Schema":
         fields = tuple(
             Field(mapping.get(f.name, f.name), f.dtype, f.nullable) for f in self.fields
         )
         dicts = {mapping.get(n, n): d for n, d in self.dictionaries.items()}
-        return Schema(fields, dicts)
+        bounds = {mapping.get(n, n): b for n, b in self.int_bounds.items()}
+        return Schema(fields, dicts, bounds)
