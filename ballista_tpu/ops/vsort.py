@@ -129,20 +129,25 @@ def rank_in_sorted(csum: jax.Array, M: int) -> jax.Array:
     ordered before equal j entries; a j entry's sorted position p has j
     smaller-j entries before it, so #csum-entries <= j is p - j."""
     npn = csum.shape[0]
-    j32 = jnp.arange(M, dtype=jnp.int32)
-    keys = jnp.concatenate([csum.astype(jnp.int64),
-                            j32.astype(jnp.int64)])
-    flag = jnp.concatenate([jnp.zeros(npn, jnp.int32),
-                            jnp.ones(M, jnp.int32)])
-    jval = jnp.concatenate([jnp.zeros(npn, jnp.int32), j32])
-    out = jax.lax.sort((keys, flag, jval), num_keys=2, is_stable=False)
-    pos = jnp.arange(npn + M, dtype=jnp.int32)
-    i_sorted = pos - out[2]
-    # route j entries back to j order (csum entries sink via BIG key)
-    BIG = jnp.int32(2**31 - 1)
-    back_key = jnp.where(out[1] == 1, out[2], BIG)
-    back = jax.lax.sort((back_key, i_sorted), num_keys=1, is_stable=True)
-    return back[1][:M]
+    j64 = jnp.arange(M, dtype=jnp.int64)
+    # ONE packed operand per sort (operand count drives compile time):
+    # (value << mb+1) | (is_j << mb) | j. csum entries clip to M — they
+    # compare identically against every j < M and only their count below
+    # a j matters.
+    mb = max(M, 1).bit_length()
+    a = jnp.minimum(csum.astype(jnp.int64), jnp.int64(M)) << (mb + 1)
+    b = (j64 << (mb + 1)) | (jnp.int64(1) << mb) | j64
+    (s,) = jax.lax.sort((jnp.concatenate([a, b]),), num_keys=1,
+                        is_stable=False)
+    pos = jnp.arange(npn + M, dtype=jnp.int64)
+    jv = s & ((jnp.int64(1) << mb) - 1)
+    isj = ((s >> mb) & 1).astype(jnp.bool_)
+    i_sorted = pos - jv
+    # route j entries back to j order (csum entries sink via sentinel M)
+    bk = jnp.where(isj, jv, jnp.int64(M))
+    limb = (bk << 31) | i_sorted
+    (sb,) = jax.lax.sort((limb,), num_keys=1, is_stable=False)
+    return (sb & ((jnp.int64(1) << 31) - 1)).astype(jnp.int32)[:M]
 
 
 def first_positions(first: jax.Array, T: int) -> jax.Array:
@@ -150,9 +155,10 @@ def first_positions(first: jax.Array, T: int) -> jax.Array:
     count — callers mask). One stable bool-keyed sort instead of a T-query
     searchsorted over the cumsum."""
     n = first.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    out = jax.lax.sort((~first, pos), num_keys=1, is_stable=True)
-    return out[1][:T]
+    pos = jnp.arange(n, dtype=jnp.int64)
+    limb = ((~first).astype(jnp.int64) << 32) | pos
+    (out,) = jax.lax.sort((limb,), num_keys=1, is_stable=False)
+    return (out & 0xFFFFFFFF).astype(jnp.int32)[:T]
 
 
 def compact_batch(batch: Batch, keep: jax.Array) -> Batch:
