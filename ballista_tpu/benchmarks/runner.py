@@ -27,7 +27,8 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def run(sf: float, queries, iterations: int, distributed: bool):
+def run(sf: float, queries, iterations: int, distributed: bool,
+        lazy_ingest: bool = False):
     import jax
     _enable_compile_cache()
     from .. import batch as B
@@ -43,10 +44,14 @@ def run(sf: float, queries, iterations: int, distributed: bool):
     register_tpch(ctx, sf)
     print(f"# datagen {time.time() - t0:.1f}s", file=sys.stderr)
 
-    t0 = time.time()
-    for tp in ctx.tables.values():
-        tp._ensure()
-    print(f"# ingest {time.time() - t0:.1f}s", file=sys.stderr)
+    if not lazy_ingest:
+        # lazy_ingest skips the warm pass: tables ingest on first use and
+        # the cost lands in that query's compile_s (at SF10+ eagerly
+        # dict-encoding every table's comment strings costs minutes)
+        t0 = time.time()
+        for tp in ctx.tables.values():
+            tp._ensure()
+        print(f"# ingest {time.time() - t0:.1f}s", file=sys.stderr)
 
     mesh = None
     if distributed:
@@ -193,6 +198,8 @@ def main(argv=None):
                     help="comma-separated query numbers (default: all)")
     ap.add_argument("--iterations", type=int, default=3)
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--lazy-ingest", action="store_true",
+                    help="skip the eager table-ingest warm pass")
     ap.add_argument("--isolate", type=int, default=None, metavar="SECONDS",
                     help="run each query in a subprocess with this timeout")
     ap.add_argument("--loadtest", default=None, metavar="CLIENTSxREQUESTS",
@@ -207,7 +214,8 @@ def main(argv=None):
         run_isolated(args.sf, queries, args.iterations, args.distributed,
                      args.isolate)
     else:
-        run(args.sf, queries, args.iterations, args.distributed)
+        run(args.sf, queries, args.iterations, args.distributed,
+            lazy_ingest=args.lazy_ingest)
 
 
 if __name__ == "__main__":
