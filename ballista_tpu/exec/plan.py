@@ -452,17 +452,33 @@ class HashJoinExec(ExecNode):
         # sides use the merged bounds so equality is preserved) — the
         # join's cosort drops key operands
         self._key_pack = None
+        merged = []
+        for a, b in on:
+            ba = build.schema.int_bound(a)
+            pb = probe.schema.int_bound(b)
+            merged.append(None if ba is None or pb is None
+                          else (min(ba[0], pb[0]), max(ba[1], pb[1])))
         if len(on) > 1:
-            merged = []
-            for a, b in on:
-                ba = build.schema.int_bound(a)
-                pb = probe.schema.int_bound(b)
-                merged.append(None if ba is None or pb is None
-                              else (min(ba[0], pb[0]), max(ba[1], pb[1])))
             from ..ops.hash import plan_key_packing
             grp, unp = plan_key_packing(merged, null_slots=False)
             if len(grp) + len(unp) < len(on):
                 self._key_pack = (grp, unp)
+        # fully-packed single-operand merge (merge_probe_unique_packed):
+        # the (possibly multi-key-packed) single key has known bounds, so
+        # key + concat-index + build flag share one sort operand
+        self._merge_pack = None
+        ib = (2 * (build.capacity + probe.capacity) + 1).bit_length()
+        if len(on) == 1 and merged[0] is not None:
+            lo, hi = merged[0]
+            kb = max(((hi - lo + 3).bit_length() + 3) // 4 * 4, 4)
+            if kb + ib <= 62:
+                self._merge_pack = (int(lo), kb)
+        elif self._key_pack is not None:
+            grp, unp = self._key_pack
+            if len(grp) == 1 and not unp:
+                kb = sum(bits for _, _, bits in grp[0]) + 1
+                if kb + ib <= 62:
+                    self._merge_pack = (0, kb)
         if join_type in ("semi", "anti"):
             self.schema = probe.schema
         else:
@@ -519,6 +535,13 @@ class HashJoinExec(ExecNode):
                 blive,
                 tuple(c.data for c in pkeys), tuple(c.validity for c in pkeys),
                 plive)
+        elif self._merge_pack is not None:
+            # bounded single key: key/index/flag share one sort operand
+            from ..ops.merge_join import merge_probe_unique_packed
+            lo, kb = self._merge_pack
+            match = merge_probe_unique_packed(
+                bkeys[0].data, bkeys[0].validity, blive,
+                pkeys[0].data, pkeys[0].validity, plive, lo=lo, key_bits=kb)
         else:
             from ..ops.merge_join import merge_probe_unique
             match = merge_probe_unique(

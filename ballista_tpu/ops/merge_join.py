@@ -99,6 +99,60 @@ def tiny_probe_unique(build_keys: Tuple[jax.Array, ...],
     return jnp.where(p_ok, m - 1, -1)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("lo", "key_bits"))
+def merge_probe_unique_packed(build_key: jax.Array, build_valid: jax.Array,
+                              build_live: jax.Array,
+                              probe_key: jax.Array, probe_valid: jax.Array,
+                              probe_live: jax.Array,
+                              lo: int, key_bits: int) -> jax.Array:
+    """Single-key co-sort merge probe where the key has known value
+    bounds: key, concat-index, and build flag share ONE int64 sort
+    operand — and concat order in the low bits makes the sort implicitly
+    stable (build rows precede probes of the same key), so the whole
+    match is one unstable single-operand sort + cummax + one more
+    single-operand route-back sort. Slot layout: [0, span] = biased key,
+    span+1 = NULL key, span+2 = dead row (NULL/NULL pairs fall in one
+    run but probe nulls are post-filtered to -1, as in the generic
+    path)."""
+    nb = build_key.shape[0]
+    np_ = probe_key.shape[0]
+    n = nb + np_
+    ib = (2 * n + 1).bit_length()  # bits for (cidx << 1 | flag)
+    span_null = (jnp.int64(1) << key_bits) - 2  # NULL slot
+    span_dead = span_null + 1                   # dead slot
+
+    def slot(key, valid, live):
+        biased = key.astype(jnp.int64) - jnp.int64(lo)
+        s = jnp.where(valid, biased, span_null)
+        return jnp.where(live, s, span_dead)
+
+    cidx = jnp.arange(n, dtype=jnp.int64)
+    flag = jnp.concatenate([build_live,
+                            jnp.zeros(np_, dtype=jnp.bool_)])
+    comb = (jnp.concatenate([slot(build_key, build_valid, build_live),
+                             slot(probe_key, probe_valid, probe_live)])
+            << ib) | (cidx << 1) | flag.astype(jnp.int64)
+    (s,) = jax.lax.sort((comb,), num_keys=1, is_stable=False)
+    s_keys = s >> ib
+    s_packed = (s & ((jnp.int64(1) << ib) - 1)).astype(jnp.int32)
+    pos, first = _runs([s_keys], n)
+
+    head, _ = _run_head_fill(pos, first, s_packed.astype(jnp.int64), n)
+    head_is_build = (head & 1).astype(jnp.bool_)
+    matched_sorted = jnp.where(head_is_build,
+                               (head >> 1).astype(jnp.int32), -1)
+
+    s_cidx = s_packed >> 1
+    limb = (s_cidx.astype(jnp.int64) << 32) | (
+        (matched_sorted + 1).astype(jnp.int64))
+    (limb,) = jax.lax.sort((limb,), num_keys=1, is_stable=False)
+    match = (limb & 0xFFFFFFFF).astype(jnp.int32)[nb:] - 1
+    return jnp.where(probe_live & probe_valid, match, -1)
+
+
 @jax.jit
 def merge_probe_unique(build_keys: Tuple[jax.Array, ...],
                        build_valids: Tuple[jax.Array, ...],
