@@ -470,7 +470,7 @@ class HashJoinExec(ExecNode):
         ib = (2 * (build.capacity + probe.capacity) + 1).bit_length()
         if len(on) == 1 and merged[0] is not None:
             lo, hi = merged[0]
-            kb = max(((hi - lo + 3).bit_length() + 3) // 4 * 4, 4)
+            kb = max(((hi - lo + 5).bit_length() + 3) // 4 * 4, 4)
             if kb + ib <= 62:
                 self._merge_pack = (int(lo), kb)
         elif self._key_pack is not None:
@@ -606,13 +606,15 @@ class HashJoinExec(ExecNode):
         from ..ops.expand_join import expand_join
         from .distributed import _TraceCtx
 
+        lo, kb = self._merge_pack or (None, None)
         em = expand_join(tuple(c.data for c in bkeys),
                          tuple(c.validity for c in bkeys), blive,
                          tuple(c.data for c in pkeys),
                          tuple(c.validity for c in pkeys), plive,
                          self.table_size, self.out_capacity,
                          left_outer=self.join_type in ("left_outer",
-                                                       "full_outer"))
+                                                       "full_outer"),
+                         lo=lo, key_bits=kb)
         _TraceCtx.record_overflow(em.overflow)
         matched = em.build_row >= 0
         bsafe = jnp.clip(em.build_row, 0, build_b.capacity - 1)

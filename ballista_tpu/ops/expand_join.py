@@ -43,7 +43,8 @@ class ExpandedMatch(NamedTuple):
                               # (feeds FULL OUTER's unmatched-build append)
 
 
-@partial(jax.jit, static_argnames=("table_size", "out_capacity", "left_outer"))
+@partial(jax.jit, static_argnames=("table_size", "out_capacity",
+                                   "left_outer", "lo", "key_bits"))
 def expand_join(build_keys: Tuple[jax.Array, ...],
                 build_valids: Tuple[jax.Array, ...],
                 build_live: jax.Array,
@@ -51,16 +52,14 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
                 probe_valids: Tuple[jax.Array, ...],
                 probe_live: jax.Array,
                 table_size: int, out_capacity: int,
-                left_outer: bool = False) -> ExpandedMatch:
+                left_outer: bool = False,
+                lo=None, key_bits=None) -> ExpandedMatch:
     # table_size retained for signature compatibility; unused (no table).
     nb = build_keys[0].shape[0]
     np_ = probe_keys[0].shape[0]
     n = nb + np_
     DEAD = jnp.int64(2**62)
 
-    b_norm = _norm_keys(build_keys, build_valids)
-    p_norm = _norm_keys(probe_keys, probe_valids)
-    # null probe keys never match: normalize them to a distinct sentinel
     p_any_null = jnp.zeros(np_, dtype=jnp.bool_)
     for v in probe_valids:
         p_any_null = p_any_null | ~v
@@ -69,12 +68,33 @@ def expand_join(build_keys: Tuple[jax.Array, ...],
         b_any_null = b_any_null | ~v
     b_ok = build_live & ~b_any_null
     p_ok = probe_live & ~p_any_null
-    comb = [jnp.concatenate([jnp.where(b_ok, bk, DEAD),
-                             jnp.where(p_ok, pk, DEAD - 1)])
-            for bk, pk in zip(b_norm, p_norm)]
-    is_build = jnp.concatenate([b_ok, jnp.zeros(np_, dtype=jnp.bool_)])
-
-    s_keys, s_packed = _cosort(comb, is_build, n)
+    if lo is not None and len(build_keys) == 1:
+        # bounded single key: key + concat-index + build flag share ONE
+        # sort operand (concat order in the low bits = implicit
+        # stability; see merge_join.merge_probe_unique_packed). Sentinel
+        # slots: 2^kb-2 = dead/null probe, 2^kb-1 = dead/null build.
+        ib = (2 * n + 1).bit_length()
+        psent = (jnp.int64(1) << key_bits) - 2
+        bsent = psent + 1
+        bslot = jnp.where(b_ok, build_keys[0].astype(jnp.int64) - lo, bsent)
+        pslot = jnp.where(p_ok, probe_keys[0].astype(jnp.int64) - lo, psent)
+        cidx64 = jnp.arange(n, dtype=jnp.int64)
+        comb_limb = ((jnp.concatenate([bslot, pslot]) << ib)
+                     | (cidx64 << 1)
+                     | jnp.concatenate([b_ok, jnp.zeros(np_, jnp.bool_)]
+                                       ).astype(jnp.int64))
+        (sl,) = jax.lax.sort((comb_limb,), num_keys=1, is_stable=False)
+        s_keys = [sl >> ib]
+        s_packed = (sl & ((jnp.int64(1) << ib) - 1)).astype(jnp.int32)
+    else:
+        b_norm = _norm_keys(build_keys, build_valids)
+        p_norm = _norm_keys(probe_keys, probe_valids)
+        # null probe keys never match: normalize to distinct sentinels
+        comb = [jnp.concatenate([jnp.where(b_ok, bk, DEAD),
+                                 jnp.where(p_ok, pk, DEAD - 1)])
+                for bk, pk in zip(b_norm, p_norm)]
+        is_build = jnp.concatenate([b_ok, jnp.zeros(np_, dtype=jnp.bool_)])
+        s_keys, s_packed = _cosort(comb, is_build, n)
     s_build = (s_packed & 1).astype(jnp.bool_)
     s_cidx = s_packed >> 1
     pos, first_flag = _runs(s_keys, n)
