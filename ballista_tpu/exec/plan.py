@@ -448,12 +448,45 @@ class HashJoinExec(ExecNode):
             self.capacity = round_capacity(self.capacity + build.capacity)
         self._build_idx = [build.schema.index_of(a) for a, _ in on]
         self._probe_idx = [probe.schema.index_of(b) for _, b in on]
+        # dictionary-coded join keys: codes from DIFFERENT dictionaries are
+        # not comparable — remap both sides into the sorted union
+        # dictionary (host LUT gather, like union alignment's
+        # DictRemapExec). Shared/remapped dict keys also gain a packing
+        # bound of the dictionary size.
+        import numpy as np
+        self._key_luts: Dict[int, tuple] = {}
+        dict_bounds: Dict[int, tuple] = {}
+        for ki, (a, bn) in enumerate(self.on):
+            da = build.schema.dictionary(a)
+            db = probe.schema.dictionary(bn)
+            if da is None and db is None:
+                continue
+            if da is None or db is None:
+                raise ValueError(
+                    f"join key {a}={bn}: string/non-string mismatch")
+            same = da is db or (len(da) == len(db)
+                                and bool((da == db).all()))
+            if same:
+                dict_bounds[ki] = (0, max(len(da) - 1, 0))
+                continue
+            union = np.unique(np.concatenate([da, db]))
+
+            def _lut(d):
+                m = np.searchsorted(union, d).astype(np.int32)
+                return jnp.asarray(m if len(m) else np.zeros(1, np.int32))
+
+            self._key_luts[ki] = (_lut(da), _lut(db))
+            dict_bounds[ki] = (0, max(len(union) - 1, 0))
+
         # multi-key joins: pack bounded keys into shared limbs (both
         # sides use the merged bounds so equality is preserved) — the
         # join's cosort drops key operands
         self._key_pack = None
         merged = []
-        for a, b in on:
+        for ki, (a, b) in enumerate(on):
+            if ki in dict_bounds:
+                merged.append(dict_bounds[ki])
+                continue
             ba = build.schema.int_bound(a)
             pb = probe.schema.int_bound(b)
             merged.append(None if ba is None or pb is None
@@ -508,6 +541,14 @@ class HashJoinExec(ExecNode):
         if self._probe_pre is not None:
             c = self._probe_pre.fn(probe_b)
             plive = plive & c.data.astype(jnp.bool_) & c.validity
+        for ki, (blut, plut) in self._key_luts.items():
+            bc, pc = bkeys[ki], pkeys[ki]
+            bkeys[ki] = Column(jnp.take(blut, jnp.clip(bc.data, 0,
+                                                       blut.shape[0] - 1)),
+                               bc.validity)
+            pkeys[ki] = Column(jnp.take(plut, jnp.clip(pc.data, 0,
+                                                       plut.shape[0] - 1)),
+                               pc.validity)
         if self._key_pack is not None:
             from ..ops.hash import pack_key_columns
             grp, unp = self._key_pack

@@ -68,3 +68,30 @@ def test_packed_expand_matches_generic(left_outer):
     assert pairs(g) == pairs(p)
     assert np.array_equal(np.asarray(g.build_matched),
                           np.asarray(p.build_matched))
+
+
+def test_join_on_strings_with_different_dictionaries():
+    """Join keys from two tables dictionary-encode against DIFFERENT
+    dictionaries; codes must remap to a shared dictionary before
+    comparing (regression: 'x' (code 0) used to match 'w' (code 0))."""
+    import pandas as pd
+    import pyarrow as pa
+    from ballista_tpu.client import SessionContext
+
+    ctx = SessionContext()
+    ctx.register_arrow("a", pa.table({"k": ["x", "y", "z"], "va": [1, 2, 3]}))
+    ctx.register_arrow("b", pa.table({"k": ["y", "z", "w"], "vb": [10, 20, 30]}))
+    got = ctx.sql(
+        "select a.k, va, vb from a join b on a.k = b.k order by a.k"
+    ).to_pandas()
+    assert got["k"].tolist() == ["y", "z"]
+    assert got["vb"].tolist() == [10, 20]
+    lo = ctx.sql(
+        "select a.k, vb from a left join b on a.k = b.k order by a.k"
+    ).to_pandas()
+    assert lo["k"].tolist() == ["x", "y", "z"]
+    assert pd.isna(lo["vb"].iloc[0]) and lo["vb"].iloc[1:].tolist() == [10, 20]
+    anti = ctx.sql(
+        "select k from a where k not in (select k from b) order by k"
+    ).to_pandas()
+    assert anti["k"].tolist() == ["x"]
