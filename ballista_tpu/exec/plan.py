@@ -600,9 +600,27 @@ class HashJoinExec(ExecNode):
                              jnp.sum(keep).astype(jnp.int32), keep)
             return compact_batch(probe_b, keep)
 
+        # build KEY columns need no gather: the equality join makes their
+        # matched values identical to the probe key's (same-dictionary /
+        # non-dict keys only); when every build column is a key the whole
+        # ~90ms 6M-row materialization gather disappears
+        synth = {}
+        if self.join_type != "full_outer":
+            for ki, (bi, pi) in enumerate(zip(self._build_idx,
+                                              self._probe_idx)):
+                if ki in self._key_luts:
+                    continue
+                pc = probe_b.columns[pi]
+                bdt = build_b.columns[bi].data.dtype
+                synth[bi] = Column(pc.data.astype(bdt), matched)
+        gidx = [i for i in range(len(build_b.columns)) if i not in synth]
         safe = jnp.clip(match, 0, build_b.capacity - 1)
         from ..ops.gather import gather_columns
-        build_cols = gather_columns(build_b.columns, safe, valid_and=matched)
+        gathered = (gather_columns([build_b.columns[i] for i in gidx], safe,
+                                   valid_and=matched) if gidx else [])
+        it = iter(gathered)
+        build_cols = [synth[i] if i in synth else next(it)
+                      for i in range(len(build_b.columns))]
         from .distributed import _TraceCtx
         all_cols = tuple(build_cols) + probe_b.columns
         joined = Batch(all_cols, probe_b.num_rows, probe_b.live)
