@@ -512,6 +512,40 @@ class HashJoinExec(ExecNode):
                 kb = sum(bits for _, _, bits in grp[0]) + 1
                 if kb + ib <= 62:
                     self._merge_pack = (0, kb)
+
+        # build-payload forward-fill: when EVERY non-key build column has
+        # a static bound (dict size, bool, ingest int bounds), the fields
+        # pack into one <= (63 - log2 n)-bit limb that rides the cosort
+        # and cummax-fills to the probes — the join's ~90ms 6M-row
+        # materialization gather disappears (keys are synthesized from
+        # the probe side)
+        self._pay_plan = None
+        if (self._merge_pack is not None and unique_build
+                and join_type in ("inner", "left_outer")
+                and not self._key_luts):
+            n_tot = build.capacity + probe.capacity
+            budget = 63 - (max(n_tot - 1, 1)).bit_length()
+            key_idx = set(self._build_idx)
+            fields, ok = [], True
+            for i, f in enumerate(build.schema.fields):
+                if i in key_idx:
+                    continue
+                dic = build.schema.dictionary(f.name)
+                bnd = build.schema.int_bound(f.name)
+                if f.dtype.kind is TypeKind.BOOL:
+                    flo, fhi = 0, 1
+                elif dic is not None:
+                    flo, fhi = 0, max(len(dic) - 1, 0)
+                elif bnd is not None:
+                    flo, fhi = int(bnd[0]), int(bnd[1])
+                else:
+                    ok = False
+                    break
+                bits = max((((fhi - flo + 2).bit_length()) + 3) // 4 * 4, 4)
+                fields.append((i, flo, bits, f.dtype))
+            total = sum(b for _, _, b, _ in fields)
+            if ok and fields and total <= budget:
+                self._pay_plan = (fields, total)
         if join_type in ("semi", "anti"):
             self.schema = probe.schema
         else:
@@ -560,6 +594,7 @@ class HashJoinExec(ExecNode):
         # unique-build fast path: co-sort merge join (ops/merge_join.py) —
         # no hash table, no scatters, no while_loops
         build_matched = None
+        pay_at_probe = None
         if self.join_type == "full_outer":
             from ..ops.merge_join import merge_full_unique
             match, build_matched = merge_full_unique(
@@ -580,9 +615,28 @@ class HashJoinExec(ExecNode):
             # bounded single key: key/index/flag share one sort operand
             from ..ops.merge_join import merge_probe_unique_packed
             lo, kb = self._merge_pack
-            match = merge_probe_unique_packed(
-                bkeys[0].data, bkeys[0].validity, blive,
-                pkeys[0].data, pkeys[0].validity, plive, lo=lo, key_bits=kb)
+            pay_at_probe = None
+            if self._pay_plan is not None:
+                fields, pay_bits = self._pay_plan
+                limb = jnp.zeros(build_b.capacity, jnp.int64)
+                off = pay_bits
+                for i, flo, bits, _dt in fields:
+                    c = build_b.columns[i]
+                    off -= bits
+                    fv = jnp.where(c.validity,
+                                   c.data.astype(jnp.int64) - flo + 1,
+                                   jnp.int64(0))
+                    limb = limb | (fv << off)
+                match, pay_at_probe = merge_probe_unique_packed(
+                    bkeys[0].data, bkeys[0].validity, blive,
+                    pkeys[0].data, pkeys[0].validity, plive,
+                    lo=lo, key_bits=kb,
+                    build_payload=limb, pay_bits=pay_bits)
+            else:
+                match = merge_probe_unique_packed(
+                    bkeys[0].data, bkeys[0].validity, blive,
+                    pkeys[0].data, pkeys[0].validity, plive,
+                    lo=lo, key_bits=kb)
         else:
             from ..ops.merge_join import merge_probe_unique
             match = merge_probe_unique(
@@ -613,6 +667,15 @@ class HashJoinExec(ExecNode):
                 pc = probe_b.columns[pi]
                 bdt = build_b.columns[bi].data.dtype
                 synth[bi] = Column(pc.data.astype(bdt), matched)
+        if pay_at_probe is not None:
+            # decode the forward-filled payload limb: field 0 = NULL
+            fields, pay_bits = self._pay_plan
+            off = pay_bits
+            for i, flo, bits, dt in fields:
+                off -= bits
+                fv = (pay_at_probe >> off) & ((jnp.int64(1) << bits) - 1)
+                valid = (fv > 0) & matched
+                synth[i] = Column((fv - 1 + flo).astype(dt.jnp_dtype), valid)
         gidx = [i for i in range(len(build_b.columns)) if i not in synth]
         safe = jnp.clip(match, 0, build_b.capacity - 1)
         from ..ops.gather import gather_columns

@@ -52,14 +52,15 @@ def _runs(s_keys, n):
     return pos, first
 
 
-def _run_head_fill(pos, first, packed, n):
+def _run_head_fill(pos, first, packed, n, vbits=None):
     """(head, start_pos): forward-fill `packed` from run starts — head[i] =
     packed[start of i's run]. ONE int64 cummax replaces the old
     cummax+gather (a 6M-row gather costs ~115ms on v5e, cummax ~20ms): tag
     each run start with its position in the high bits so later starts
     dominate under max, then strip the tag. `packed` must be non-negative
-    and < 2^vbits."""
-    vbits = (2 * n + 1).bit_length()
+    and < 2^vbits (default: wide enough for (cidx << 1 | flag))."""
+    if vbits is None:
+        vbits = (2 * n + 1).bit_length()
     tagged = jnp.where(first,
                        (pos.astype(jnp.int64) << vbits) | packed,
                        jnp.int64(0))
@@ -102,12 +103,13 @@ def tiny_probe_unique(build_keys: Tuple[jax.Array, ...],
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("lo", "key_bits"))
+@partial(jax.jit, static_argnames=("lo", "key_bits", "pay_bits"))
 def merge_probe_unique_packed(build_key: jax.Array, build_valid: jax.Array,
                               build_live: jax.Array,
                               probe_key: jax.Array, probe_valid: jax.Array,
                               probe_live: jax.Array,
-                              lo: int, key_bits: int) -> jax.Array:
+                              lo: int, key_bits: int,
+                              build_payload=None, pay_bits: int = 0):
     """Single-key co-sort merge probe where the key has known value
     bounds: key, concat-index, and build flag share ONE int64 sort
     operand — and concat order in the low bits makes the sort implicitly
@@ -135,7 +137,17 @@ def merge_probe_unique_packed(build_key: jax.Array, build_valid: jax.Array,
     comb = (jnp.concatenate([slot(build_key, build_valid, build_live),
                              slot(probe_key, probe_valid, probe_live)])
             << ib) | (cidx << 1) | flag.astype(jnp.int64)
-    (s,) = jax.lax.sort((comb,), num_keys=1, is_stable=False)
+    if build_payload is None:
+        (s,) = jax.lax.sort((comb,), num_keys=1, is_stable=False)
+        s_pay = None
+    else:
+        # bounded build payload rides the cosort and forward-fills via the
+        # same cummax trick: the build row's fields reach its probes with
+        # NO materialization gather (a 6M-row packed gather is ~90ms;
+        # cummax ~20ms)
+        pay = jnp.concatenate([build_payload.astype(jnp.int64),
+                               jnp.zeros(np_, jnp.int64)])
+        s, s_pay = jax.lax.sort((comb, pay), num_keys=1, is_stable=False)
     s_keys = s >> ib
     s_packed = (s & ((jnp.int64(1) << ib) - 1)).astype(jnp.int32)
     pos, first = _runs([s_keys], n)
@@ -148,9 +160,16 @@ def merge_probe_unique_packed(build_key: jax.Array, build_valid: jax.Array,
     s_cidx = s_packed >> 1
     limb = (s_cidx.astype(jnp.int64) << 32) | (
         (matched_sorted + 1).astype(jnp.int64))
-    (limb,) = jax.lax.sort((limb,), num_keys=1, is_stable=False)
+    if s_pay is None:
+        (limb,) = jax.lax.sort((limb,), num_keys=1, is_stable=False)
+        match = (limb & 0xFFFFFFFF).astype(jnp.int32)[nb:] - 1
+        return jnp.where(probe_live & probe_valid, match, -1)
+    head_pay, _ = _run_head_fill(pos, first, s_pay, n, vbits=pay_bits)
+    limb, pay_back = jax.lax.sort((limb, head_pay), num_keys=1,
+                                  is_stable=False)
     match = (limb & 0xFFFFFFFF).astype(jnp.int32)[nb:] - 1
-    return jnp.where(probe_live & probe_valid, match, -1)
+    match = jnp.where(probe_live & probe_valid, match, -1)
+    return match, pay_back[nb:]
 
 
 @jax.jit

@@ -101,8 +101,20 @@ def _prune(p: L.LogicalPlan, needed: Optional[Set[str]]) -> L.LogicalPlan:
         if p.how in ("semi", "anti"):
             # output is the probe (right) side only; build still needs keys
             lneed = {a for a, _ in p.on} if lneed is not None else None
-        return dataclasses.replace(p, left=_prune(p.left, lneed),
-                                   right=_prune(p.right, rneed))
+        joined = dataclasses.replace(p, left=_prune(p.left, lneed),
+                                     right=_prune(p.right, rneed))
+        if needed is not None and p.how not in ("semi", "anti"):
+            # drop columns the join itself needed (its keys) but nothing
+            # above reads: every dead column otherwise rides the join's
+            # materialization gather and downstream sort payloads, and
+            # blocks the build-payload fast path's bit budget
+            out_names = [f.name for f in joined.schema().fields]
+            keep = [n for n in out_names if n in needed]
+            if keep and len(keep) < len(out_names):
+                from ..exprs import Col
+                return L.Projection(joined, tuple(Col(n) for n in keep),
+                                    tuple(keep))
+        return joined
 
     if isinstance(p, L.Union):
         # positional semantics: prune each input to its own projection
