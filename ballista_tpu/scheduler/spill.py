@@ -97,3 +97,34 @@ class StageSpiller:
         d = os.path.join(self.work_dir, job_id)
         if os.path.isdir(d):
             shutil.rmtree(d)
+
+    def clean_expired(self, ttl_seconds: float = 7 * 24 * 3600) -> list:
+        """Shuffle-data TTL cleaner parity (clean_shuffle_data_loop,
+        executor_process.rs:503; default TTL 7 days): remove job spill
+        directories whose newest file is older than the TTL. Returns the
+        removed job ids."""
+        import shutil
+        import time
+        removed = []
+        now = time.time()
+        for job_id in list(os.listdir(self.work_dir)):
+            d = os.path.join(self.work_dir, job_id)
+            if not os.path.isdir(d):
+                continue
+            try:
+                newest = max((os.path.getmtime(os.path.join(d, f))
+                              for f in os.listdir(d)), default=0)
+            except OSError:
+                continue
+            if now - newest > ttl_seconds:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(job_id)
+        return removed
+
+    def clean_all(self):
+        """Full cleanup on shutdown (executor_process.rs:542)."""
+        import shutil
+        for job_id in list(os.listdir(self.work_dir)):
+            d = os.path.join(self.work_dir, job_id)
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)

@@ -64,3 +64,26 @@ def test_clean_job(cluster):
     job_id = next(iter(cluster.launcher.jobs))
     cluster.spiller.clean_job(job_id)
     assert cluster.spiller.restore(job_id, 0, cluster.runtime.mesh) is None
+
+
+def test_spill_ttl_cleaner(tmp_path):
+    """clean_expired removes only jobs older than the TTL; clean_all
+    removes everything (shuffle-data TTL cleaner parity)."""
+    import os
+    import time
+    from ballista_tpu.scheduler.spill import StageSpiller
+
+    sp = StageSpiller(str(tmp_path))
+    for job in ("old_job", "new_job"):
+        d = os.path.join(str(tmp_path), job)
+        os.makedirs(d)
+        open(os.path.join(d, "stage_0.arrow"), "w").write("x")
+    past = time.time() - 10_000
+    os.utime(os.path.join(str(tmp_path), "old_job", "stage_0.arrow"),
+             (past, past))
+    removed = sp.clean_expired(ttl_seconds=5_000)
+    assert removed == ["old_job"]
+    assert os.path.isdir(os.path.join(str(tmp_path), "new_job"))
+    sp.clean_all()
+    assert not any(os.path.isdir(os.path.join(str(tmp_path), j))
+                   for j in ("old_job", "new_job"))
