@@ -420,6 +420,10 @@ class Parser:
             alias, cols = self._alias_with_columns()
             return TableRef(subquery=sub, alias=alias, col_aliases=cols)
         name = self._name()
+        # schema-qualified table names (information_schema.tables)
+        while self.peek().kind == "op" and self.peek().value == ".":
+            self.next()
+            name = f"{name}.{self._name()}"
         alias, cols = self._alias_with_columns()
         return TableRef(name=name, alias=alias, col_aliases=cols)
 

@@ -302,6 +302,29 @@ class SqlPlanner:
                         uniq = [frozenset(keys)]
             return Relation(rel_id, names, plan, ref.alias, uniq)
         name = ref.name
+        if name.lower().startswith("information_schema."):
+            # virtual catalog tables (config.rs with_information_schema)
+            kind = name.split(".", 1)[1].lower()
+            if kind == "tables":
+                df = self.ctx._show_tables()
+            elif kind == "columns":
+                import pyarrow as pa
+                # one row per column of every table
+                rows = [("ballista", "public", tn, f.name, str(f.dtype),
+                         "YES" if f.nullable else "NO")
+                        for tn, tp in self.ctx.tables.items()
+                        if not tn.startswith("__")
+                        for f in tp.schema.fields]
+                cols = list(zip(*rows)) or [[]] * 6
+                df = self.ctx._catalog_df("__info_columns__", pa.table(
+                    {"table_catalog": cols[0], "table_schema": cols[1],
+                     "table_name": cols[2], "column_name": cols[3],
+                     "data_type": cols[4], "is_nullable": cols[5]}))
+            else:
+                raise KeyError(f"unknown catalog table {name!r}")
+            plan = df.plan
+            names = [f.name for f in plan.schema().fields]
+            return Relation(rel_id, names, plan, ref.alias or kind, [])
         if hasattr(self.ctx, "views") and name in self.ctx.views:
             view_stmt, view_cols = self.ctx.views[name]
             vref = TableRef(subquery=view_stmt, alias=ref.alias or name,
