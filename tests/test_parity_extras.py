@@ -186,3 +186,20 @@ class TestApiRoutes:
             assert meta["num_rows"] == 1
         finally:
             api.stop()
+
+
+def test_information_schema_tables_and_columns():
+    import pyarrow as pa
+    from ballista_tpu.client import SessionContext
+
+    ctx = SessionContext()
+    ctx.register_arrow("t", pa.table({"x": [1, 2], "s": ["a", None]}))
+    df = ctx.sql("select table_name, table_type from "
+                 "information_schema.tables where table_name = 't'"
+                 ).to_pandas()
+    assert df["table_name"].tolist() == ["t"]
+    cols = ctx.sql("select column_name, data_type from "
+                   "information_schema.columns where table_name = 't' "
+                   "order by column_name").to_pandas()
+    assert cols["column_name"].tolist() == ["s", "x"]
+    assert cols["data_type"].tolist() == ["string", "int64"]
