@@ -98,7 +98,19 @@ def main():
     data = generate_tpch(SF, tables=["lineitem"])
     n_rows = data["lineitem"].num_rows
 
-    engine_s, got, info = bench_engine(data)
+    # the remote compile service can drop mid-request (observed once:
+    # connection refused, recovered later); retry a few times before
+    # giving up so a transient blip doesn't void the benchmark
+    for attempt in range(3):
+        try:
+            engine_s, got, info = bench_engine(data)
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"# engine attempt {attempt + 1} failed "
+                  f"({type(e).__name__}); retrying in 120s", file=sys.stderr)
+            time.sleep(120)
     pandas_s, exp = bench_pandas(data)
 
     # sanity: results must agree with the oracle
