@@ -171,17 +171,23 @@ class DistributedRuntime:
         root_ids = _needed_inputs(root, patched)
         rfn, rlabels = self._shard_piece(root.evaluate, True)
         op_labels: List[str] = []
+        all_pieces = pieces + [("__stage_root", rfn, root_ids, rlabels)]
+        state: Dict[str, object] = {"exec": None}
 
         def run(inputs):
+            if state["exec"] is None:
+                state["exec"] = self._precompile_pieces(all_pieces, inputs)
+            ex = state["exec"]
             vals = dict(inputs)
             flags, rows_list, labels = [], [], []
             for key, pfn, ids, plabels in pieces:
-                out, ov, rows = pfn({i: vals[i] for i in ids})
+                out, ov, rows = ex.get(key, pfn)({i: vals[i] for i in ids})
                 vals[key] = out
                 flags.append(ov)
                 rows_list.append(rows)
                 labels.extend(plabels)
-            out, ov, rows = rfn({i: vals[i] for i in root_ids})
+            out, ov, rows = ex.get("__stage_root", rfn)(
+                {i: vals[i] for i in root_ids})
             flags.append(ov)
             rows_list.append(rows)
             labels.extend(rlabels)
@@ -197,6 +203,49 @@ class DistributedRuntime:
 
         root._stage_split_cache = (run, leaf_ids, op_labels)
         return root._stage_split_cache
+
+    def _precompile_pieces(self, all_pieces, inputs) -> Dict:
+        """AOT-compile a stage's pieces concurrently (the distributed
+        mirror of exec.plan._compile_pieces_parallel): eval_shape
+        propagates specs with mesh shardings attached, a thread pool
+        lowers+compiles, and the compiled executables dispatch directly.
+        Falls back to plain jit dispatch on any mismatch."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from jax.sharding import NamedSharding
+
+        workers = int(os.environ.get("BALLISTA_COMPILE_WORKERS", "4"))
+        if workers <= 1 or len(all_pieces) < 2:
+            return {}
+        try:
+            def in_spec_of(v):
+                return jax.ShapeDtypeStruct(v.shape, v.dtype,
+                                            sharding=v.sharding)
+
+            specs = {k: jax.tree_util.tree_map(in_spec_of, v)
+                     for k, v in inputs.items()}
+            shard0 = NamedSharding(self.mesh, P(PARTITION_AXIS))
+
+            def out_spec_of(s):
+                return jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                            sharding=shard0)
+
+            lowered = []
+            for key, fn, ids, _labels in all_pieces:
+                in_spec = {i: specs[i] for i in ids}
+                out_spec, _, _ = jax.eval_shape(fn, in_spec)
+                specs[key] = jax.tree_util.tree_map(out_spec_of, out_spec)
+                lowered.append((key, fn, in_spec))
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                futs = {key: ex.submit(
+                    lambda f=fn, s=in_spec: f.lower(s).compile())
+                    for key, fn, in_spec in lowered}
+                return {key: f.result() for key, f in futs.items()}
+        except Exception:  # noqa: BLE001 - jit-on-call fallback
+            log.warning("stage piece precompile failed; falling back to "
+                        "lazy jit", exc_info=True)
+            return {}
 
     def execute(self, dplan: DistributedPlan):
         outputs: Dict[str, PartitionedBatch] = {}
