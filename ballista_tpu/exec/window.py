@@ -245,28 +245,28 @@ class WindowExec(ExecNode):
             c = ob.fn(b)
             oranks.append(_rankable(c.data, c.validity,
                                     SortKeySpec(0, asc, nf)))
-        perm = jnp.arange(n, dtype=jnp.int32)
-        for k in reversed(oranks):
-            order = jnp.argsort(jnp.take(k, perm), stable=True)
-            perm = jnp.take(perm, order)
-        for k in reversed(pnorm):
-            order = jnp.argsort(jnp.take(k, perm), stable=True)
-            perm = jnp.take(perm, order)
-        order = jnp.argsort(~jnp.take(live, perm), stable=True)
-        perm = jnp.take(perm, order)
-        inv = jnp.argsort(perm)
-
+        # ONE variadic sort replaces the iterated argsort+take chain
+        # (2 ops per key at ~90ms/6M-row gather); the sorted keys come out
+        # as byproducts so run detection needs no re-gathers, and the
+        # inverse permutation is one single-operand sort
+        keys = [~live] + list(pnorm) + list(oranks)
+        cidx = jnp.arange(n, dtype=jnp.int32)
+        out = jax.lax.sort(tuple(keys) + (cidx,), num_keys=len(keys),
+                           is_stable=True)
+        perm = out[-1]
         pos = jnp.arange(n, dtype=jnp.int32)
-        s_live = jnp.take(live, perm)
+        limb = (perm.astype(jnp.int64) << 32) | pos.astype(jnp.int64)
+        (sl,) = jax.lax.sort((limb,), num_keys=1, is_stable=False)
+        inv = (sl & 0xFFFFFFFF).astype(jnp.int32)
+
+        s_live = ~out[0]
         part_same = jnp.ones(n, dtype=jnp.bool_)
-        for k in pnorm:
-            sk = jnp.take(k, perm)
+        for sk in out[1:1 + len(pnorm)]:
             part_same = part_same & (sk == jnp.concatenate([sk[:1], sk[:-1]]))
         lv_same = s_live == jnp.concatenate([s_live[:1], s_live[:-1]])
         part_first = ~part_same | ~lv_same | (pos == 0)
         peer_same = part_same & lv_same
-        for k in oranks:
-            sk = jnp.take(k, perm)
+        for sk in out[1 + len(pnorm):1 + len(pnorm) + len(oranks)]:
             peer_same = peer_same & (sk == jnp.concatenate([sk[:1], sk[:-1]]))
         peer_first = ~peer_same | (pos == 0)
 
@@ -442,28 +442,28 @@ class WindowExec(ExecNode):
                            tuple(x.validity for x in pcols))
         vrank = _rankable(c.data, c.validity & live,
                           SortKeySpec(0, spec.kind == "min", False))
-        perm = jnp.arange(n, dtype=jnp.int32)
-        order = jnp.argsort(jnp.take(vrank, perm), stable=True)
-        perm = jnp.take(perm, order)
-        for k in reversed(pnorm):
-            order = jnp.argsort(jnp.take(k, perm), stable=True)
-            perm = jnp.take(perm, order)
-        order = jnp.argsort(~jnp.take(live, perm), stable=True)
-        perm = jnp.take(perm, order)
-        inv = jnp.argsort(perm)
+        # one variadic sort; the value/validity ride as payloads so the
+        # per-column re-gathers disappear (see _sorted_layout)
+        cidx = jnp.arange(n, dtype=jnp.int32)
+        keys = [~live] + list(pnorm) + [vrank]
+        out = jax.lax.sort(
+            tuple(keys) + (cidx, c.data,
+                           (c.validity & live).astype(jnp.int32)),
+            num_keys=len(keys), is_stable=True)
+        perm, sdata, svalid = out[-3], out[-2], out[-1].astype(jnp.bool_)
 
         pos = jnp.arange(n, dtype=jnp.int32)
-        s_live = jnp.take(live, perm)
+        s_live = ~out[0]
         part_same = jnp.ones(n, dtype=jnp.bool_)
-        for k in pnorm:
-            sk = jnp.take(k, perm)
+        for sk in out[1:1 + len(pnorm)]:
             part_same = part_same & (sk == jnp.concatenate([sk[:1], sk[:-1]]))
         lv_same = s_live == jnp.concatenate([s_live[:1], s_live[:-1]])
         part_first = ~part_same | ~lv_same | (pos == 0)
         seg_start = jax.lax.cummax(jnp.where(part_first, pos, 0))
 
-        sdata = jnp.take(c.data, perm)
-        svalid = jnp.take(c.validity & live, perm)
         v = jnp.take(sdata, seg_start)
         val = jnp.take(svalid, seg_start)  # nulls sort last: head valid iff any
-        return Column(jnp.take(v, inv), jnp.take(val, inv))
+        # route back to original row order: values ride a single-key sort
+        back = jax.lax.sort((perm, v, val.astype(jnp.int32)), num_keys=1,
+                            is_stable=False)
+        return Column(back[1], back[2].astype(jnp.bool_))
