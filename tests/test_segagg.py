@@ -108,3 +108,25 @@ def test_sorted_layout_overflow_detection(data):
     keys, kvalid, x, xvalid, live = data
     layout, _ = presorted_layout(keys, kvalid, live, 4)
     assert int(layout.n_groups) > 4  # caller must treat as overflow
+
+
+def test_matmul_agg_large_signed(monkeypatch):
+    """MXU limb-matmul aggregation must be exact for large signed int64."""
+    monkeypatch.setenv("BALLISTA_MATMUL_AGG", "1")
+    rng = np.random.default_rng(2)
+    n, T = 50_000, 13
+    slot = rng.integers(0, T, n).astype(np.int32)
+    live = rng.random(n) > 0.1
+    vals = rng.integers(-2**52, 2**52, n).astype(np.int64)
+    valid = rng.random(n) > 0.15
+    lay = segagg.MaskedLayout(jnp.asarray(np.where(live, slot, T)),
+                              jnp.asarray(live), T)
+    s, _ = lay.sum(jnp.asarray(vals), jnp.asarray(valid))
+    c, _ = lay.count(jnp.asarray(vals), jnp.asarray(valid))
+    exp_s = np.zeros(T, np.int64)
+    exp_c = np.zeros(T, np.int64)
+    m = live & valid
+    np.add.at(exp_s, slot[m], vals[m])
+    np.add.at(exp_c, slot[m], 1)
+    assert np.array_equal(np.asarray(s), exp_s)
+    assert np.array_equal(np.asarray(c), exp_c)
