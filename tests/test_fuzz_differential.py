@@ -1,0 +1,106 @@
+"""Randomized differential testing: generated join/group/order queries
+over random tables (nulls, strings with per-table dictionaries, dup and
+unique keys) must match pandas exactly. Deterministic seeds.
+
+The string-key dictionary bug (codes compared across different
+dictionaries) was invisible to the TPC-H suites — this harness covers
+the cross-table surface the targeted tests miss."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ballista_tpu.client import SessionContext
+
+WORDS = ["ash", "birch", "cedar", "dune", "elm", "fern", "gale", "hill",
+         "iris", "jade", "kelp", "loam", "mist", "nook", "oak", "pine"]
+
+
+def make_table(rng, n, names, key_hi):
+    kn, sn, vn = names
+
+    def maybe_null(arr, p=0.15):
+        mask = rng.random(n) < p
+        out = arr.astype(object)
+        out[mask] = None
+        return out
+
+    vocab = WORDS[:int(rng.integers(4, 16))]
+    return pd.DataFrame({
+        kn: rng.integers(0, key_hi, n),
+        sn: maybe_null(rng.choice(vocab, n)),
+        vn: rng.integers(-1000, 1000, n),
+    })
+
+
+def run_case(seed):
+    rng = np.random.default_rng(seed)
+    na, nb = int(rng.integers(50, 400)), int(rng.integers(50, 400))
+    key_hi = int(rng.integers(5, 60))
+    a = make_table(rng, na, ("ak", "s_a", "av"), key_hi)
+    b = make_table(rng, nb, ("bk", "s_b", "bv"), key_hi)
+    on = str(rng.choice(["num", "str"]))
+    how = str(rng.choice(["join", "left join"]))
+    if rng.random() < 0.5:  # unique build half the time (merge fast path)
+        bcol = "bk" if on == "num" else "s_b"
+        b = b.drop_duplicates(bcol).reset_index(drop=True)
+    ctx = SessionContext()
+    ctx.register_arrow("a", pa.Table.from_pandas(a))
+    ctx.register_arrow("b", pa.Table.from_pandas(b))
+    join_cond = "a.ak = b.bk" if on == "num" else "a.s_a = b.s_b"
+    lcol = "ak" if on == "num" else "s_a"
+    rcol = "bk" if on == "num" else "s_b"
+    pd_how = "inner" if how == "join" else "left"
+
+    # pandas merge matches NaN keys to each other; SQL never does — give
+    # null keys per-row sentinels that cannot match across sides
+    am = a.assign(__jk=pd.Series(
+        [v if pd.notna(v) else f"\0a{i}"
+         for i, v in enumerate(a[lcol])], dtype=object)
+        if on == "str" else a[lcol])
+    bm = b.assign(__jk=pd.Series(
+        [v if pd.notna(v) else f"\0b{i}"
+         for i, v in enumerate(b[rcol])], dtype=object)
+        if on == "str" else b[rcol])
+
+    q = (f"select a.ak, s_a, av, s_b, bv from a {how} b on {join_cond} "
+         f"order by a.ak, s_a, av, s_b, bv")
+    got = ctx.sql(q).to_pandas()
+    exp = am.merge(bm, on="__jk", how=pd_how)
+    exp = exp[["ak", "s_a", "av", "s_b", "bv"]].sort_values(
+        ["ak", "s_a", "av", "s_b", "bv"],
+        na_position="last", kind="stable").reset_index(drop=True)
+    assert len(got) == len(exp), (seed, q, len(got), len(exp))
+    assert got["ak"].tolist() == exp["ak"].tolist(), (seed, q, "ak")
+    assert got["av"].tolist() == exp["av"].tolist(), (seed, q, "av")
+    for col in ("s_a", "s_b"):
+        assert got[col].fillna("~").tolist() == \
+            exp[col].fillna("~").tolist(), (seed, q, col)
+    gb = got["bv"].astype("float64").fillna(1e18).tolist()
+    eb = exp["bv"].astype("float64").fillna(1e18).tolist()
+    assert gb == eb, (seed, q, "bv")
+
+    # group-by over the join with aggregates
+    q2 = (f"select s_a, count(*) n, sum(av) s, min(bv) mn "
+          f"from a {how} b on {join_cond} group by s_a order by s_a")
+    got2 = ctx.sql(q2).to_pandas()
+    j = am.merge(bm, on="__jk", how=pd_how)
+    exp2 = (j.groupby("s_a", dropna=False)
+            .agg(n=("av", "size"), s=("av", "sum"), mn=("bv", "min"))
+            .reset_index())
+    exp2 = exp2.sort_values("s_a", na_position="last",
+                            kind="stable").reset_index(drop=True)
+    assert len(got2) == len(exp2), (seed, q2, len(got2), len(exp2))
+    assert got2["s_a"].fillna("~").tolist() == \
+        exp2["s_a"].fillna("~").tolist(), (seed, q2)
+    assert got2["n"].tolist() == exp2["n"].tolist(), (seed, q2)
+    assert got2["s"].tolist() == exp2["s"].tolist(), (seed, q2)
+    gmn = got2["mn"].astype("float64").fillna(1e18).tolist()
+    emn = exp2["mn"].astype("float64").fillna(1e18).tolist()
+    assert gmn == emn, (seed, q2)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_differential(seed):
+    run_case(seed)
