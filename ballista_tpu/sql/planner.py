@@ -558,8 +558,23 @@ class SqlPlanner:
             if not isinstance(lhs, Col):
                 raise NotImplementedError("IN (subquery) with non-column lhs")
             key = self._mangle() + "_k"
-            inner = L.Distinct(L.Projection(inner, (Col(inner_col),), (key,)))
-            return L.Join(inner, current, ((key, lhs.name),), how)
+            dedup = L.Distinct(L.Projection(inner, (Col(inner_col),), (key,)))
+            join = L.Join(dedup, current, ((key, lhs.name),), how)
+            if how != "anti":
+                return join
+            # NOT IN three-valued logic: if the subquery produces ANY
+            # NULL, no row qualifies (x <> NULL is never true), and a
+            # NULL lhs never qualifies either. Cross-join a 1-row
+            # (count(*), count(col)) aggregate and require equality.
+            t, nn = f"{key}t", f"{key}n"
+            cnt = L.Aggregate(inner, (), (
+                AggExpr("count_star", alias=t),
+                AggExpr("count", Col(inner_col), alias=nn)))
+            crossed = L.Join(cnt, join, (), "cross")
+            from ..exprs import IsNull
+            pred = BinOp("and", BinOp("=", Col(t), Col(nn)),
+                         Not(IsNull(Col(lhs.name))))
+            return L.Filter(crossed, pred)
 
         corr = list(fw.corr_equi)
         if in_lhs is not None:

@@ -104,3 +104,72 @@ def run_case(seed):
 @pytest.mark.parametrize("seed", range(12))
 def test_differential(seed):
     run_case(seed)
+
+
+def run_semi_case(seed):
+    rng = np.random.default_rng(1000 + seed)
+    na, nb = int(rng.integers(50, 300)), int(rng.integers(50, 300))
+    key_hi = int(rng.integers(5, 40))
+    a = make_table(rng, na, ("ak", "s_a", "av"), key_hi)
+    b = make_table(rng, nb, ("bk", "s_b", "bv"), key_hi)
+    ctx = SessionContext()
+    ctx.register_arrow("a", pa.Table.from_pandas(a))
+    ctx.register_arrow("b", pa.Table.from_pandas(b))
+    neg = bool(rng.random() < 0.5)
+    op = "not in" if neg else "in"
+    on = str(rng.choice(["num", "str"]))
+    sub = "select bk from b" if on == "num" else "select s_b from b"
+    col = "ak" if on == "num" else "s_a"
+    q = (f"select ak, s_a, av from a where {col} {op} ({sub}) "
+         f"order by ak, s_a, av")
+    got = ctx.sql(q).to_pandas()
+    keys = set(b["bk"]) if on == "num" else set(
+        v for v in b["s_b"] if pd.notna(v))
+    if neg:
+        # NOT IN with NULLs in the subquery yields no rows at all (SQL)
+        if on == "str" and b["s_b"].isna().any():
+            keep = a[col].map(lambda v: False)
+        else:
+            keep = a[col].map(lambda v: pd.notna(v) and v not in keys)
+    else:
+        keep = a[col].map(lambda v: pd.notna(v) and v in keys)
+    exp = a[keep].sort_values(["ak", "s_a", "av"], na_position="last",
+                              kind="stable").reset_index(drop=True)
+    assert len(got) == len(exp), (seed, q, len(got), len(exp))
+    assert got["ak"].tolist() == exp["ak"].tolist(), (seed, q)
+    assert got["s_a"].fillna("~").tolist() == \
+        exp["s_a"].fillna("~").tolist(), (seed, q)
+
+
+def run_multikey_case(seed):
+    rng = np.random.default_rng(2000 + seed)
+    na, nb = int(rng.integers(50, 300)), int(rng.integers(50, 300))
+    a = pd.DataFrame({"k1": rng.integers(0, 8, na),
+                      "k2": rng.integers(-4, 4, na),
+                      "av": np.arange(na)})
+    b = pd.DataFrame({"j1": rng.integers(0, 8, nb),
+                      "j2": rng.integers(-4, 4, nb),
+                      "bv": np.arange(nb)})
+    if rng.random() < 0.5:
+        b = b.drop_duplicates(["j1", "j2"]).reset_index(drop=True)
+    ctx = SessionContext()
+    ctx.register_arrow("a", pa.Table.from_pandas(a))
+    ctx.register_arrow("b", pa.Table.from_pandas(b))
+    q = ("select k1, k2, av, bv from a join b on a.k1 = b.j1 and "
+         "a.k2 = b.j2 order by k1, k2, av, bv")
+    got = ctx.sql(q).to_pandas()
+    exp = a.merge(b, left_on=["k1", "k2"], right_on=["j1", "j2"])
+    exp = exp[["k1", "k2", "av", "bv"]].sort_values(
+        ["k1", "k2", "av", "bv"], kind="stable").reset_index(drop=True)
+    assert got[["k1", "k2", "av", "bv"]].values.tolist() == \
+        exp.values.tolist(), (seed, q, len(got), len(exp))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_semi_anti(seed):
+    run_semi_case(seed)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_multikey(seed):
+    run_multikey_case(seed)
