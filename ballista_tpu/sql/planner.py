@@ -572,8 +572,12 @@ class SqlPlanner:
                 AggExpr("count", Col(inner_col), alias=nn)))
             crossed = L.Join(cnt, join, (), "cross")
             from ..exprs import IsNull
-            pred = BinOp("and", BinOp("=", Col(t), Col(nn)),
-                         Not(IsNull(Col(lhs.name))))
+            # empty subquery: NOT IN () is TRUE for every row, even a
+            # NULL lhs; otherwise require a null-free subquery AND a
+            # non-null lhs
+            pred = BinOp("or", BinOp("=", Col(t), Lit(0)),
+                         BinOp("and", BinOp("=", Col(t), Col(nn)),
+                               Not(IsNull(Col(lhs.name)))))
             return L.Filter(crossed, pred)
 
         corr = list(fw.corr_equi)
