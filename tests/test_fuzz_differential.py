@@ -173,3 +173,31 @@ def test_differential_semi_anti(seed):
 @pytest.mark.parametrize("seed", range(8))
 def test_differential_multikey(seed):
     run_multikey_case(seed)
+
+
+def run_window_case(seed):
+    rng = np.random.default_rng(3000 + seed)
+    n = int(rng.integers(100, 600))
+    df = pd.DataFrame({"g": rng.integers(0, 7, n),
+                       "o": rng.integers(0, 50, n),
+                       "v": rng.integers(-100, 100, n),
+                       "r": np.arange(n)})  # unique tiebreaker
+    ctx = SessionContext()
+    ctx.register_arrow("t", pa.Table.from_pandas(df))
+    q = ("select g, o, r, "
+         "row_number() over (partition by g order by o, r) rn, "
+         "rank() over (partition by g order by o) rk, "
+         "sum(v) over (partition by g) tot "
+         "from t order by g, o, r")
+    got = ctx.sql(q).to_pandas()
+    exp = df.sort_values(["g", "o", "r"], kind="stable").reset_index(drop=True)
+    exp["rn"] = exp.groupby("g").cumcount() + 1
+    exp["rk"] = exp.groupby("g")["o"].rank(method="min").astype(int)
+    exp["tot"] = exp.groupby("g")["v"].transform("sum")
+    for col in ("g", "o", "r", "rn", "rk", "tot"):
+        assert got[col].tolist() == exp[col].tolist(), (seed, col)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_windows(seed):
+    run_window_case(seed)
