@@ -600,7 +600,32 @@ class SqlPlanner:
         if not fw.corr_residual:
             inner = L.Distinct(L.Projection(
                 fw.plan, tuple(Col(k) for k in inner_keys), tuple(mangled)))
-            return L.Join(inner, current, tuple(zip(mangled, outer_keys)), how)
+            join = L.Join(inner, current, tuple(zip(mangled, outer_keys)),
+                          how)
+            if how != "anti" or in_lhs is None:
+                return join
+            # correlated NOT IN three-valued logic per correlation group:
+            # row kept iff its group is EMPTY (incl. NULL outer corr key),
+            # or the group is null-free, x is non-null, and x has no
+            # match (the anti join above). A per-group
+            # (count(*), count(item)) aggregate left-joins on the corr
+            # keys; group-miss => ct IS NULL => empty group => keep.
+            from ..exprs import IsNull
+            item_name = inner_keys[-1]       # corr list ends with the item
+            grp_in = inner_keys[:-1]
+            grp_out = outer_keys[:-1]
+            gnames = [f"{tag}_g{i}" for i in range(len(grp_in))]
+            ct, cy = f"{tag}_ct", f"{tag}_cy"
+            grp = L.Aggregate(fw.plan, tuple(Col(k) for k in grp_in),
+                              (AggExpr("count_star", alias=ct),
+                               AggExpr("count", Col(item_name), alias=cy)),
+                              group_names=tuple(gnames))
+            joined = L.Join(grp, join, tuple(zip(gnames, grp_out)),
+                            "left_outer", unique_build=True)
+            pred = BinOp("or", IsNull(Col(ct)),
+                         BinOp("and", BinOp("=", Col(ct), Col(cy)),
+                               Not(IsNull(Col(outer_keys[-1])))))
+            return L.Filter(joined, pred)
 
         # <>-correlated EXISTS fast path (the Q21 shape):
         #   EXISTS(SELECT .. WHERE inner.k = outer.k AND inner.d <> outer.d)

@@ -201,3 +201,23 @@ def run_window_case(seed):
 @pytest.mark.parametrize("seed", range(6))
 def test_differential_windows(seed):
     run_window_case(seed)
+
+
+def test_correlated_not_in_nulls():
+    """Correlated NOT IN: groups containing NULL drop every row; empty
+    groups (incl. NULL outer corr keys) keep every row; NULL lhs never
+    qualifies against a non-empty group."""
+    import pyarrow as pa
+    from ballista_tpu.client import SessionContext
+
+    ctx = SessionContext()
+    ctx.register_arrow("a", pa.table({"k": [1, 1, 2, 2, 3, 2, None],
+                                      "x": [10, 99, 10, 20, 5, None, 1]}))
+    ctx.register_arrow("b", pa.table({"bk": [1, 1, 2, 2],
+                                      "y": [10, None, 10, 30]}))
+    r = ctx.sql("select k, x from a where x not in "
+                "(select y from b where b.bk = a.k) order by k, x"
+                ).to_pandas()
+    # k=1: NULL y in group -> dropped; k=2: 20 kept, 10 match, NULL lhs
+    # dropped; k=3 + NULL k: empty groups -> kept
+    assert r.fillna(-1).values.tolist() == [[2, 20], [3, 5], [-1, 1]], r
