@@ -917,6 +917,57 @@ def _bind_scalar_fn(e: ScalarFn, schema: Schema) -> Bound:
             idx = jnp.clip(col.data, 0, lut_dev.shape[0] - 1)
             return Column(lut_dev[idx], col.validity)
         return Bound(STRING, c.nullable, fn, dictionary=new_dict)
+    _DICT_STR_FNS = {"upper": str.upper, "lower": str.lower,
+                     "trim": str.strip, "ltrim": str.lstrip,
+                     "rtrim": str.rstrip, "reverse": lambda s: s[::-1]}
+    if name in _DICT_STR_FNS or (
+            name == "replace" and len(e.args) == 3
+            and all(isinstance(a, Lit) for a in e.args[1:])):
+        # string -> string on a dictionary column: transform the HOST
+        # dictionary once, re-sort, and trace one LUT gather over codes
+        # (the substring pattern — no per-row string work on device)
+        c = bind_expr(e.args[0], schema)
+        if c.dtype.kind is not TypeKind.STRING:
+            raise TypeError(f"{name} on non-string")
+        dic = _dict_for(e.args[0], schema)
+        if dic is None:
+            raise TypeError(f"{name} requires a dictionary-encoded column")
+        if name == "replace":
+            old, new = e.args[1].value, e.args[2].value
+            xform = lambda s: str(s).replace(old, new)  # noqa: E731
+        else:
+            base = _DICT_STR_FNS[name]
+            xform = lambda s: base(str(s))  # noqa: E731
+        vals = np.array([xform(s) for s in dic], dtype=object)
+        new_dict = np.unique(vals.astype(str)).astype(object)
+        lut = np.searchsorted(new_dict.astype(str),
+                              vals.astype(str)).astype(np.int32)
+        lut_dev = jnp.asarray(lut if len(lut) else np.zeros(1, np.int32))
+
+        def fn(batch):
+            col = c.fn(batch)
+            idx = jnp.clip(col.data, 0, lut_dev.shape[0] - 1)
+            return Column(lut_dev[idx], col.validity)
+        return Bound(STRING, c.nullable, fn, dictionary=new_dict,
+                     code_bound=max(len(new_dict), 1))
+    if name in ("length", "char_length", "character_length",
+                "octet_length"):
+        c = bind_expr(e.args[0], schema)
+        if c.dtype.kind is not TypeKind.STRING:
+            raise TypeError(f"{name} on non-string")
+        dic = _dict_for(e.args[0], schema)
+        if dic is None:
+            raise TypeError(f"{name} requires a dictionary-encoded column")
+        enc = (len(str(s).encode()) if name == "octet_length" else len(str(s))
+               for s in dic)
+        lens = np.fromiter(enc, dtype=np.int32, count=len(dic))
+        lut_dev = jnp.asarray(lens if len(lens) else np.zeros(1, np.int32))
+
+        def fn(batch):
+            col = c.fn(batch)
+            idx = jnp.clip(col.data, 0, lut_dev.shape[0] - 1)
+            return Column(lut_dev[idx], col.validity)
+        return Bound(INT32, c.nullable, fn)
     if name == "coalesce":
         parts = [bind_expr(a, schema) for a in e.args]
         out = _common_dtype([p.dtype for p in parts])

@@ -34,6 +34,19 @@ _BUILTINS: List[FunctionInfo] = [
                  "first non-NULL argument"),
     FunctionInfo("substring", "scalar", "substring(s, start, len)",
                  "substring of a dictionary-encoded string column"),
+    FunctionInfo("upper", "scalar", "upper(s)", "uppercase (dict LUT)"),
+    FunctionInfo("lower", "scalar", "lower(s)", "lowercase (dict LUT)"),
+    FunctionInfo("trim", "scalar", "trim(s)", "strip whitespace"),
+    FunctionInfo("ltrim", "scalar", "ltrim(s)", "strip left whitespace"),
+    FunctionInfo("rtrim", "scalar", "rtrim(s)", "strip right whitespace"),
+    FunctionInfo("reverse", "scalar", "reverse(s)", "reverse string"),
+    FunctionInfo("replace", "scalar", "replace(s, from, to)",
+                 "literal substring replacement"),
+    FunctionInfo("length", "scalar", "length(s)", "character length"),
+    FunctionInfo("char_length", "scalar", "char_length(s)",
+                 "character length"),
+    FunctionInfo("octet_length", "scalar", "octet_length(s)",
+                 "UTF-8 byte length"),
     FunctionInfo("extract_year", "scalar", "extract(year from d)",
                  "year of a date column"),
     # aggregates (sql/parser.py aggregate table + exec/aggregate.py)
