@@ -873,13 +873,14 @@ def _bind_scalar_fn(e: ScalarFn, schema: Schema) -> Bound:
                 valid = jnp.ones(batch.capacity, dtype=jnp.bool_)
             return Column(data, valid)
         return Bound(out_dtype, True, fn)
-    if name == "extract_year":
+    if name in ("extract_year", "extract_month", "extract_day"):
         c = bind_expr(e.args[0], schema)
+        part = name.split("_")[1]
 
         def fn(batch):
             col = c.fn(batch)
-            # days since 1970-01-01 -> year, civil-calendar algorithm
-            # (Howard Hinnant's days->ymd, vectorized; no Python date objects)
+            # days since 1970-01-01 -> (y, m, d), civil-calendar algorithm
+            # (Howard Hinnant's days->ymd, vectorized; no Python dates)
             z = col.data.astype(jnp.int32) + 719468
             era = jnp.where(z >= 0, z, z - 146096) // 146097
             doe = z - era * 146097
@@ -887,10 +888,37 @@ def _bind_scalar_fn(e: ScalarFn, schema: Schema) -> Bound:
             y = yoe + era * 400
             doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
             mp = (5 * doy + 2) // 153
+            d = doy - (153 * mp + 2) // 5 + 1
             m = jnp.where(mp < 10, mp + 3, mp - 9)
             year = jnp.where(m <= 2, y + 1, y)
-            return Column(year.astype(jnp.int32), col.validity)
+            out = {"year": year, "month": m, "day": d}[part]
+            return Column(out.astype(jnp.int32), col.validity)
         return Bound(INT32, c.nullable, fn)
+    if name in ("floor", "ceil", "ceiling", "round", "sqrt"):
+        c = bind_expr(e.args[0], schema)
+        op = {"floor": jnp.floor, "ceil": jnp.ceil, "ceiling": jnp.ceil,
+              "round": jnp.round, "sqrt": jnp.sqrt}[name]
+        if c.dtype.kind is TypeKind.DECIMAL:
+            scale = 10.0 ** c.dtype.scale
+
+            def fn(batch):
+                col = c.fn(batch)
+                v = op(col.data.astype(jnp.float64) / scale)
+                return Column(v, col.validity)
+            return Bound(FLOAT64, c.nullable, fn)
+        out_dt = FLOAT64 if (name == "sqrt" or c.dtype.is_integer is False) \
+            else c.dtype
+
+        def fn(batch):
+            col = c.fn(batch)
+            if name == "sqrt":
+                v = jnp.sqrt(col.data.astype(jnp.float64))
+            elif c.dtype.is_integer:
+                v = col.data  # floor/ceil/round of integers: identity
+            else:
+                v = op(col.data)
+            return Column(v.astype(out_dt.jnp_dtype), col.validity)
+        return Bound(out_dt, c.nullable, fn)
     if name == "abs":
         c = bind_expr(e.args[0], schema)
         return Bound(c.dtype, c.nullable,

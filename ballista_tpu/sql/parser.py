@@ -626,11 +626,13 @@ class Parser:
             return Cast(e, dtype)
         if self.accept("kw", "extract"):
             self.expect("op", "(")
-            self.expect("kw", "year")
+            part = self.next().value.lower()  # year | month | day (kw or id)
+            if part not in ("year", "month", "day"):
+                raise SyntaxError(f"EXTRACT: unsupported part {part!r}")
             self.expect("kw", "from")
             e = self.parse_expr()
             self.expect("op", ")")
-            return ScalarFn("extract_year", (e,))
+            return ScalarFn(f"extract_{part}", (e,))
         if t.kind == "id":
             name = self.next().value
             # function call?
