@@ -894,6 +894,37 @@ def _bind_scalar_fn(e: ScalarFn, schema: Schema) -> Bound:
             out = {"year": year, "month": m, "day": d}[part]
             return Column(out.astype(jnp.int32), col.validity)
         return Bound(INT32, c.nullable, fn)
+    if name == "date_trunc":
+        unit = e.args[0].value.lower() if isinstance(e.args[0], Lit) else None
+        if unit not in ("year", "month"):
+            raise NotImplementedError(f"date_trunc unit {unit!r}")
+        c = bind_expr(e.args[1], schema)
+
+        def fn(batch):
+            col = c.fn(batch)
+            z = col.data.astype(jnp.int32) + 719468
+            era = jnp.where(z >= 0, z, z - 146096) // 146097
+            doe = z - era * 146097
+            yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+            y = yoe + era * 400
+            doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+            mp = (5 * doy + 2) // 153
+            m = jnp.where(mp < 10, mp + 3, mp - 9)
+            year = jnp.where(m <= 2, y + 1, y)
+            if unit == "year":
+                ty, tm = year, jnp.ones_like(m)
+            else:
+                ty, tm = year, m
+            # ymd -> days (Hinnant days_from_civil), day = 1
+            yy = ty - (tm <= 2)
+            era2 = jnp.where(yy >= 0, yy, yy - 399) // 400
+            yoe2 = yy - era2 * 400
+            mp2 = jnp.where(tm > 2, tm - 3, tm + 9)
+            doy2 = (153 * mp2 + 2) // 5  # day-of-month 1 -> +0
+            doe2 = yoe2 * 365 + yoe2 // 4 - yoe2 // 100 + doy2
+            days = era2 * 146097 + doe2 - 719468
+            return Column(days.astype(jnp.int32), col.validity)
+        return Bound(c.dtype, c.nullable, fn)
     if name in ("floor", "ceil", "ceiling", "round", "sqrt"):
         c = bind_expr(e.args[0], schema)
         op = {"floor": jnp.floor, "ceil": jnp.ceil, "ceiling": jnp.ceil,
