@@ -1027,6 +1027,65 @@ def _bind_scalar_fn(e: ScalarFn, schema: Schema) -> Bound:
             idx = jnp.clip(col.data, 0, lut_dev.shape[0] - 1)
             return Column(lut_dev[idx], col.validity)
         return Bound(INT32, c.nullable, fn)
+    if name == "concat":
+        # concat over dict columns and literals: at most two dict columns
+        # (product dictionary, bounded); all string work stays host-side
+        parts = []
+        for a in e.args:
+            if isinstance(a, Lit):
+                parts.append(("lit", str(a.value), None))
+            else:
+                c = bind_expr(a, schema)
+                if c.dtype.kind is not TypeKind.STRING or c.dictionary is None:
+                    raise TypeError("concat requires dictionary-encoded "
+                                    "string columns or literals")
+                parts.append(("col", c, c.dictionary))
+        cols = [p for p in parts if p[0] == "col"]
+        if len(cols) == 0 or len(cols) > 2:
+            raise NotImplementedError("concat supports 1-2 string columns")
+        if len(cols) == 2 and len(cols[0][2]) * len(cols[1][2]) > 1_000_000:
+            raise NotImplementedError("concat dictionary product too large")
+
+        def render(v1, v2=None):
+            out, seen = [], 0
+            for kind, val, _ in parts:
+                if kind == "lit":
+                    out.append(val)
+                else:
+                    out.append(str(v1 if seen == 0 else v2))
+                    seen += 1
+            return "".join(out)
+
+        import itertools
+        if len(cols) == 1:
+            d1 = cols[0][2]
+            vals = np.array([render(s) for s in d1], dtype=object)
+        else:
+            d1, d2 = cols[0][2], cols[1][2]
+            vals = np.array([render(s1, s2)
+                             for s1, s2 in itertools.product(d1, d2)],
+                            dtype=object)
+        new_dict = np.unique(vals.astype(str)).astype(object)
+        lut = np.searchsorted(new_dict.astype(str),
+                              vals.astype(str)).astype(np.int32)
+        lut_dev = jnp.asarray(lut if len(lut) else np.zeros(1, np.int32))
+        c1 = cols[0][1]
+        c2 = cols[1][1] if len(cols) == 2 else None
+
+        def fn(batch):
+            a1 = c1.fn(batch)
+            if c2 is None:
+                idx = jnp.clip(a1.data, 0, lut_dev.shape[0] - 1)
+                valid = a1.validity
+            else:
+                a2 = c2.fn(batch)
+                m = len(cols[1][2])
+                idx = jnp.clip(a1.data * m + a2.data, 0,
+                               lut_dev.shape[0] - 1)
+                valid = a1.validity & a2.validity
+            return Column(lut_dev[idx], valid)
+        return Bound(STRING, True, fn, dictionary=new_dict,
+                     code_bound=max(len(new_dict), 1))
     if name == "coalesce":
         parts = [bind_expr(a, schema) for a in e.args]
         out = _common_dtype([p.dtype for p in parts])

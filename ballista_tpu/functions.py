@@ -47,6 +47,14 @@ _BUILTINS: List[FunctionInfo] = [
                  "character length"),
     FunctionInfo("octet_length", "scalar", "octet_length(s)",
                  "UTF-8 byte length"),
+    FunctionInfo("concat", "scalar", "concat(a, b, ...) / a || b",
+                 "string concatenation (1-2 dict columns + literals)"),
+    FunctionInfo("date_trunc", "scalar", "date_trunc('year'|'month', d)",
+                 "truncate a date"),
+    FunctionInfo("floor", "scalar", "floor(x)", "round down"),
+    FunctionInfo("ceil", "scalar", "ceil(x)", "round up"),
+    FunctionInfo("round", "scalar", "round(x)", "round half to even"),
+    FunctionInfo("sqrt", "scalar", "sqrt(x)", "square root"),
     FunctionInfo("extract_year", "scalar", "extract(year from d)",
                  "year of a date column"),
     # aggregates (sql/parser.py aggregate table + exec/aggregate.py)

@@ -535,6 +535,9 @@ class Parser:
             if t.kind == "op" and t.value in ("+", "-"):
                 self.next()
                 e = BinOp(t.value, e, self.parse_mul())
+            elif t.kind == "op" and t.value == "||":
+                self.next()
+                e = ScalarFn("concat", (e, self.parse_mul()))
             else:
                 return e
 
