@@ -604,6 +604,12 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
         v = e.value
         if v is None:
             return Bound(dtype, True, _const_column(0, dtype, valid=False))
+        if dtype.kind is TypeKind.STRING and isinstance(v, str):
+            # standalone string literal: a one-entry dictionary, code 0
+            # (lets CASE/value positions carry strings, not just compares)
+            d = np.array([v], dtype=object)
+            return Bound(STRING, False, _const_column(0, INT32),
+                         dictionary=d, code_bound=1)
         if dtype.kind is TypeKind.DATE32 and isinstance(v, str):
             v = parse_date(v)
         elif dtype.kind is TypeKind.DATE32 and isinstance(v, datetime.date):
@@ -782,6 +788,45 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
         # unify result dtype
         dtypes = [v.dtype for _, v in whens] + ([otherwise.dtype] if otherwise else [])
         out = _common_dtype(dtypes)
+
+        if out.kind is TypeKind.STRING:
+            # string branches carry codes in DIFFERENT dictionaries:
+            # remap every branch into the sorted union dictionary via
+            # host LUTs before selecting
+            branches = [v for _, v in whens] + ([otherwise] if otherwise else [])
+            dics = [b.dictionary for b in branches]
+            if any(d is None for d in dics):
+                raise TypeError("CASE string branches must be "
+                                "dictionary-encoded or literals")
+            union = np.unique(np.concatenate(
+                [d.astype(str) for d in dics if len(d)])).astype(object)
+            luts = [jnp.asarray(
+                np.searchsorted(union.astype(str), d.astype(str)
+                                ).astype(np.int32)
+                if len(d) else np.zeros(1, np.int32)) for d in dics]
+
+            def remap(col, lut):
+                idx = jnp.clip(col.data, 0, lut.shape[0] - 1)
+                return Column(lut[idx], col.validity)
+
+            def fn(batch):
+                if otherwise is not None:
+                    oc = remap(otherwise.fn(batch), luts[-1])
+                    data, valid = oc.data, oc.validity
+                else:
+                    fc = remap(whens[0][1].fn(batch), luts[0])
+                    data = jnp.zeros_like(fc.data)
+                    valid = jnp.zeros_like(fc.validity)
+                for i in range(len(whens) - 1, -1, -1):
+                    cond, val = whens[i]
+                    cc = cond.fn(batch)
+                    vc = remap(val.fn(batch), luts[i])
+                    take = cc.data.astype(jnp.bool_) & cc.validity
+                    data = jnp.where(take, vc.data, data)
+                    valid = jnp.where(take, vc.validity, valid)
+                return Column(data, valid)
+            return Bound(STRING, True, fn, dictionary=union,
+                         code_bound=max(len(union), 1))
 
         def fn(batch):
             if otherwise is not None:
