@@ -877,17 +877,29 @@ class SortExec(ExecNode):
 
 
 class LimitExec(ExecNode):
-    def __init__(self, child: ExecNode, n: int):
+    def __init__(self, child: ExecNode, n: int, offset: int = 0):
         self.children = (child,)
         self.n = n
+        self.offset = offset
         self.schema = child.schema
         self.capacity = child.capacity
 
     def evaluate(self, inputs):
-        return limit_batch(self.children[0].evaluate(inputs), self.n)
+        b = self.children[0].evaluate(inputs)
+        if self.offset:
+            # rows are a dense prefix: a static roll shifts row `offset`
+            # to the front; trailing wrapped rows fall outside num_rows
+            new_rows = jnp.clip(b.num_rows - self.offset, 0, self.n)
+            live = jnp.arange(b.capacity, dtype=jnp.int32) < new_rows
+            cols = tuple(Column(jnp.roll(c.data, -self.offset),
+                                jnp.roll(c.validity, -self.offset) & live)
+                         for c in b.columns)
+            return Batch(cols, new_rows.astype(jnp.int32))
+        return limit_batch(b, self.n)
 
     def _label(self):
-        return f"LimitExec({self.n})"
+        off = f", offset={self.offset}" if self.offset else ""
+        return f"LimitExec({self.n}{off})"
 
 
 class CoalesceExec(ExecNode):

@@ -179,6 +179,7 @@ class Sort(LogicalPlan):
 class Limit(LogicalPlan):
     input: LogicalPlan
     n: int
+    offset: int = 0
 
     def schema(self):
         return self.input.schema()
@@ -187,7 +188,8 @@ class Limit(LogicalPlan):
         return (self.input,)
 
     def _label(self):
-        return f"Limit({self.n})"
+        off = f", offset={self.offset}" if self.offset else ""
+        return f"Limit({self.n}{off})"
 
 
 @dataclasses.dataclass

@@ -142,7 +142,7 @@ def create_physical_plan(plan: L.LogicalPlan,
         if isinstance(p, L.Sort):
             return SortExec(lower(p.input), list(p.keys))
         if isinstance(p, L.Limit):
-            return LimitExec(lower(p.input), p.n)
+            return LimitExec(lower(p.input), p.n, getattr(p, "offset", 0))
         if isinstance(p, L.Join):
             if p.how == "cross":
                 from ..exec.plan import CrossJoinExec

@@ -127,6 +127,7 @@ class UnionStmt:
     all: bool = False
     order_by: list = dataclasses.field(default_factory=list)
     limit: Optional[int] = None
+    offset: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -139,6 +140,7 @@ class SelectStmt:
     having: Optional[Expr] = None
     order_by: List[Tuple[Union[Expr, int], bool, Optional[bool]]] = dataclasses.field(default_factory=list)
     limit: Optional[int] = None
+    offset: Optional[int] = None
     distinct: bool = False
     # GROUPING SETS/ROLLUP/CUBE: tuples of indices into group_by; None for a
     # plain GROUP BY
@@ -342,6 +344,9 @@ class Parser:
                     break
         if self.accept("kw", "limit"):
             stmt.limit = int(self.expect("num").value)
+        if self.peek().kind == "id" and self.peek().value.lower() == "offset":
+            self.next()
+            stmt.offset = int(self.expect("num").value)
         self.accept("op", ";")
         return stmt
 

@@ -856,8 +856,10 @@ class SqlPlanner:
                     raise NotImplementedError(
                         "UNION ORDER BY must reference output columns")
             out = L.Sort(out, tuple(keys))
-        if stmt.limit is not None:
-            out = L.Limit(out, stmt.limit)
+        if stmt.limit is not None or getattr(stmt, "offset", None):
+            out = L.Limit(out, stmt.limit if stmt.limit is not None
+                          else (1 << 31) - 1,
+                          offset=getattr(stmt, "offset", 0) or 0)
         return out
 
     def _resolver(self, scope: Scope):
@@ -990,8 +992,10 @@ class SqlPlanner:
                                    tuple(out_names))
             else:
                 out = L.Sort(out, tuple(keys))
-        if stmt.limit is not None:
-            out = L.Limit(out, stmt.limit)
+        if stmt.limit is not None or getattr(stmt, "offset", None):
+            out = L.Limit(out, stmt.limit if stmt.limit is not None
+                          else (1 << 31) - 1,
+                          offset=getattr(stmt, "offset", 0) or 0)
         return out
 
     def _plan_aggregate(self, current, group_exprs, agg_calls, items, having):
