@@ -220,8 +220,9 @@ class SessionContext:
         """Run a SQL script: SELECTs plus CREATE/DROP VIEW statements
         (the TPC-H Q15 shape; BallistaContext::sql similarly intercepts
         DDL, context.rs:362). Returns the last SELECT as a DataFrame."""
-        from ..sql.parser import (CreateExternalTable, CreateView, DropView,
-                                  ShowColumns, ShowTables, parse_statements)
+        from ..sql.parser import (CreateExternalTable, CreateTableAs,
+                                  CreateView, DropView, ShowColumns,
+                                  ShowTables, parse_statements)
         from ..sql.planner import SqlPlanner
 
         last = None
@@ -232,6 +233,10 @@ class SessionContext:
                 self.views.pop(stmt.name, None)
             elif isinstance(stmt, CreateExternalTable):
                 self._create_external_table(stmt)
+            elif isinstance(stmt, CreateTableAs):
+                from ..sql.planner import SqlPlanner as _SP
+                df = DataFrame(self, _SP(self).plan_select(stmt.query))
+                self.register_arrow(stmt.name, df.to_arrow())
             elif isinstance(stmt, ShowTables):
                 last = self._show_tables()
             elif isinstance(stmt, ShowColumns):

@@ -88,6 +88,14 @@ class CreateView:
 
 
 @dataclasses.dataclass
+class CreateTableAs:
+    """CREATE TABLE t AS SELECT ... — materializes the result as a
+    registered table (DataFusion CTAS parity)."""
+    name: str
+    query: "SelectStmt"
+
+
+@dataclasses.dataclass
 class DropView:
     name: str
 
@@ -887,6 +895,13 @@ def parse_statements(sql: str):
             p.accept("op", ";")
             continue
         if p.accept("kw", "create"):
+            if p.peek().kind == "id" and p.peek().value.lower() == "table":
+                p.next()
+                name = p._name()
+                p.expect("kw", "as")
+                out.append(CreateTableAs(name, p.parse_select()))
+                p.accept("op", ";")
+                continue
             p.expect("kw", "view")
             name = p._name()
             cols = None
