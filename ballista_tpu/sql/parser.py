@@ -88,6 +88,18 @@ class CreateView:
 
 
 @dataclasses.dataclass
+class SetOpStmt:
+    """INTERSECT / EXCEPT (distinct set semantics; NULLs compare equal,
+    per the SQL set-operation rules)."""
+    left: object
+    right: object
+    op: str                     # 'intersect' | 'except'
+    order_by: list = dataclasses.field(default_factory=list)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+
+
+@dataclasses.dataclass
 class CreateTableAs:
     """CREATE TABLE t AS SELECT ... — materializes the result as a
     registered table (DataFusion CTAS parity)."""
@@ -259,8 +271,26 @@ class Parser:
 
     # -- statement --
     def parse_select(self):
-        """SELECT, possibly a UNION [ALL] chain; the last member's ORDER BY
-        and LIMIT apply to the whole union (standard SQL)."""
+        """SELECT, possibly a UNION [ALL] / INTERSECT / EXCEPT chain; the
+        last member's ORDER BY and LIMIT apply to the whole set op."""
+        stmt = self._parse_union_term()
+        while (self.peek().kind == "id"
+               and self.peek().value.lower() in ("intersect", "except")):
+            op = self.next().value.lower()
+            if self.at_kw("all"):
+                raise NotImplementedError(f"{op.upper()} ALL")
+            right = self._parse_union_term()
+            so = SetOpStmt(stmt, right, op)
+            so.order_by = getattr(right, "order_by", [])
+            right.order_by = []
+            so.limit = getattr(right, "limit", None)
+            right.limit = None
+            so.offset = getattr(right, "offset", None)
+            right.offset = None
+            stmt = so
+        return stmt
+
+    def _parse_union_term(self):
         stmt = self._parse_select_one()
         if not self.at_kw("union"):
             return stmt
@@ -440,11 +470,14 @@ class Parser:
         alias, cols = self._alias_with_columns()
         return TableRef(name=name, alias=alias, col_aliases=cols)
 
+    _NON_ALIAS_IDS = {"intersect", "except", "offset"}
+
     def _alias_with_columns(self):
         alias = None
         if self.accept("kw", "as"):
             alias = self._name()
-        elif self.peek().kind == "id":
+        elif (self.peek().kind == "id"
+              and self.peek().value.lower() not in self._NON_ALIAS_IDS):
             alias = self.next().value
         cols = None
         if alias is not None and self.peek().kind == "op" and self.peek().value == "(":

@@ -823,7 +823,9 @@ class SqlPlanner:
     # -- top level --
 
     def plan_select(self, stmt, outer: Optional[Scope] = None) -> L.LogicalPlan:
-        from .parser import UnionStmt
+        from .parser import SetOpStmt, UnionStmt
+        if isinstance(stmt, SetOpStmt):
+            return self._plan_setop(stmt, outer)
         if isinstance(stmt, UnionStmt):
             return self._plan_union(stmt, outer)
         fw = self.plan_from_where(stmt, outer)
@@ -855,6 +857,83 @@ class SqlPlanner:
                 else:
                     raise NotImplementedError(
                         "UNION ORDER BY must reference output columns")
+            out = L.Sort(out, tuple(keys))
+        if stmt.limit is not None or getattr(stmt, "offset", None):
+            out = L.Limit(out, stmt.limit if stmt.limit is not None
+                          else (1 << 31) - 1,
+                          offset=getattr(stmt, "offset", 0) or 0)
+        return out
+
+    def _plan_setop(self, stmt, outer) -> L.LogicalPlan:
+        """INTERSECT/EXCEPT: Distinct(left) semi/anti-joined against the
+        right on NULL-SAFE normalized keys — set operations treat NULLs
+        as equal, so each column joins as (is-null flag, null-coalesced
+        value); both sides normalize identically, so the coalesce
+        default only needs dtype consistency."""
+        import datetime as _dt
+
+        from ..exprs import Case, IsNull
+        from ..schema import TypeKind
+
+        left = self.plan_select(stmt.left, outer)
+        right = self.plan_select(stmt.right, outer)
+        ls, rs = left.schema(), right.schema()
+        if len(ls.fields) != len(rs.fields):
+            raise ValueError(f"{stmt.op.upper()} inputs have different "
+                             "column counts")
+        names = [f.name for f in ls.fields]
+        right = L.Projection(right, tuple(Col(f.name) for f in rs.fields),
+                             tuple(names))
+
+        def default_for(f):
+            k = f.dtype.kind
+            if k is TypeKind.STRING:
+                return Lit("")
+            if k is TypeKind.BOOL:
+                return Lit(False)
+            if k in (TypeKind.FLOAT32, TypeKind.FLOAT64):
+                return Lit(0.0)
+            if k is TypeKind.DATE32:
+                return Lit(_dt.date(1970, 1, 1))
+            return Lit(0)
+
+        tag = self._mangle()
+
+        def with_keys(plan, prefix):
+            sch = plan.schema()
+            exprs = [Col(n) for n in names]
+            out_names = list(names)
+            for i, f in enumerate(sch.fields):
+                exprs.append(Case(((IsNull(Col(f.name)), default_for(f)),),
+                                  Col(f.name)))
+                out_names.append(f"{tag}{prefix}v{i}")
+                exprs.append(IsNull(Col(f.name)))
+                out_names.append(f"{tag}{prefix}f{i}")
+            return L.Projection(plan, tuple(exprs), tuple(out_names))
+
+        lk = with_keys(L.Distinct(left), "l")
+        rk_all = with_keys(right, "r")
+        key_names_r = [f"{tag}r{x}{i}" for i in range(len(names))
+                       for x in ("v", "f")]
+        rk = L.Distinct(L.Projection(
+            rk_all, tuple(Col(n) for n in key_names_r),
+            tuple(key_names_r)))
+        pairs = tuple((f"{tag}r{x}{i}", f"{tag}l{x}{i}")
+                      for i in range(len(names)) for x in ("v", "f"))
+        how = "semi" if stmt.op == "intersect" else "anti"
+        joined = L.Join(rk, lk, pairs, how)
+        out: L.LogicalPlan = L.Projection(
+            joined, tuple(Col(n) for n in names), tuple(names))
+        if stmt.order_by:
+            keys = []
+            for key, asc, nf in stmt.order_by:
+                if isinstance(key, int):
+                    keys.append((Col(names[key - 1]), asc, nf))
+                elif isinstance(key, Col) and key.name in names:
+                    keys.append((key, asc, nf))
+                else:
+                    raise NotImplementedError(
+                        "set-op ORDER BY must reference output columns")
             out = L.Sort(out, tuple(keys))
         if stmt.limit is not None or getattr(stmt, "offset", None):
             out = L.Limit(out, stmt.limit if stmt.limit is not None

@@ -119,3 +119,25 @@ def test_theta_join_on_inequality(ctx):
     df = ctx.sql("select count(*) c from t1 join t2 on t1.x < t2.x").to_pandas()
     # pairs with x1 < x2: (1,3),(1,4),(2,3),(2,4),(3,4) = 5
     assert int(df["c"][0]) == 5
+
+
+def test_intersect_except():
+    """INTERSECT / EXCEPT with NULL-equal set semantics."""
+    import pyarrow as pa
+    from ballista_tpu.client import SessionContext
+
+    ctx = SessionContext()
+    ctx.register_arrow("sa", pa.table({"x": [1, 2, 2, 3, None],
+                                       "s": ["p", "q", "q", "r", None]}))
+    ctx.register_arrow("sb", pa.table({"x": [2, 3, 4, None],
+                                       "s": ["q", "zz", "t", None]}))
+    r1 = ctx.sql("select x, s from sa intersect select x, s from sb "
+                 "order by x").to_pandas()
+    assert r1["x"].fillna(-1).tolist() == [2, -1]
+    assert r1["s"].fillna("~").tolist() == ["q", "~"]
+    r2 = ctx.sql("select x, s from sa except select x, s from sb "
+                 "order by x").to_pandas()
+    assert r2["x"].tolist() == [1, 3]
+    r3 = ctx.sql("select x from sa except select x from sa where x = 2 "
+                 "order by x").to_pandas()
+    assert r3["x"].fillna(-1).tolist() == [1, 3, -1]
