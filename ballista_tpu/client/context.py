@@ -315,7 +315,7 @@ class SessionContext:
         return out
 
     # -- execution --
-    def collect(self, plan: L.LogicalPlan, max_retries: int = 3):
+    def collect(self, plan: L.LogicalPlan, max_retries: int = 5):
         import dataclasses as dc
 
         if self._distributed:
@@ -338,8 +338,16 @@ class SessionContext:
             fn, input_ids = compile_stage(exec_plan, with_overflow=True)
             inputs = self.bind_inputs(input_ids)
             out, overflow = fn(inputs)
-            if not bool(overflow) or attempt == max_retries - 1:
+            if not bool(overflow):
                 return out, exec_plan.schema
+            if attempt == max_retries - 1:
+                # returning the clipped batch would be a silently wrong
+                # answer (found by fuzzing: heavy-expansion joins)
+                raise RuntimeError(
+                    "join/group output overflowed capacity after "
+                    f"{max_retries} retries (last join_out_factor "
+                    f"{opts.join_out_factor}); raise max_retries or "
+                    "PhysicalOptions.join_out_factor")
             # capacity-with-overflow-retry (expanding-join output or group
             # table too small)
             self.warn(f"stage output overflowed capacity on attempt "
