@@ -221,3 +221,33 @@ def test_correlated_not_in_nulls():
     # k=1: NULL y in group -> dropped; k=2: 20 kept, 10 match, NULL lhs
     # dropped; k=3 + NULL k: empty groups -> kept
     assert r.fillna(-1).values.tolist() == [[2, 20], [3, 5], [-1, 1]], r
+
+
+def run_setop_case(seed):
+    rng = np.random.default_rng(4000 + seed)
+    na, nb = int(rng.integers(30, 200)), int(rng.integers(30, 200))
+    a = make_table(rng, na, ("k", "s", "v"), 10)
+    b = make_table(rng, nb, ("k", "s", "v"), 10)
+    op = str(rng.choice(["intersect", "except"]))
+    ctx = SessionContext()
+    ctx.register_arrow("fa", pa.Table.from_pandas(a))
+    ctx.register_arrow("fb", pa.Table.from_pandas(b))
+    q = (f"select k, s from fa {op} select k, s from fb "
+         f"order by k, s")
+    got = ctx.sql(q).to_pandas()
+
+    def rows(df):
+        return {(int(r.k), None if pd.isna(r.s) else str(r.s))
+                for r in df.itertuples()}
+    la, lb = rows(a), rows(b)
+    exp = sorted(la & lb if op == "intersect" else la - lb,
+                 key=lambda t: (t[0], t[1] is None, t[1] or ""))
+    assert len(got) == len(exp), (seed, op, len(got), len(exp))
+    gl = list(zip(got["k"].tolist(),
+                  [None if pd.isna(x) else str(x) for x in got["s"]]))
+    assert gl == exp, (seed, op, gl[:5], exp[:5])
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_setops(seed):
+    run_setop_case(seed)
