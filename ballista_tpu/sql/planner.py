@@ -636,7 +636,10 @@ class SqlPlanner:
         # unique-key dedup of the general path (lineitem x lineitem at
         # SF1 was the single most expensive piece of the whole suite).
         res = fw.corr_residual
-        if (len(res) == 1 and isinstance(res[0], BinOp)
+        # the <> fast path is null-rejecting EXISTS semantics; NOT IN
+        # needs three-valued logic, handled by the general path below
+        if ((in_lhs is None or how == "semi")
+                and len(res) == 1 and isinstance(res[0], BinOp)
                 and res[0].op in ("!=", "<>")):
             lcol, rcol = res[0].left, res[0].right
             if isinstance(lcol, Col) and isinstance(rcol, Col):
@@ -709,7 +712,32 @@ class SqlPlanner:
         # rename dedup cols to avoid collision in the final semi join
         dkeys = [f"{tag}_u{i}" for i in range(len(ukey))]
         dedup = L.Projection(dedup, tuple(Col(c) for c in ukey), tuple(dkeys))
-        return L.Join(dedup, current, tuple(zip(dkeys, ukey)), how)
+        out = L.Join(dedup, current, tuple(zip(dkeys, ukey)), how)
+        if how != "anti" or in_lhs is None:
+            return out
+        # three-valued NOT IN with residual predicates. The anti join
+        # above removed rows with an exact item match; among survivors,
+        # keep a row iff its group (subquery rows matching the equi
+        # correlation AND the residual, item equality excluded) is
+        # empty, or is null-free with a non-null lhs. Per-outer-row
+        # groups are keyed by the outer unique key.
+        from ..exprs import IsNull
+        corr_pairs = pairs[:-1]      # corr list ends with the item pair
+        gjoin = (L.Join(inner, out, corr_pairs, "inner", unique_build=False)
+                 if corr_pairs else L.Join(inner, out, (), "cross"))
+        gfilt = L.Filter(gjoin, residual)
+        gt, gy = f"{tag}_gt", f"{tag}_gy"
+        gukeys = tuple(f"{tag}_w{i}" for i in range(len(ukey)))
+        agg = L.Aggregate(gfilt, tuple(Col(c) for c in ukey),
+                          (AggExpr("count_star", alias=gt),
+                           AggExpr("count", Col(mangled[-1]), alias=gy)),
+                          group_names=gukeys)
+        joined_ct = L.Join(agg, out, tuple(zip(gukeys, ukey)),
+                           "left_outer", unique_build=True)
+        pred = BinOp("or", IsNull(Col(gt)),
+                     BinOp("and", BinOp("=", Col(gt), Col(gy)),
+                           Not(IsNull(Col(outer_keys[-1])))))
+        return L.Filter(joined_ct, pred)
 
     def _plan_scalar(self, op: str, lhs: Expr, sub_stmt: SelectStmt,
                      lhs_left: bool, scope: Scope,

@@ -223,6 +223,38 @@ def test_correlated_not_in_nulls():
     assert r.fillna(-1).values.tolist() == [[2, 20], [3, 5], [-1, 1]], r
 
 
+def test_correlated_not_in_residual_nulls():
+    """Correlated NOT IN with a non-equi residual: the residual restricts
+    the group before the three-valued rules apply (NULL in group drops
+    the row; empty group keeps it; NULL lhs drops against non-empty)."""
+    ctx = SessionContext()
+    ctx.register_arrow("a", pa.table({
+        "id": [1, 2, 3, 4, 5, 6, 7],
+        "k":  [1, 1, 2, 2, 3, 2, None],
+        "z":  [5, 5, 5, 5, 5, 5, 5],
+        "x":  [10, 99, 10, 20, 5, None, 1]}))
+    ctx.register_arrow("b", pa.table({
+        "bk": [1, 1, 2, 2, 2],
+        "w":  [0, 0, 0, 0, 9],
+        "y":  [10, None, 10, 30, 77]}))
+    r = ctx.sql("select k, x from a where x not in "
+                "(select y from b where b.bk = a.k and b.w < a.z) "
+                "order by k, x").to_pandas()
+    # k=1 group {10,NULL}: NULL -> both rows dropped. k=2 group {10,30}
+    # (w=9 row residual-excluded): x=10 matches, x=20 kept, NULL lhs
+    # dropped. k=3 and NULL k: empty groups -> kept.
+    assert r.fillna(-1).values.tolist() == [[2, 20], [3, 5], [-1, 1]], r
+    # residual that references the subquery item column itself
+    r2 = ctx.sql("select k, x from a where x not in "
+                 "(select y from b where b.bk = a.k and y > a.z) "
+                 "order by k, x").to_pandas()
+    # y > z=5 drops NULL y and y<=5: k=1 group {10}; k=2 group {10,30,77}
+    # -> k=1: x=10 match dropped, x=99 kept; k=2: x=10 match dropped,
+    # x=20 kept, NULL lhs dropped; empty groups kept.
+    assert r2.fillna(-1).values.tolist() == \
+        [[1, 99], [2, 20], [3, 5], [-1, 1]], r2
+
+
 def run_setop_case(seed):
     rng = np.random.default_rng(4000 + seed)
     na, nb = int(rng.integers(30, 200)), int(rng.integers(30, 200))
