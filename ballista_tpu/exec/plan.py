@@ -211,7 +211,36 @@ class HashAggregateExec(ExecNode):
         elif not group_exprs:
             self.capacity = 128
         else:
+            # group-count bound from key metadata: distinct group tuples
+            # <= prod over keys of min(dictionary size, int-bound range
+            # width, expression ndv bound) — all hard ingest-time bounds.
+            # Shrinking the slot count here is load-bearing: the root
+            # sorts of q9/q10-style queries otherwise process a
+            # table_size-padded batch for a kilo-row aggregate output.
+            G = 1
+            cap_now = min(table_size, child.capacity)
+            for gb, nu in zip(self._group_bounds, self._key_nullables):
+                k = gb.code_bound
+                if gb.int_bound is not None:
+                    lo, hi = gb.int_bound
+                    width = int(hi) - int(lo) + 1
+                    k = width if k is None else min(k, width)
+                if gb.ndv_bound is not None:
+                    k = gb.ndv_bound if k is None else min(k, gb.ndv_bound)
+                if k is None or k <= 0:
+                    G = None
+                    break
+                G *= k + (1 if nu else 0)
+                if G >= cap_now:  # bound no tighter than existing sizing
+                    G = None
+                    break
+            if G is not None:
+                table_size = min(table_size, _next_pow2(max(G, 16)))
+                self.table_size = table_size
             self.capacity = max(128, min(table_size, child.capacity))
+            if G is not None:
+                self.capacity = min(self.capacity,
+                                    max(128, round_capacity(G)))
 
         key_fields = tuple(Field(n, b.dtype, b.nullable)
                            for n, b in zip(self._group_names, self._group_bounds))

@@ -315,6 +315,12 @@ class Bound:
     # (schema.int_bounds) — lets sort/join/group keys pack into shared
     # int64 limbs
     int_bound: Optional[tuple] = None
+    # static upper bound on the number of DISTINCT values this expression
+    # can produce, when tighter than code_bound / the int_bound range
+    # width (e.g. date_trunc('year') over 7 years of dates: range width
+    # ~2500 days but only 7 distinct outputs). Feeds the aggregate
+    # planner's group-count bound (output capacity / table sizing).
+    ndv_bound: Optional[int] = None
 
 
 def _const_column(value, dtype: DataType, valid: bool = True):
@@ -938,7 +944,19 @@ def _bind_scalar_fn(e: ScalarFn, schema: Schema) -> Bound:
             year = jnp.where(m <= 2, y + 1, y)
             out = {"year": year, "month": m, "day": d}[part]
             return Column(out.astype(jnp.int32), col.validity)
-        return Bound(INT32, c.nullable, fn)
+        # derived value bounds: extract(year) of a bounded date column is
+        # itself tightly bounded (e.g. TPC-H order years span 1992-1998) —
+        # this feeds key packing AND the aggregate group-count bound
+        ib = None
+        if part == "month":
+            ib = (1, 12)
+        elif part == "day":
+            ib = (1, 31)
+        elif c.int_bound is not None:
+            lo, hi = c.int_bound
+            ib = ((EPOCH + datetime.timedelta(days=int(lo))).year,
+                  (EPOCH + datetime.timedelta(days=int(hi))).year)
+        return Bound(INT32, c.nullable, fn, int_bound=ib)
     if name == "date_trunc":
         unit = e.args[0].value.lower() if isinstance(e.args[0], Lit) else None
         if unit not in ("year", "month"):
@@ -969,7 +987,21 @@ def _bind_scalar_fn(e: ScalarFn, schema: Schema) -> Bound:
             doe2 = yoe2 * 365 + yoe2 // 4 - yoe2 // 100 + doy2
             days = era2 * 146097 + doe2 - 719468
             return Column(days.astype(jnp.int32), col.validity)
-        return Bound(c.dtype, c.nullable, fn)
+        # truncation keeps the value within [trunc(lo), hi]; the distinct
+        # count is the number of year/month starts in the range
+        ib = ndv = None
+        if c.int_bound is not None:
+            lo, hi = c.int_bound
+            dlo = EPOCH + datetime.timedelta(days=int(lo))
+            dhi = EPOCH + datetime.timedelta(days=int(hi))
+            tlo = (datetime.date(dlo.year, 1, 1) if unit == "year"
+                   else datetime.date(dlo.year, dlo.month, 1))
+            ib = ((tlo - EPOCH).days, int(hi))
+            if unit == "year":
+                ndv = dhi.year - dlo.year + 1
+            else:
+                ndv = (dhi.year - dlo.year) * 12 + dhi.month - dlo.month + 1
+        return Bound(c.dtype, c.nullable, fn, int_bound=ib, ndv_bound=ndv)
     if name in ("floor", "ceil", "ceiling", "round", "sqrt"):
         c = bind_expr(e.args[0], schema)
         op = {"floor": jnp.floor, "ceil": jnp.ceil, "ceiling": jnp.ceil,
