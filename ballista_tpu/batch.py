@@ -171,6 +171,25 @@ def compute_dictionaries(table) -> dict:
     return out
 
 
+def _estimate_high_cardinality(arr, n: int) -> bool:
+    """Sample-estimated distinct count above BALLISTA_RAW_DICT_MAX?
+
+    A uniform 64Ki sample's unique ratio scaled to n over-estimates NDV
+    for skewed columns (safe direction: sorted encoding stays available
+    for genuinely low-NDV data; raw mode only for dictionary sizes that
+    would rival the data itself)."""
+    import os
+    limit = int(os.environ.get("BALLISTA_RAW_DICT_MAX", str(1 << 21)))
+    if n <= limit:
+        return False
+    import pyarrow.compute as pc
+    step = max(1, n // 65536)
+    sample = arr.take(np.arange(0, n, step, dtype=np.int64))
+    uniq = len(pc.unique(sample))
+    est = uniq / max(len(sample), 1) * n
+    return est > limit
+
+
 def from_arrow(table, capacity: int | None = None,
                dictionaries: dict | None = None) -> tuple[Batch, Schema]:
     """Convert a pyarrow Table to a device Batch + Schema.
@@ -189,6 +208,7 @@ def from_arrow(table, capacity: int | None = None,
     cols = []
     dicts = {}
     int_bounds = {}
+    unsorted = set()
     for i, f in enumerate(schema.fields):
         arr = table.column(i).combine_chunks()
         if isinstance(arr, pa.ChunkedArray):
@@ -200,6 +220,21 @@ def from_arrow(table, capacity: int | None = None,
             from . import native
             filled = arr.fill_null("") if arr.null_count else arr
             values = None
+            if (dictionaries is None or f.name not in dictionaries) and \
+                    _estimate_high_cardinality(filled, n):
+                # RAW string mode: the "dictionary" is the column verbatim
+                # (unsorted, duplicates allowed; code == row index). At
+                # TPC-H SF100 sorted-dictionary encoding of ~450M distinct
+                # comments is infeasible (O(n log n) host sort + a
+                # dictionary as large as the data); raw mode is O(1).
+                # Predicates (LIKE/=/IN) evaluate host-side into boolean
+                # LUTs exactly as for sorted dictionaries; key uses
+                # re-encode on demand (schema.unsorted guards).
+                dicts[f.name] = np.asarray(filled, dtype=object)
+                unsorted.add(f.name)
+                cols.append(make_column(
+                    np.arange(n, dtype=np.int32), validity, f.dtype, cap))
+                continue
             if dictionaries is not None and f.name in dictionaries:
                 dict_np = dictionaries[f.name]
                 codes = native.dict_encode_against_arrow(filled, dict_np)
@@ -241,7 +276,7 @@ def from_arrow(table, capacity: int | None = None,
                 # int64 limbs downstream (planning metadata)
                 int_bounds[f.name] = (int(vv.min()), int(vv.max()))
         cols.append(make_column(values, validity, f.dtype, cap))
-    schema = Schema(schema.fields, dicts, int_bounds)
+    schema = Schema(schema.fields, dicts, int_bounds, unsorted)
     return Batch(tuple(cols), jnp.int32(n)), schema
 
 

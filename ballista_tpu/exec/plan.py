@@ -138,17 +138,22 @@ class ProjectExec(ExecNode):
                        for n, b in zip(names, self._bounds))
         # propagate dictionaries: passthrough columns + derived (substring)
         dicts = {}
+        unsorted = set()
         from ..exprs import Alias, Col
         for n, e, b in zip(names, exprs, self._bounds):
             if b.dictionary is not None:
                 dicts[n] = b.dictionary
+                if not b.dict_sorted:
+                    unsorted.add(n)
                 continue
             base = e.child if isinstance(e, Alias) else e
             if isinstance(base, Col) and child.schema.dictionary(base.name) is not None:
                 dicts[n] = child.schema.dictionary(base.name)
+                if not child.schema.is_sorted_dict(base.name):
+                    unsorted.add(n)
         bounds = {n: b.int_bound
                   for n, b in zip(names, self._bounds) if b.int_bound}
-        self.schema = Schema(fields, dicts, bounds)
+        self.schema = Schema(fields, dicts, bounds, unsorted)
         self.capacity = child.capacity
 
     def evaluate(self, inputs):
@@ -186,6 +191,22 @@ class HashAggregateExec(ExecNode):
                            if pre_filter is not None else None)
         in_schema = child.schema
         self._group_bounds = [bind_expr(e, in_schema) for e in group_exprs]
+        # RAW string guards: raw codes are row indices, so code equality
+        # (grouping) and code order (min/max) are meaningless — `carry`
+        # is exempt (any code of an all-equal group decodes to the value)
+        for gb, ge in zip(self._group_bounds, group_exprs):
+            if gb.dictionary is not None and not gb.dict_sorted:
+                raise NotImplementedError(
+                    f"GROUP BY high-cardinality raw string {ge!r} "
+                    "(raise BALLISTA_RAW_DICT_MAX to dictionary-encode)")
+        if mode != "final":  # final-mode children carry state cols, not args
+            for a in aggs:
+                if a.kind in ("min", "max") and a.arg is not None:
+                    ab = bind_expr(a.arg, in_schema)
+                    if ab.dictionary is not None and not ab.dict_sorted:
+                        raise NotImplementedError(
+                            f"{a.kind} over a high-cardinality raw string "
+                            "(raise BALLISTA_RAW_DICT_MAX to dictionary-encode)")
         self._group_names = (list(group_names) if group_names
                              else [expr_name(e) for e in group_exprs])
         if table_size is None:
@@ -245,6 +266,7 @@ class HashAggregateExec(ExecNode):
         key_fields = tuple(Field(n, b.dtype, b.nullable)
                            for n, b in zip(self._group_names, self._group_bounds))
         dicts = {}
+        unsorted_out = set()
         from ..exprs import Alias, Col
         for n, e, b in zip(self._group_names, group_exprs, self._group_bounds):
             if b.dictionary is not None:
@@ -287,6 +309,8 @@ class HashAggregateExec(ExecNode):
                 sd = in_schema.dictionary(f"{a.name}#s0")
                 if a.kind in ("min", "max", "carry") and sd is not None:
                     dicts[a.name] = sd
+                    if not in_schema.is_sorted_dict(f"{a.name}#s0"):
+                        unsorted_out.add(a.name)
             agg_fields = tuple(ba.out_field for ba in self._bound_aggs)
         else:
             self._bound_aggs = [BoundAgg(a, in_schema) for a in aggs]
@@ -305,6 +329,8 @@ class HashAggregateExec(ExecNode):
                         out_name = (f"{a.name}#s0" if mode == "partial"
                                     else a.name)
                         dicts[out_name] = in_schema.dictionary(base.name)
+                        if not in_schema.is_sorted_dict(base.name):
+                            unsorted_out.add(out_name)
         bounds = {n: b.int_bound
                   for n, b in zip(self._group_names, self._group_bounds)
                   if b.int_bound}
@@ -316,7 +342,8 @@ class HashAggregateExec(ExecNode):
                     if ib is not None:
                         bounds[f"{a.name}#s0" if mode == "partial"
                                else a.name] = ib
-        self.schema = Schema(key_fields + agg_fields, dicts, bounds)
+        self.schema = Schema(key_fields + agg_fields, dicts, bounds,
+                             unsorted_out)
 
     def evaluate(self, inputs):
         from .distributed import _TraceCtx
@@ -493,15 +520,22 @@ class HashJoinExec(ExecNode):
             if da is None or db is None:
                 raise ValueError(
                     f"join key {a}={bn}: string/non-string mismatch")
-            same = da is db or (len(da) == len(db)
-                                and bool((da == db).all()))
+            raw = (not build.schema.is_sorted_dict(a)
+                   or not probe.schema.is_sorted_dict(bn))
+            # RAW dictionaries hold duplicates with code == row index, so
+            # even the same dict object does NOT give code equality ==
+            # value equality — always remap through the sorted union
+            # (np.unique dedups; paid on demand only when a raw column
+            # is actually used as a join key)
+            same = not raw and (da is db or (len(da) == len(db)
+                                             and bool((da == db).all())))
             if same:
                 dict_bounds[ki] = (0, max(len(da) - 1, 0))
                 continue
-            union = np.unique(np.concatenate([da, db]))
+            union = np.unique(np.concatenate([da.astype(str), db.astype(str)]))
 
             def _lut(d):
-                m = np.searchsorted(union, d).astype(np.int32)
+                m = np.searchsorted(union, d.astype(str)).astype(np.int32)
                 return jnp.asarray(m if len(m) else np.zeros(1, np.int32))
 
             self._key_luts[ki] = (_lut(da), _lut(db))
@@ -588,7 +622,8 @@ class HashJoinExec(ExecNode):
             names = [f.name for f in fields]
             if len(set(names)) != len(names):
                 raise ValueError(f"duplicate column names in join output: {names}")
-            self.schema = Schema(fields, dicts, bounds)
+            self.schema = Schema(fields, dicts, bounds,
+                                 build.schema.unsorted | probe.schema.unsorted)
 
     def evaluate(self, inputs):
         build_b = self.children[0].evaluate(inputs)
@@ -785,6 +820,17 @@ class HashJoinExec(ExecNode):
                 f"(on={list(self.on)}, T={self.table_size})")
 
 
+def _static_one_row(node: ExecNode) -> bool:
+    """Nodes that statically produce EXACTLY one live row at position 0:
+    a no-group aggregate (emits one row even over empty input) and
+    OneRowExec, seen through positional wrappers."""
+    while isinstance(node, (ProjectExec, DictRemapExec)):
+        node = node.children[0]
+    if isinstance(node, HashAggregateExec):
+        return not node.group_exprs and node.mode in ("single", "final")
+    return isinstance(node, OneRowExec)
+
+
 class CrossJoinExec(ExecNode):
     """Cartesian product (DataFusion CrossJoinExec parity): output slot
     j = (build row j // probe_cap, probe row j % probe_cap), compacted.
@@ -795,12 +841,23 @@ class CrossJoinExec(ExecNode):
 
     def __init__(self, build: ExecNode, probe: ExecNode):
         self.children = (build, probe)
-        cells = build.capacity * probe.capacity
-        if cells > self.MAX_CELLS:
-            raise NotImplementedError(
-                f"cross join of {build.capacity}x{probe.capacity} rows "
-                f"exceeds the {self.MAX_CELLS} cell bound")
-        self.capacity = round_capacity(cells)
+        # a statically-1-row side (no-group aggregate, e.g. the
+        # three-valued NOT IN count cross — q16's shape) broadcasts: no
+        # cell product, output rides the other side's capacity
+        self._bcast = None
+        if _static_one_row(build):
+            self._bcast = "build"
+            self.capacity = probe.capacity
+        elif _static_one_row(probe):
+            self._bcast = "probe"
+            self.capacity = build.capacity
+        else:
+            cells = build.capacity * probe.capacity
+            if cells > self.MAX_CELLS:
+                raise NotImplementedError(
+                    f"cross join of {build.capacity}x{probe.capacity} rows "
+                    f"exceeds the {self.MAX_CELLS} cell bound")
+            self.capacity = round_capacity(cells)
         fields = build.schema.fields + probe.schema.fields
         dicts = dict(build.schema.dictionaries)
         dicts.update(probe.schema.dictionaries)
@@ -809,12 +866,30 @@ class CrossJoinExec(ExecNode):
         names = [f.name for f in fields]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate column names in join output: {names}")
-        self.schema = Schema(fields, dicts, bounds)
+        self.schema = Schema(fields, dicts, bounds,
+                             build.schema.unsorted | probe.schema.unsorted)
 
     def evaluate(self, inputs):
         from .distributed import _TraceCtx
         build_b = self.children[0].evaluate(inputs)
         probe_b = self.children[1].evaluate(inputs)
+        if self._bcast is not None:
+            one, many = ((build_b, probe_b) if self._bcast == "build"
+                         else (probe_b, build_b))
+            live = row_mask(many) & (one.num_rows > 0)
+            ones = tuple(Column(jnp.broadcast_to(c.data[:1], (many.capacity,)),
+                                jnp.broadcast_to(c.validity[:1],
+                                                 (many.capacity,)) & live)
+                         for c in one.columns)
+            manys = tuple(Column(c.data, c.validity & live)
+                          for c in many.columns)
+            cols = ones + manys if self._bcast == "build" else manys + ones
+            total = (one.num_rows * many.num_rows).astype(jnp.int32)
+            _TraceCtx.record_rows(self._label(), total)
+            # dense: the one-row side always holds exactly one live row
+            # (no-group aggregate / OneRow), so many's dense layout is
+            # preserved and `total` alone conveys liveness
+            return Batch(tuple(cols), total)
         nb_cap, np_cap = build_b.capacity, probe_b.capacity
         j = jnp.arange(nb_cap * np_cap, dtype=jnp.int32)
         bi = j // np_cap
@@ -858,8 +933,10 @@ class DictRemapExec(ExecNode):
                       for n, l in luts.items()}
         dicts = dict(child.schema.dictionaries)
         dicts.update(new_dicts)
+        # remapped columns land in sorted union dictionaries
         self.schema = Schema(child.schema.fields, dicts,
-                             child.schema.int_bounds)
+                             child.schema.int_bounds,
+                             child.schema.unsorted - set(new_dicts))
 
     def evaluate(self, inputs):
         b = self.children[0].evaluate(inputs)
@@ -884,6 +961,12 @@ class SortExec(ExecNode):
         self.capacity = child.capacity
         self._key_bounds = [(bind_expr(e, child.schema), asc, nf)
                             for e, asc, nf in keys]
+        for (kb, _, _), (e, _, _) in zip(self._key_bounds, keys):
+            if kb.dictionary is not None and not kb.dict_sorted:
+                # raw codes are row indices; code order != value order
+                raise NotImplementedError(
+                    f"ORDER BY high-cardinality raw string {e!r} "
+                    "(raise BALLISTA_RAW_DICT_MAX to dictionary-encode)")
 
     def evaluate(self, inputs):
         b = self.children[0].evaluate(inputs)

@@ -193,7 +193,7 @@ class WindowExec(ExecNode):
             raise ValueError(f"duplicate column names in window output: {names}")
         self.schema = Schema(in_schema.fields + tuple(new_fields),
                              dict(in_schema.dictionaries),
-                             in_schema.int_bounds)
+                             in_schema.int_bounds, in_schema.unsorted)
         # group specs by shared clause
         self._groups: Dict[Tuple, List[int]] = {}
         for i, s in enumerate(self.specs):
@@ -205,6 +205,18 @@ class WindowExec(ExecNode):
         self._bound_orders = [tuple((bind_expr(e, in_schema), asc, nf)
                                     for e, asc, nf in s.order_by)
                               for s in self.specs]
+        for bp in self._bound_parts:
+            for kb in bp:
+                if kb.dictionary is not None and not kb.dict_sorted:
+                    raise NotImplementedError(
+                        "window PARTITION BY on a high-cardinality raw "
+                        "string (raise BALLISTA_RAW_DICT_MAX to encode)")
+        for bo in self._bound_orders:
+            for kb, _, _ in bo:
+                if kb.dictionary is not None and not kb.dict_sorted:
+                    raise NotImplementedError(
+                        "window ORDER BY on a high-cardinality raw "
+                        "string (raise BALLISTA_RAW_DICT_MAX to encode)")
         self._bound_args = [bind_expr(s.arg, in_schema) if s.arg is not None
                             else None for s in self.specs]
 

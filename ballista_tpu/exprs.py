@@ -315,6 +315,11 @@ class Bound:
     # (schema.int_bounds) — lets sort/join/group keys pack into shared
     # int64 limbs
     int_bound: Optional[tuple] = None
+    # False for RAW string columns: `dictionary` is the column verbatim
+    # (unsorted, duplicates; code == row index — schema.unsorted). LUT
+    # predicates still work; code-ORDER semantics (range compares, sort,
+    # min/max, joins, grouping) do not.
+    dict_sorted: bool = True
     # static upper bound on the number of DISTINCT values this expression
     # can produce, when tighter than code_bound / the int_bound range
     # width (e.g. date_trunc('year') over 7 years of dates: range width
@@ -518,6 +523,11 @@ def _bind_arith(op: str, l: Bound, r: Bound) -> Bound:
 def _bind_compare(op: str, l: Bound, r: Bound) -> Bound:
     lt, rt = l.dtype, r.dtype
     if lt.kind is TypeKind.STRING and rt.kind is TypeKind.STRING:
+        if not (l.dict_sorted and r.dict_sorted):
+            # raw codes are row indices, not value identities
+            raise NotImplementedError(
+                "comparison between high-cardinality raw string columns "
+                "(raise BALLISTA_RAW_DICT_MAX to dictionary-encode)")
         # both already code-space (same column's dict handled at bind_expr level)
         fl = lambda c: c.data
         fr = lambda c: c.data
@@ -601,9 +611,10 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
             bound = max(len(dic), 1)
         elif f.dtype.kind is TypeKind.BOOL:
             bound = 2
+        srt = schema.is_sorted_dict(e.name)
         return Bound(f.dtype, f.nullable, lambda batch: batch.columns[idx],
-                     dictionary=dic, code_bound=bound,
-                     int_bound=schema.int_bound(e.name))
+                     dictionary=dic, code_bound=bound if srt else None,
+                     int_bound=schema.int_bound(e.name), dict_sorted=srt)
 
     if isinstance(e, Lit):
         dtype = e.dtype or infer_lit_dtype(e.value)
@@ -670,6 +681,25 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
         # string vs literal: translate literal into code space
         if l.dtype.kind is TypeKind.STRING and isinstance(e.right, Lit):
             dic = l.dictionary if l.dictionary is not None else _dict_for(e.left, schema)
+            if not l.dict_sorted:
+                # RAW (unsorted) dictionary: equality via a boolean LUT
+                # over the values (same mechanism as LIKE); range
+                # compares would need code order — re-encode on demand
+                if e.op not in ("=", "!=", "<>"):
+                    raise NotImplementedError(
+                        f"{e.op} on a high-cardinality raw string column "
+                        "(raise BALLISTA_RAW_DICT_MAX to dictionary-encode)")
+                lut = np.asarray(dic.astype(str) == str(e.right.value))
+                if e.op in ("!=", "<>"):
+                    lut = ~lut
+                lut_dev = jnp.asarray(lut) if len(lut) else jnp.zeros(1, bool)
+                lb = l
+
+                def fn(batch):
+                    col = lb.fn(batch)
+                    idx = jnp.clip(col.data, 0, lut_dev.shape[0] - 1)
+                    return Column(lut_dev[idx] & col.validity, col.validity)
+                return Bound(BOOL, l.nullable, fn)
             pos, exact = _string_lit_to_code(str(e.right.value), dic, e.op)
             if e.op == "=" and not exact:
                 return Bound(BOOL, False, _const_column(False, BOOL))
@@ -731,15 +761,21 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
         c = bind_expr(e.child, schema)
         if c.dtype.kind is TypeKind.STRING:
             dic = c.dictionary if c.dictionary is not None else _dict_for(e.child, schema)
-            codes = []
-            for v in e.values:
-                assert isinstance(v, Lit)
-                pos, exact = _string_lit_to_code(str(v.value), dic, "=")
-                if exact:
-                    codes.append(pos)
-            lut = np.zeros(max(len(dic) if dic is not None else 0, 1), dtype=bool)
-            for code in codes:
-                lut[code] = True
+            if not c.dict_sorted:
+                # raw dictionary: vectorized membership over the values
+                vals = [str(v.value) for v in e.values]
+                lut = np.isin(dic.astype(str), vals)
+                lut = np.concatenate([lut, np.zeros(1, bool)]) if not len(lut) else lut
+            else:
+                codes = []
+                for v in e.values:
+                    assert isinstance(v, Lit)
+                    pos, exact = _string_lit_to_code(str(v.value), dic, "=")
+                    if exact:
+                        codes.append(pos)
+                lut = np.zeros(max(len(dic) if dic is not None else 0, 1), dtype=bool)
+                for code in codes:
+                    lut[code] = True
             lut_dev = jnp.asarray(lut)
             neg = e.negated
 
@@ -770,14 +806,24 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
         if c.dtype.kind is not TypeKind.STRING:
             raise TypeError("LIKE on non-string")
         dic = c.dictionary if c.dictionary is not None else _dict_for(e.child, schema)
-        # SQL LIKE -> regex, evaluated over the (host) dictionary
-        pat = re.escape(e.pattern).replace(r"%", ".*").replace(r"_", ".")
-        rx = re.compile("^" + pat + "$", re.S)
+        # SQL LIKE evaluated over the (host) dictionary. pyarrow's
+        # match_like is vectorized C++ — load-bearing for RAW
+        # high-cardinality dictionaries (an entry-at-a-time Python regex
+        # loop over SF100's ~450M comments would take hours)
         n = len(dic) if dic is not None else 0
-        lut = np.zeros(max(n, 1), dtype=bool)
-        for i in range(n):
-            if rx.match(str(dic[i])):
-                lut[i] = True
+        if n:
+            try:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+                lut = np.asarray(pc.match_like(
+                    pa.array(dic.astype(str)), e.pattern)).astype(bool)
+            except Exception:
+                pat = re.escape(e.pattern).replace(r"%", ".*").replace(r"_", ".")
+                rx = re.compile("^" + pat + "$", re.S)
+                lut = np.fromiter((bool(rx.match(str(v))) for v in dic),
+                                  dtype=bool, count=n)
+        else:
+            lut = np.zeros(1, dtype=bool)
         if e.negated:
             lut = ~lut
         lut_dev = jnp.asarray(lut)

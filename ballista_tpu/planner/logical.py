@@ -92,18 +92,23 @@ class Projection(LogicalPlan):
         fields = []
         dicts = {}
         from ..exprs import Alias, Col
+        unsorted = set()
         for n, e in zip(names, self.exprs):
             b = bind_expr(e, in_schema)
             fields.append(Field(n, b.dtype, b.nullable))
             if b.dictionary is not None:
                 dicts[n] = b.dictionary
+                if not b.dict_sorted:
+                    unsorted.add(n)
                 continue
             base = e.child if isinstance(e, Alias) else e
             if isinstance(base, Col) and in_schema.dictionary(base.name) is not None:
                 dicts[n] = in_schema.dictionary(base.name)
+                if not in_schema.is_sorted_dict(base.name):
+                    unsorted.add(n)
         from ..exprs import propagate_bounds
         bounds = propagate_bounds(self.exprs, names, in_schema)
-        return Schema(tuple(fields), dicts, bounds)
+        return Schema(tuple(fields), dicts, bounds, unsorted)
 
     def children(self):
         return (self.input,)
@@ -136,6 +141,7 @@ class Aggregate(LogicalPlan):
                 dicts[n] = in_schema.dictionary(base.name)
         from ..exprs import propagate_bounds
         bounds = propagate_bounds(self.group_exprs, names, in_schema)
+        unsorted = set()
         for a in self.aggs:
             ba = BoundAgg(a, in_schema)
             fields.append(ba.out_field)
@@ -147,10 +153,12 @@ class Aggregate(LogicalPlan):
                 if isinstance(base, Col):
                     if in_schema.dictionary(base.name) is not None:
                         dicts[ba.out_field.name] = in_schema.dictionary(base.name)
+                        if not in_schema.is_sorted_dict(base.name):
+                            unsorted.add(ba.out_field.name)
                     ib = in_schema.int_bound(base.name)
                     if ib is not None:
                         bounds[ba.out_field.name] = ib
-        return Schema(tuple(fields), dicts, bounds)
+        return Schema(tuple(fields), dicts, bounds, unsorted)
 
     def children(self):
         return (self.input,)
@@ -211,7 +219,7 @@ class Join(LogicalPlan):
         dicts.update(rs.dictionaries)
         bounds = dict(ls.int_bounds)
         bounds.update(rs.int_bounds)
-        return Schema(fields, dicts, bounds)
+        return Schema(fields, dicts, bounds, ls.unsorted | rs.unsorted)
 
     def children(self):
         return (self.left, self.right)
@@ -236,7 +244,7 @@ class Window(LogicalPlan):
         fields = in_schema.fields + tuple(
             _out_field(s, in_schema) for s in self.specs)
         return Schema(fields, dict(in_schema.dictionaries),
-                      in_schema.int_bounds)
+                      in_schema.int_bounds, in_schema.unsorted)
 
     def children(self):
         return (self.input,)

@@ -118,7 +118,8 @@ class Schema:
 
     def __init__(self, fields: Tuple[Field, ...],
                  dictionaries: Optional[dict] = None,
-                 int_bounds: Optional[dict] = None):
+                 int_bounds: Optional[dict] = None,
+                 unsorted: Optional[set] = None):
         self.fields = tuple(fields)
         self.dictionaries = dict(dictionaries or {})  # name -> np.ndarray[str]
         # name -> (lo, hi): ingest-time value bounds for integer/date/
@@ -127,6 +128,16 @@ class Schema:
         # superlinear in operand count); safe to drop anywhere — packing
         # simply doesn't happen.
         self.int_bounds = dict(int_bounds or {})
+        # names of RAW string columns: the dictionary is the column's
+        # host values verbatim (unsorted, duplicates allowed; code ==
+        # original row index). Ingest switches to this representation
+        # when the estimated distinct count exceeds
+        # BALLISTA_RAW_DICT_MAX — sorted-dictionary encoding of e.g.
+        # TPC-H SF100's ~450M distinct comments is infeasible. LUT-based
+        # predicates (LIKE, =, IN) and materialization work unchanged;
+        # code-order operations (sort keys, joins, grouping, min/max)
+        # are guarded — they re-encode through np.unique on demand.
+        self.unsorted = set(unsorted or ())
         self._index = {f.name: i for i, f in enumerate(self.fields)}
 
     def __len__(self):
@@ -155,16 +166,21 @@ class Schema:
     def int_bound(self, name: str):
         return self.int_bounds.get(name)
 
+    def is_sorted_dict(self, name: str) -> bool:
+        return name not in self.unsorted
+
     def with_dictionary(self, name: str, dictionary: np.ndarray) -> "Schema":
         d = dict(self.dictionaries)
         d[name] = dictionary
-        return Schema(self.fields, d, self.int_bounds)
+        return Schema(self.fields, d, self.int_bounds,
+                      self.unsorted - {name})
 
     def select(self, names) -> "Schema":
         fields = tuple(self.field(n) for n in names)
         dicts = {n: self.dictionaries[n] for n in names if n in self.dictionaries}
         bounds = {n: self.int_bounds[n] for n in names if n in self.int_bounds}
-        return Schema(fields, dicts, bounds)
+        return Schema(fields, dicts, bounds,
+                      self.unsorted & set(names))
 
     def rename(self, mapping: dict) -> "Schema":
         fields = tuple(
@@ -172,4 +188,5 @@ class Schema:
         )
         dicts = {mapping.get(n, n): d for n, d in self.dictionaries.items()}
         bounds = {mapping.get(n, n): b for n, b in self.int_bounds.items()}
-        return Schema(fields, dicts, bounds)
+        return Schema(fields, dicts, bounds,
+                      {mapping.get(n, n) for n in self.unsorted})
