@@ -62,7 +62,11 @@ def _kernel(T: int, A: int, slot_ref, lo_ref, hi_ref, acc_ref):
         for t in range(T):
             mask = slot == t
             for k in range(8):
-                part = jnp.sum(jnp.where(mask, limbs[k], 0))
+                # dtype=int32: under x64, sum(int32) otherwise
+                # accumulates in int64, which Mosaic cannot lower
+                # (infinite _convert_helper recursion on axon)
+                part = jnp.sum(jnp.where(mask, limbs[k], 0),
+                               dtype=jnp.int32)
                 acc_ref[t, a * 8 + k] += part
 
 

@@ -590,7 +590,19 @@ class SqlPlanner:
             lhs = _rewrite_cols(in_lhs, self._resolver(scope))
             corr.append((item_r.name, lhs.name))
         if not corr:
-            raise NotImplementedError("uncorrelated EXISTS not supported")
+            # uncorrelated EXISTS: the subquery's row count is a global
+            # fact — cross-join a 1-row count(*) aggregate and keep
+            # all rows iff it is non-zero (zero for NOT EXISTS). The
+            # reference gets this from DataFusion's decorrelation; same
+            # observable semantics.
+            inner = self._plan_projection(sub_stmt, fw)
+            while isinstance(inner, L.Sort):
+                inner = inner.input
+            t = self._mangle() + "_ct"
+            cnt = L.Aggregate(inner, (), (AggExpr("count_star", alias=t),))
+            crossed = L.Join(cnt, current, (), "cross")
+            op = "=" if negated else ">"
+            return L.Filter(crossed, BinOp(op, Col(t), Lit(0)))
 
         tag = self._mangle()
         inner_keys = [k for k, _ in corr]

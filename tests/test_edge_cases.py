@@ -102,3 +102,41 @@ class TestFromlessAndModulo:
 def pd_isna(x):
     import pandas as pd
     return pd.isna(x)
+
+
+class TestUncorrelatedExists:
+    """EXISTS/NOT EXISTS with no correlation: a global row-count fact
+    (cross-joined 1-row count(*); DataFusion decorrelates these the
+    same way upstream)."""
+
+    def _ctx(self):
+        import pyarrow as pa
+        from ballista_tpu.client import SessionContext
+        c = SessionContext()
+        c.register_arrow("t", pa.table({"x": [1, 2, 3, None],
+                                        "y": [10, 20, 30, 40]}))
+        c.register_arrow("s", pa.table({"z": [5]}))
+        c.register_arrow("e", pa.table({"z": pa.array([], type=pa.int64())}))
+        return c
+
+    def test_exists_nonempty_keeps_all(self):
+        ctx = self._ctx()
+        r = ctx.sql("select y from t where exists (select 1 from s)")
+        assert sorted(r.to_pandas().y) == [10, 20, 30, 40]
+
+    def test_exists_empty_keeps_none(self):
+        ctx = self._ctx()
+        r = ctx.sql("select y from t where exists (select 1 from e)")
+        assert len(r.to_pandas()) == 0
+        r = ctx.sql(
+            "select y from t where exists (select 1 from s where z = 99)")
+        assert len(r.to_pandas()) == 0
+
+    def test_not_exists(self):
+        ctx = self._ctx()
+        r = ctx.sql(
+            "select y from t where not exists (select z from e where z > 3)")
+        assert sorted(r.to_pandas().y) == [10, 20, 30, 40]
+        r = ctx.sql(
+            "select y from t where not exists (select 1 from s where z = 5)")
+        assert len(r.to_pandas()) == 0
