@@ -38,11 +38,15 @@ _BLOCK_ROWS = 8 * _SUB * _LANE  # 8192 rows per grid step
 
 
 def _kernel(T: int, A: int, slot_ref, lo_ref, hi_ref, acc_ref):
-    """One grid step: accumulate a (rows_blk,) block into acc (T, A*8+pad).
+    """One grid step: accumulate a (rows_blk,) block into acc.
 
     slot_ref: (R8, 128) int32 — row slots, dead rows >= T
     lo_ref/hi_ref: (A, R8, 128) int32 — low/high words per aggregate
-    acc_ref: (T, A*8 padded to lanes) int32 — limb sums
+    acc_ref: (T, A*8, 128) int32 — lane-wise limb partial sums. The
+        cross-lane reduction happens OUTSIDE the kernel: Mosaic on this
+        backend cannot lower full/scalar reductions (the final
+        cross-lane step takes an int64 path — '64-bit types are not
+        supported'), but axis-0 sublane reductions lower fine.
     """
     from jax.experimental import pallas as pl  # noqa: F401
 
@@ -53,21 +57,25 @@ def _kernel(T: int, A: int, slot_ref, lo_ref, hi_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     slot = slot_ref[:]
-    for a in range(A):
-        lo = lo_ref[a]
-        hi = hi_ref[a]
-        # eight 8-bit limbs from the two 32-bit words (lanes stay int32)
-        limbs = [(lo >> (8 * k)) & 0xFF for k in range(4)]
-        limbs += [(hi >> (8 * k)) & 0xFF for k in range(4)]
-        for t in range(T):
-            mask = slot == t
+    zero = jnp.zeros((), jnp.int32)
+    # Build the whole (T, A*8, 128) update in registers and store it with
+    # ONE full-block accumulate: integer-indexed ref stores create i64
+    # index values under x64, which Mosaic fails to legalize
+    # ("func.return (i32, i64)").
+    rows = []
+    for t in range(T):
+        mask = slot == t
+        for a in range(A):
+            lo = lo_ref[a]
+            hi = hi_ref[a]
+            # eight 8-bit limbs from the two 32-bit words (int32 lanes)
+            limbs = [(lo >> (8 * k)) & 0xFF for k in range(4)]
+            limbs += [(hi >> (8 * k)) & 0xFF for k in range(4)]
             for k in range(8):
-                # dtype=int32: under x64, sum(int32) otherwise
-                # accumulates in int64, which Mosaic cannot lower
-                # (infinite _convert_helper recursion on axon)
-                part = jnp.sum(jnp.where(mask, limbs[k], 0),
-                               dtype=jnp.int32)
-                acc_ref[t, a * 8 + k] += part
+                rows.append(jnp.sum(jnp.where(mask, limbs[k], zero),
+                                    axis=0, dtype=jnp.int32))
+    upd = jnp.stack(rows).reshape(T, A * 8, _LANE)
+    acc_ref[:] += upd
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -91,25 +99,28 @@ def _fused_limb_sums(row_slot, contribs64, T: int, interpret: bool):
     lo2 = lo.reshape(A, -1, _LANE)
     hi2 = hi.reshape(A, -1, _LANE)
     steps = npad // _BLOCK_ROWS
-    lanes_out = ((A * 8 + _LANE - 1) // _LANE) * _LANE
 
+    # index-map constants must be int32: under x64 a literal 0 lowers
+    # as i64 and Mosaic fails to legalize the mixed (i32, i64) return
+    z = np.int32(0)
     out = pl.pallas_call(
         functools.partial(_kernel, T, A),
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((r8, _LANE), lambda i: (i, 0),
+            pl.BlockSpec((r8, _LANE), lambda i: (i, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, r8, _LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((A, r8, _LANE), lambda i: (z, i, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, r8, _LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((A, r8, _LANE), lambda i: (z, i, z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T, lanes_out), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((T, A * 8, _LANE), lambda i: (z, z, z),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, lanes_out), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((T, A * 8, _LANE), jnp.int32),
         interpret=interpret,
     )(slot2, lo2, hi2)
-    return out[:, :A * 8].reshape(T, A, 8)
+    # cross-lane reduce outside the kernel (int64: exact, no overflow)
+    return out.astype(jnp.int64).sum(axis=2).reshape(T, A, 8)
 
 
 def fused_masked_sums(row_slot, contribs, T: int, interpret: bool = False):

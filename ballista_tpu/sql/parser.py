@@ -90,13 +90,16 @@ class CreateView:
 @dataclasses.dataclass
 class SetOpStmt:
     """INTERSECT / EXCEPT (distinct set semantics; NULLs compare equal,
-    per the SQL set-operation rules)."""
+    per the SQL set-operation rules). `all`=True keeps bag semantics:
+    a row appears min(l,r) times (INTERSECT ALL) / max(l-r,0) times
+    (EXCEPT ALL)."""
     left: object
     right: object
     op: str                     # 'intersect' | 'except'
     order_by: list = dataclasses.field(default_factory=list)
     limit: Optional[int] = None
     offset: Optional[int] = None
+    all: bool = False
 
 
 @dataclasses.dataclass
@@ -277,10 +280,12 @@ class Parser:
         while (self.peek().kind == "id"
                and self.peek().value.lower() in ("intersect", "except")):
             op = self.next().value.lower()
+            all_flag = False
             if self.at_kw("all"):
-                raise NotImplementedError(f"{op.upper()} ALL")
+                self.next()
+                all_flag = True
             right = self._parse_union_term()
-            so = SetOpStmt(stmt, right, op)
+            so = SetOpStmt(stmt, right, op, all=all_flag)
             so.order_by = getattr(right, "order_by", [])
             right.order_by = []
             so.limit = getattr(right, "limit", None)

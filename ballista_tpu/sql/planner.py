@@ -951,19 +951,53 @@ class SqlPlanner:
                 out_names.append(f"{tag}{prefix}f{i}")
             return L.Projection(plan, tuple(exprs), tuple(out_names))
 
-        lk = with_keys(L.Distinct(left), "l")
-        rk_all = with_keys(right, "r")
         key_names_r = [f"{tag}r{x}{i}" for i in range(len(names))
                        for x in ("v", "f")]
-        rk = L.Distinct(L.Projection(
-            rk_all, tuple(Col(n) for n in key_names_r),
-            tuple(key_names_r)))
         pairs = tuple((f"{tag}r{x}{i}", f"{tag}l{x}{i}")
                       for i in range(len(names)) for x in ("v", "f"))
-        how = "semi" if stmt.op == "intersect" else "anti"
-        joined = L.Join(rk, lk, pairs, how)
-        out: L.LogicalPlan = L.Projection(
-            joined, tuple(Col(n) for n in names), tuple(names))
+        if getattr(stmt, "all", False):
+            # Bag semantics: number each left row within its key group
+            # (row_number over the null-safe keys) and compare against
+            # the right side's per-key count — a row survives INTERSECT
+            # ALL iff its occurrence number <= right count (min(l,r)
+            # copies) and EXCEPT ALL iff it exceeds it (max(l-r,0)).
+            from ..exec.window import WindowFnSpec
+            key_names_l = [f"{tag}l{x}{i}" for i in range(len(names))
+                           for x in ("v", "f")]
+            lk_all = with_keys(left, "l")
+            ln, rc = f"{tag}ln", f"{tag}rc"
+            w = L.Window(lk_all, (WindowFnSpec(
+                "row_number", None,
+                tuple(Col(k) for k in key_names_l),
+                ((Col(key_names_l[0]), True, None),), alias=ln),))
+            rk_all = with_keys(right, "r")
+            rcnt = L.Aggregate(
+                L.Projection(rk_all, tuple(Col(n) for n in key_names_r),
+                             tuple(key_names_r)),
+                tuple(Col(k) for k in key_names_r),
+                (AggExpr("count_star", alias=rc),),
+                group_names=tuple(key_names_r))
+            if stmt.op == "intersect":
+                joined = L.Join(rcnt, w, pairs, "inner")
+                keep = BinOp("<=", Col(ln), Col(rc))
+            else:
+                from ..exprs import IsNull
+                joined = L.Join(rcnt, w, pairs, "left_outer")
+                keep = BinOp("or", IsNull(Col(rc)),
+                             BinOp(">", Col(ln), Col(rc)))
+            out: L.LogicalPlan = L.Projection(
+                L.Filter(joined, keep),
+                tuple(Col(n) for n in names), tuple(names))
+        else:
+            lk = with_keys(L.Distinct(left), "l")
+            rk_all = with_keys(right, "r")
+            rk = L.Distinct(L.Projection(
+                rk_all, tuple(Col(n) for n in key_names_r),
+                tuple(key_names_r)))
+            how = "semi" if stmt.op == "intersect" else "anti"
+            joined = L.Join(rk, lk, pairs, how)
+            out = L.Projection(
+                joined, tuple(Col(n) for n in names), tuple(names))
         if stmt.order_by:
             keys = []
             for key, asc, nf in stmt.order_by:

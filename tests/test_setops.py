@@ -141,3 +141,42 @@ def test_intersect_except():
     r3 = ctx.sql("select x from sa except select x from sa where x = 2 "
                  "order by x").to_pandas()
     assert r3["x"].fillna(-1).tolist() == [1, 3, -1]
+
+
+def test_intersect_all_bag_semantics():
+    from collections import Counter
+    import pandas as pd
+    ctx = SessionContext()
+    ctx.register_arrow("ba", pa.table({"x": [1, 1, 1, 2, 2, 3, None, None]}))
+    ctx.register_arrow("bb", pa.table({"x": [1, 1, 2, 4, None]}))
+
+    def bag(r):
+        return Counter(None if pd.isna(v) else int(v) for v in r.x)
+
+    r = ctx.sql("select x from ba intersect all select x from bb").to_pandas()
+    # each row appears min(l, r) times; NULLs compare equal
+    assert bag(r) == Counter({1: 2, 2: 1, None: 1})
+
+
+def test_except_all_bag_semantics():
+    from collections import Counter
+    import pandas as pd
+    ctx = SessionContext()
+    ctx.register_arrow("ea", pa.table({"x": [1, 1, 1, 2, 2, 3, None, None]}))
+    ctx.register_arrow("eb", pa.table({"x": [1, 1, 2, 4, None]}))
+
+    def bag(r):
+        return Counter(None if pd.isna(v) else int(v) for v in r.x)
+
+    r = ctx.sql("select x from ea except all select x from eb").to_pandas()
+    # each row appears max(l - r, 0) times
+    assert bag(r) == Counter({1: 1, 2: 1, 3: 1, None: 1})
+
+
+def test_setop_all_multicol_order_by():
+    ctx = SessionContext()
+    ctx.register_arrow("ma", pa.table({"x": [1, 1, 2], "y": ["a", "a", "b"]}))
+    ctx.register_arrow("mb", pa.table({"x": [1, 2], "y": ["a", "b"]}))
+    r = ctx.sql("select x, y from ma except all select x, y from mb "
+                "order by x").to_pandas()
+    assert list(r.x) == [1] and list(r.y) == ["a"]
