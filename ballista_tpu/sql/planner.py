@@ -547,6 +547,21 @@ class SqlPlanner:
         how = "anti" if negated else "semi"
         fw = self.plan_from_where(sub_stmt, scope)
 
+        def _lhs_as_col(lhs, current):
+            """`<expr> IN (subquery)`: materialize a non-column lhs as a
+            synthetic projected column so the membership join has a key
+            (downstream projections select by name, so the extra column
+            is harmless)."""
+            if isinstance(lhs, Col):
+                return lhs, current
+            lname = self._mangle() + "_lhs"
+            sch = current.schema()
+            cur_names = tuple(f.name for f in sch.fields)
+            current = L.Projection(
+                current, tuple(Col(n) for n in cur_names) + (lhs,),
+                cur_names + (lname,))
+            return Col(lname), current
+
         if in_lhs is not None and not fw.corr_equi and not fw.corr_residual:
             # uncorrelated IN: full subplan (aggregates/having included)
             inner = self._plan_projection(sub_stmt, fw)
@@ -555,8 +570,7 @@ class SqlPlanner:
                 inner = inner.input
             inner_col = inner.schema().fields[0].name
             lhs = _rewrite_cols(in_lhs, self._resolver(scope))
-            if not isinstance(lhs, Col):
-                raise NotImplementedError("IN (subquery) with non-column lhs")
+            lhs, current = _lhs_as_col(lhs, current)
             key = self._mangle() + "_k"
             dedup = L.Distinct(L.Projection(inner, (Col(inner_col),), (key,)))
             join = L.Join(dedup, current, ((key, lhs.name),), how)
@@ -588,6 +602,7 @@ class SqlPlanner:
             if not isinstance(item_r, Col):
                 raise NotImplementedError("correlated IN with expression output")
             lhs = _rewrite_cols(in_lhs, self._resolver(scope))
+            lhs, current = _lhs_as_col(lhs, current)
             corr.append((item_r.name, lhs.name))
         if not corr:
             # uncorrelated EXISTS: the subquery's row count is a global

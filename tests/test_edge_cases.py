@@ -140,3 +140,35 @@ class TestUncorrelatedExists:
         r = ctx.sql(
             "select y from t where not exists (select 1 from s where z = 5)")
         assert len(r.to_pandas()) == 0
+
+
+class TestExpressionLhsIn:
+    """`<expr> IN (subquery)` — the lhs expression is projected as a
+    synthetic join-key column (uncorrelated, NOT IN three-valued, and
+    correlated paths)."""
+
+    def _ctx(self):
+        import pyarrow as pa
+        from ballista_tpu.client import SessionContext
+        c = SessionContext()
+        c.register_arrow("t", pa.table({"x": [1, 2, 3, None],
+                                        "y": [10, 20, 30, 40]}))
+        c.register_arrow("s", pa.table({"z": [3, 4]}))
+        c.register_arrow("u", pa.table({"k": [1, 2, 3], "w": [2, 99, 4]}))
+        return c
+
+    def test_uncorrelated(self):
+        ctx = self._ctx()
+        r = ctx.sql("select y from t where x + 1 in (select z from s)")
+        assert sorted(r.to_pandas().y) == [20, 30]
+
+    def test_not_in_three_valued(self):
+        ctx = self._ctx()
+        r = ctx.sql("select y from t where x + 1 not in (select z from s)")
+        assert sorted(r.to_pandas().y) == [10]
+
+    def test_correlated(self):
+        ctx = self._ctx()
+        r = ctx.sql("select y from t where x + 1 in "
+                    "(select w from u where u.k = t.x)")
+        assert sorted(r.to_pandas().y) == [10, 30]
