@@ -600,7 +600,15 @@ class SqlPlanner:
             item, _ = sub_stmt.projections[0]
             item_r = _rewrite_cols(item, self._resolver(fw.scope))
             if not isinstance(item_r, Col):
-                raise NotImplementedError("correlated IN with expression output")
+                # expression output: project it as a synthetic column of
+                # the subquery plan so the membership join has a key
+                iname = self._mangle() + "_itm"
+                sch = fw.plan.schema()
+                in_names = tuple(f.name for f in sch.fields)
+                fw.plan = L.Projection(
+                    fw.plan, tuple(Col(n) for n in in_names) + (item_r,),
+                    in_names + (iname,))
+                item_r = Col(iname)
             lhs = _rewrite_cols(in_lhs, self._resolver(scope))
             lhs, current = _lhs_as_col(lhs, current)
             corr.append((item_r.name, lhs.name))

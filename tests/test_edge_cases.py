@@ -172,3 +172,12 @@ class TestExpressionLhsIn:
         r = ctx.sql("select y from t where x + 1 in "
                     "(select w from u where u.k = t.x)")
         assert sorted(r.to_pandas().y) == [10, 30]
+
+    def test_correlated_expression_output(self):
+        import pyarrow as pa
+        ctx = self._ctx()
+        ctx.register_arrow("u2", pa.table({"k": [1, 2, 3],
+                                           "w": [0, 99, 2]}))
+        r = ctx.sql("select y from t where x in "
+                    "(select w + 1 from u2 where u2.k = t.x)")
+        assert sorted(r.to_pandas().y) == [10, 30]
