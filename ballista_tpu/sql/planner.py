@@ -565,8 +565,10 @@ class SqlPlanner:
         if in_lhs is not None and not fw.corr_equi and not fw.corr_residual:
             # uncorrelated IN: full subplan (aggregates/having included)
             inner = self._plan_projection(sub_stmt, fw)
-            # strip sort/limit (irrelevant for membership)
-            while isinstance(inner, (L.Sort, L.Limit)):
+            # strip top-level sorts (order is irrelevant for membership)
+            # but KEEP any Limit — `IN (... ORDER BY ... LIMIT k)` is a
+            # top-k membership set, and a Limit below retains its Sort
+            while isinstance(inner, L.Sort):
                 inner = inner.input
             inner_col = inner.schema().fields[0].name
             lhs = _rewrite_cols(in_lhs, self._resolver(scope))

@@ -181,3 +181,19 @@ class TestExpressionLhsIn:
         r = ctx.sql("select y from t where x in "
                     "(select w + 1 from u2 where u2.k = t.x)")
         assert sorted(r.to_pandas().y) == [10, 30]
+
+
+def test_in_subquery_with_order_by_limit():
+    """IN (... ORDER BY ... LIMIT k) is a top-k membership set — the
+    Limit must NOT be stripped (only order is irrelevant)."""
+    import pyarrow as pa
+    from ballista_tpu.client import SessionContext
+    ctx = SessionContext()
+    ctx.register_arrow("lt", pa.table({"x": [1, 2, 3, 4]}))
+    ctx.register_arrow("ls", pa.table({"z": [3, 1, 2]}))
+    r = ctx.sql("select x from lt where x in "
+                "(select z from ls order by z desc limit 1)").to_pandas()
+    assert sorted(r.x) == [3]
+    r = ctx.sql("select x from lt where x in "
+                "(select z from ls order by z limit 2)").to_pandas()
+    assert sorted(r.x) == [1, 2]
