@@ -139,3 +139,21 @@ def test_distributed_cross_join(env):
     """)
     exp = len(pdata["region"]) * len(pdata["nation"])
     assert int(got["c"][0]) == exp
+
+
+def test_distributed_except_all():
+    """Bag-semantics set ops through the mesh runtime (window
+    row_number + per-key counts shuffle on the null-safe keys)."""
+    from collections import Counter
+    import pandas as pd
+    import pyarrow as pa
+    ctx = SessionContext()
+    ctx.register_arrow("xa", pa.table({"x": [1, 1, 1, 2, 2, 3, None, None]}))
+    ctx.register_arrow("xb", pa.table({"x": [1, 1, 2, 4, None]}))
+    mesh = make_mesh(4)
+    plan = ctx.sql("select x from xa except all select x from xb").plan
+    batch, schema = execute_distributed(ctx, plan, mesh,
+                                        DistOptions(n_partitions=4))
+    df = B.to_pandas(batch, schema)
+    got = Counter(None if pd.isna(v) else int(v) for v in df.x)
+    assert got == Counter({1: 1, 2: 1, 3: 1, None: 1})
