@@ -1031,8 +1031,14 @@ class SqlPlanner:
                 elif isinstance(key, Col) and key.name in names:
                     keys.append((key, asc, nf))
                 else:
-                    raise NotImplementedError(
-                        "set-op ORDER BY must reference output columns")
+                    from ..exprs import expr_columns
+                    if expr_columns(key) <= set(names):
+                        # expression over output columns (e.g. ORDER BY
+                        # x + y) — Sort evaluates expressions directly
+                        keys.append((key, asc, nf))
+                    else:
+                        raise NotImplementedError(
+                            "set-op ORDER BY must reference output columns")
             out = L.Sort(out, tuple(keys))
         if stmt.limit is not None or getattr(stmt, "offset", None):
             out = L.Limit(out, stmt.limit if stmt.limit is not None

@@ -180,3 +180,12 @@ def test_setop_all_multicol_order_by():
     r = ctx.sql("select x, y from ma except all select x, y from mb "
                 "order by x").to_pandas()
     assert list(r.x) == [1] and list(r.y) == ["a"]
+
+
+def test_setop_order_by_expression():
+    ctx = SessionContext()
+    ctx.register_arrow("oa", pa.table({"x": [3, 1, 2], "y": [1, 1, 1]}))
+    ctx.register_arrow("ob", pa.table({"x": [9], "y": [0]}))
+    r = ctx.sql("select x, y from oa except select x, y from ob "
+                "order by x + y desc").to_pandas()
+    assert list(r.x) == [3, 2, 1]
