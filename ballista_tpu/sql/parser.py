@@ -273,43 +273,56 @@ class Parser:
         return t.kind == "kw" and t.value in words
 
     # -- statement --
+    def _hoist_trailing(self, so, right):
+        """The LAST member's ORDER BY / LIMIT / OFFSET bind to the whole
+        set-op chain (standard SQL)."""
+        so.order_by = getattr(right, "order_by", [])
+        right.order_by = []
+        so.limit = getattr(right, "limit", None)
+        right.limit = None
+        so.offset = getattr(right, "offset", None)
+        right.offset = None
+        return so
+
     def parse_select(self):
-        """SELECT, possibly a UNION [ALL] / INTERSECT / EXCEPT chain; the
-        last member's ORDER BY and LIMIT apply to the whole set op."""
-        stmt = self._parse_union_term()
+        """SELECT with set operations at SQL-standard precedence:
+        INTERSECT binds tighter than UNION and EXCEPT, which associate
+        left pairwise (`a UNION b INTERSECT c` = a UNION (b INTERSECT c);
+        mixed `UNION` / `UNION ALL` chains keep each pair's own ALL)."""
+        stmt = self._parse_intersect_term()
+        while True:
+            if self.at_kw("union"):
+                self.next()
+                is_all = bool(self.accept("kw", "all"))
+                right = self._parse_intersect_term()
+                stmt = self._hoist_trailing(
+                    UnionStmt([stmt, right], all=is_all), right)
+            elif (self.peek().kind == "id"
+                    and self.peek().value.lower() == "except"):
+                self.next()
+                all_flag = False
+                if self.at_kw("all"):
+                    self.next()
+                    all_flag = True
+                right = self._parse_intersect_term()
+                stmt = self._hoist_trailing(
+                    SetOpStmt(stmt, right, "except", all=all_flag), right)
+            else:
+                return stmt
+
+    def _parse_intersect_term(self):
+        stmt = self._parse_select_one()
         while (self.peek().kind == "id"
-               and self.peek().value.lower() in ("intersect", "except")):
-            op = self.next().value.lower()
+               and self.peek().value.lower() == "intersect"):
+            self.next()
             all_flag = False
             if self.at_kw("all"):
                 self.next()
                 all_flag = True
-            right = self._parse_union_term()
-            so = SetOpStmt(stmt, right, op, all=all_flag)
-            so.order_by = getattr(right, "order_by", [])
-            right.order_by = []
-            so.limit = getattr(right, "limit", None)
-            right.limit = None
-            so.offset = getattr(right, "offset", None)
-            right.offset = None
-            stmt = so
+            right = self._parse_select_one()
+            stmt = self._hoist_trailing(
+                SetOpStmt(stmt, right, "intersect", all=all_flag), right)
         return stmt
-
-    def _parse_union_term(self):
-        stmt = self._parse_select_one()
-        if not self.at_kw("union"):
-            return stmt
-        parts = [stmt]
-        is_all = False
-        while self.accept("kw", "union"):
-            is_all = bool(self.accept("kw", "all"))
-            parts.append(self._parse_select_one())
-        u = UnionStmt(parts, all=is_all)
-        u.order_by = parts[-1].order_by
-        parts[-1].order_by = []
-        u.limit = parts[-1].limit
-        parts[-1].limit = None
-        return u
 
     def _parse_select_one(self) -> SelectStmt:
         self.expect("kw", "select")

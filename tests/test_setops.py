@@ -189,3 +189,24 @@ def test_setop_order_by_expression():
     r = ctx.sql("select x, y from oa except select x, y from ob "
                 "order by x + y desc").to_pandas()
     assert list(r.x) == [3, 2, 1]
+
+
+def test_setop_standard_precedence():
+    """INTERSECT binds tighter than UNION/EXCEPT (SQL standard);
+    mixed UNION ALL / UNION chains keep each pair's own ALL flag."""
+    ctx = SessionContext()
+    ctx.register_arrow("pa_", pa.table({"x": [1, 2]}))
+    ctx.register_arrow("pb", pa.table({"x": [2, 3]}))
+    ctx.register_arrow("pc", pa.table({"x": [2, 9]}))
+    # a UNION (b INTERSECT c)
+    r = ctx.sql("select x from pa_ union select x from pb "
+                "intersect select x from pc").to_pandas()
+    assert sorted(r.x) == [1, 2]
+    # (a UNION ALL a) UNION a — outer UNION dedups everything
+    r = ctx.sql("select x from pa_ union all select x from pa_ "
+                "union select x from pa_").to_pandas()
+    assert sorted(r.x) == [1, 2]
+    # (a UNION a) UNION ALL a — append after dedup
+    r = ctx.sql("select x from pa_ union select x from pa_ "
+                "union all select x from pa_").to_pandas()
+    assert sorted(r.x) == [1, 1, 2, 2]
