@@ -614,7 +614,7 @@ class SqlPlanner:
             lhs = _rewrite_cols(in_lhs, self._resolver(scope))
             lhs, current = _lhs_as_col(lhs, current)
             corr.append((item_r.name, lhs.name))
-        if not corr:
+        if not corr and not fw.corr_residual:
             # uncorrelated EXISTS: the subquery's row count is a global
             # fact — cross-join a 1-row count(*) aggregate and keep
             # all rows iff it is non-zero (zero for NOT EXISTS). The
@@ -733,7 +733,10 @@ class SqlPlanner:
         inner = L.Projection(fw.plan, tuple(Col(c) for c in proj_cols),
                              tuple(proj_names))
         pairs = tuple(zip(mangled, outer_keys))
-        joined = L.Join(inner, current, pairs, "inner", unique_build=False)
+        # no equi correlation (pure non-equi EXISTS) degenerates to a
+        # cross join of the pairs; the residual filter below does the work
+        joined = L.Join(inner, current, pairs, "inner" if pairs else "cross",
+                        unique_build=False)
 
         def remap(name: str) -> str:
             if name.startswith(OUTER_MARK):

@@ -141,6 +141,22 @@ class TestUncorrelatedExists:
             "select y from t where not exists (select 1 from s where z = 5)")
         assert len(r.to_pandas()) == 0
 
+    def test_non_equi_correlated_exists(self):
+        """Regression (ADVICE r1): correlated non-equi predicates must
+        NOT be planned as an uncorrelated global count — EXISTS
+        (SELECT 1 FROM s WHERE s.z > t.x) is a per-row theta semi-join."""
+        import pyarrow as pa
+        from ballista_tpu.client import SessionContext
+        ctx = SessionContext()
+        ctx.register_arrow("t", pa.table({"x": [10, 20, 30]}))
+        ctx.register_arrow("s", pa.table({"z": [15]}))
+        r = ctx.sql("select x from t where exists "
+                    "(select 1 from s where s.z > t.x) order by x")
+        assert r.to_pandas().x.tolist() == [10]
+        r = ctx.sql("select x from t where not exists "
+                    "(select 1 from s where s.z > t.x) order by x")
+        assert r.to_pandas().x.tolist() == [20, 30]
+
 
 class TestExpressionLhsIn:
     """`<expr> IN (subquery)` — the lhs expression is projected as a
