@@ -221,8 +221,8 @@ class SessionContext:
         (the TPC-H Q15 shape; BallistaContext::sql similarly intercepts
         DDL, context.rs:362). Returns the last SELECT as a DataFrame."""
         from ..sql.parser import (CreateExternalTable, CreateTableAs,
-                                  CreateView, DropView, ShowColumns,
-                                  ShowTables, parse_statements)
+                                  CreateView, DropView, ExplainStmt,
+                                  ShowColumns, ShowTables, parse_statements)
         from ..sql.planner import SqlPlanner
 
         last = None
@@ -237,6 +237,8 @@ class SessionContext:
                 from ..sql.planner import SqlPlanner as _SP
                 df = DataFrame(self, _SP(self).plan_select(stmt.query))
                 self.register_arrow(stmt.name, df.to_arrow())
+            elif isinstance(stmt, ExplainStmt):
+                last = self._explain(stmt.query)
             elif isinstance(stmt, ShowTables):
                 last = self._show_tables()
             elif isinstance(stmt, ShowColumns):
@@ -272,6 +274,24 @@ class SessionContext:
     def _catalog_df(self, name: str, table) -> "DataFrame":
         self.register_arrow(name, table)
         return self.table(name)
+
+    def _explain(self, query_stmt) -> "DataFrame":
+        """EXPLAIN <select>: one row per plan tier (DataFusion's
+        (plan_type, plan) shape the reference inherits)."""
+        import pyarrow as pa
+        from ..planner.physical import create_physical_plan
+        from ..sql.planner import SqlPlanner
+        plan = SqlPlanner(self).plan_select(query_stmt)
+        rows = [("logical_plan", plan.display())]
+        try:
+            capacities = {n: tp.capacity for n, tp in self.tables.items()}
+            ep = create_physical_plan(plan, capacities, self.options)
+            rows.append(("physical_plan", ep.display()))
+        except Exception as e:  # noqa: BLE001 - logical tier still useful
+            rows.append(("physical_plan", f"<not available: {e}>"))
+        return self._catalog_df("__explain__", pa.table(
+            {"plan_type": [r[0] for r in rows],
+             "plan": [r[1] for r in rows]}))
 
     def _show_tables(self) -> "DataFrame":
         """SHOW TABLES (information_schema.tables shape, config.rs

@@ -18,6 +18,7 @@ frequencies.
 from __future__ import annotations
 
 import datetime
+import os
 from decimal import Decimal
 from typing import Dict, Optional
 
@@ -312,7 +313,25 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
 def generate_tpch(sf: float, seed: int = 19940101,
                   tables: Optional[list] = None) -> Dict[str, pa.Table]:
     names = tables or list(TPCH_TABLES)
-    return {n: generate_table(n, sf, seed) for n in names}
+    cache_dir = os.environ.get("BALLISTA_TPCH_CACHE")
+    if not cache_dir:
+        return {n: generate_table(n, sf, seed) for n in names}
+    # disk cache: SF10 datagen is minutes of host CPU; benchmark sweeps
+    # re-ingest the same tables many times (reference keeps .tbl/.parquet
+    # on disk the same way, benchmarks/tpch-gen.sh)
+    import pyarrow.parquet as pq
+    out = {}
+    for n in names:
+        path = os.path.join(cache_dir, f"{n}_sf{sf:g}_s{seed}.parquet")
+        if os.path.exists(path):
+            out[n] = pq.read_table(path)
+        else:
+            out[n] = generate_table(n, sf, seed)
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = f"{path}.tmp{os.getpid()}"
+            pq.write_table(out[n], tmp)
+            os.replace(tmp, path)
+    return out
 
 
 def register_tpch(ctx, sf: float, seed: int = 19940101,

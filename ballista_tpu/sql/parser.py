@@ -116,6 +116,13 @@ class DropView:
 
 
 @dataclasses.dataclass
+class ExplainStmt:
+    """EXPLAIN <select> — plan introspection as a statement (DataFusion
+    surface; the reference inherits it). Yields (plan_type, plan) rows."""
+    query: object   # SelectStmt | UnionStmt | SetOpStmt
+
+
+@dataclasses.dataclass
 class CreateExternalTable:
     """`CREATE EXTERNAL TABLE t [(col type,…)] STORED AS fmt
     [WITH HEADER ROW] LOCATION 'path'` — the DDL BallistaContext::sql
@@ -288,7 +295,10 @@ class Parser:
         """SELECT with set operations at SQL-standard precedence:
         INTERSECT binds tighter than UNION and EXCEPT, which associate
         left pairwise (`a UNION b INTERSECT c` = a UNION (b INTERSECT c);
-        mixed `UNION` / `UNION ALL` chains keep each pair's own ALL)."""
+        mixed `UNION` / `UNION ALL` chains keep each pair's own ALL).
+        A leading `WITH name [(cols)] AS (select), …` attaches CTEs to
+        the returned statement (DataFusion SQL surface parity)."""
+        ctes = self._parse_ctes()
         stmt = self._parse_intersect_term()
         while True:
             if self.at_kw("union"):
@@ -308,7 +318,38 @@ class Parser:
                 stmt = self._hoist_trailing(
                     SetOpStmt(stmt, right, "except", all=all_flag), right)
             else:
+                if ctes:
+                    stmt.ctes = ctes
                 return stmt
+
+    def _parse_ctes(self):
+        """`WITH name [(col,…)] AS ( select ) [, …]` — returns a list of
+        (name, col_aliases, stmt). WITH is not a reserved word here (it
+        also appears in `WITH HEADER ROW`), so match it as an id."""
+        t = self.peek()
+        if not (t.kind == "id" and t.value.lower() == "with"
+                and self.peek(1).kind == "id"):
+            return []
+        self.next()
+        if self.peek().value.lower() == "recursive":
+            raise NotImplementedError("WITH RECURSIVE")
+        ctes = []
+        while True:
+            name = self._name()
+            cols = None
+            if self.accept("op", "("):
+                names = [self._name()]
+                while self.accept("op", ","):
+                    names.append(self._name())
+                self.expect("op", ")")
+                cols = tuple(names)
+            self.expect("kw", "as")
+            self.expect("op", "(")
+            q = self.parse_select()
+            self.expect("op", ")")
+            ctes.append((name, cols, q))
+            if not self.accept("op", ","):
+                return ctes
 
     def _parse_intersect_term(self):
         stmt = self._parse_select_one()
@@ -907,6 +948,11 @@ def parse_statements(sql: str):
             continue
         if accept_id("describe"):
             out.append(ShowColumns(p._name()))
+            p.accept("op", ";")
+            continue
+        if accept_id("explain"):
+            accept_id("verbose")  # accepted, same output
+            out.append(ExplainStmt(p.parse_select()))
             p.accept("op", ";")
             continue
         if p.peek().kind == "kw" and p.peek().value == "create" and \

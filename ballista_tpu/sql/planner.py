@@ -275,6 +275,8 @@ class SqlPlanner:
     def __init__(self, ctx):
         self.ctx = ctx
         self._sq_counter = 0
+        # name -> (SelectStmt, col_aliases); lexically scoped per WITH
+        self._ctes: Dict[str, tuple] = {}
 
     # -- catalog --
     def _scan(self, rel_id: int, ref: TableRef, outer: Optional[Scope]) -> Relation:
@@ -325,6 +327,17 @@ class SqlPlanner:
             plan = df.plan
             names = [f.name for f in plan.schema().fields]
             return Relation(rel_id, names, plan, ref.alias or kind, [])
+        if name in self._ctes:
+            # pop while planning: a self-reference resolves to the base
+            # table/KeyError instead of infinite recursion (WITH RECURSIVE
+            # is rejected at parse time)
+            q, cols = self._ctes.pop(name)
+            try:
+                vref = TableRef(subquery=q, alias=ref.alias or name,
+                                col_aliases=cols)
+                return self._scan(rel_id, vref, outer)
+            finally:
+                self._ctes[name] = (q, cols)
         if hasattr(self.ctx, "views") and name in self.ctx.views:
             view_stmt, view_cols = self.ctx.views[name]
             vref = TableRef(subquery=view_stmt, alias=ref.alias or name,
@@ -891,6 +904,18 @@ class SqlPlanner:
     # -- top level --
 
     def plan_select(self, stmt, outer: Optional[Scope] = None) -> L.LogicalPlan:
+        ctes = getattr(stmt, "ctes", None)
+        if not ctes:
+            return self._plan_select_body(stmt, outer)
+        saved = dict(self._ctes)
+        try:
+            for name, cols, q in ctes:
+                self._ctes[name] = (q, cols)   # later CTEs see earlier ones
+            return self._plan_select_body(stmt, outer)
+        finally:
+            self._ctes = saved
+
+    def _plan_select_body(self, stmt, outer) -> L.LogicalPlan:
         from .parser import SetOpStmt, UnionStmt
         if isinstance(stmt, SetOpStmt):
             return self._plan_setop(stmt, outer)
