@@ -190,18 +190,88 @@ def _estimate_high_cardinality(arr, n: int) -> bool:
     return est > limit
 
 
-def from_arrow(table, capacity: int | None = None,
-               dictionaries: dict | None = None) -> tuple[Batch, Schema]:
-    """Convert a pyarrow Table to a device Batch + Schema.
+def ingest_column_host(arr, f, n: int, dictionaries: dict | None = None):
+    """Host half of ingest for ONE column: arrow array -> numpy codes/values.
 
+    Returns (values, validity, dict_np|None, is_raw, bounds|None).
     Strings are dictionary-encoded against a *sorted* dictionary so that
-    code order == lexicographic order (ORDER BY / min / max work on codes).
+    code order == lexicographic order (ORDER BY / min / max work on codes);
+    high-cardinality strings fall back to RAW mode (code == row index).
     Pass `dictionaries` to encode against precomputed global dictionaries
-    (required when converting shards of one table so codes agree).
-    """
+    (required when converting shards of one table so codes agree)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks() if arr.num_chunks else pa.array([], type=arr.type)
+    validity = np.ones(n, dtype=bool)
+    if arr.null_count:
+        validity = np.asarray(pc.is_valid(arr))
+    dict_np = None
+    bounds = None
+    if f.dtype.kind is TypeKind.STRING:
+        from . import native
+        filled = arr.fill_null("") if arr.null_count else arr
+        values = None
+        if (dictionaries is None or f.name not in dictionaries) and \
+                _estimate_high_cardinality(filled, n):
+            # RAW string mode: the "dictionary" is the column verbatim
+            # (unsorted, duplicates allowed; code == row index). At
+            # TPC-H SF100 sorted-dictionary encoding of ~450M distinct
+            # comments is infeasible (O(n log n) host sort + a
+            # dictionary as large as the data); raw mode is O(1).
+            # Predicates (LIKE/=/IN) evaluate host-side into boolean
+            # LUTs exactly as for sorted dictionaries; key uses
+            # re-encode on demand (schema.unsorted guards).
+            return (np.arange(n, dtype=np.int32), validity,
+                    np.asarray(filled, dtype=object), True, None)
+        if dictionaries is not None and f.name in dictionaries:
+            dict_np = dictionaries[f.name]
+            codes = native.dict_encode_against_arrow(filled, dict_np)
+            if codes is not None:
+                values = np.where(validity & (codes >= 0), codes, 0).astype(np.int32)
+        else:
+            res = native.dict_encode_arrow(filled) if not arr.null_count else None
+            if res is not None:
+                codes, dict_np = res
+                values = np.where(validity, codes, 0).astype(np.int32)
+            else:
+                uniq = pc.unique(pc.drop_null(arr))
+                dict_np = np.sort(np.asarray(uniq, dtype=object))
+        dict_np = dict_np.astype(object)
+        if values is None:
+            str_np = np.asarray(arr, dtype=object)
+            codes = np.searchsorted(dict_np.astype(str), np.where(validity, str_np, dict_np[0] if len(dict_np) else ""))
+            codes = codes.astype(np.int32)
+            values = np.where(validity, codes, 0).astype(np.int32)
+    elif f.dtype.kind is TypeKind.DECIMAL:
+        # arrow decimal128 -> scaled int64: view the 128-bit mantissa
+        # buffer directly (low limb; |v| < 2^63 guaranteed by p<=18)
+        buf = arr.buffers()[1]
+        limbs = np.frombuffer(buf, dtype=np.int64)
+        values = np.ascontiguousarray(
+            limbs.reshape(-1, 2)[arr.offset:arr.offset + n, 0])
+    elif f.dtype.kind is TypeKind.DATE32:
+        values = np.asarray(arr.cast(pa.int32()), dtype=np.int32)
+        values = np.where(validity, values, 0)
+    else:
+        if arr.null_count:
+            arr = arr.fill_null(False if pa.types.is_boolean(arr.type) else 0)
+        values = np.asarray(arr).astype(_np_dtype_for(f.dtype))
+    if f.dtype.kind in (TypeKind.INT32, TypeKind.INT64,
+                        TypeKind.DATE32, TypeKind.DECIMAL) and n:
+        vv = values[validity] if not validity.all() else values
+        if len(vv):
+            # value bounds let sort/join/group keys pack into shared
+            # int64 limbs downstream (planning metadata)
+            bounds = (int(vv.min()), int(vv.max()))
+    return values, validity, dict_np, False, bounds
+
+
+def from_arrow(table, capacity: int | None = None,
+               dictionaries: dict | None = None) -> tuple[Batch, Schema]:
+    """Convert a pyarrow Table to a device Batch + Schema (all columns;
+    see TableProvider for per-column lazy ingest)."""
     n = table.num_rows
     cap = round_capacity(n if capacity is None else capacity)
     schema = schema_from_arrow(table.schema)
@@ -210,71 +280,14 @@ def from_arrow(table, capacity: int | None = None,
     int_bounds = {}
     unsorted = set()
     for i, f in enumerate(schema.fields):
-        arr = table.column(i).combine_chunks()
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks() if arr.num_chunks else pa.array([], type=arr.type)
-        validity = np.ones(n, dtype=bool)
-        if arr.null_count:
-            validity = np.asarray(pc.is_valid(arr))
-        if f.dtype.kind is TypeKind.STRING:
-            from . import native
-            filled = arr.fill_null("") if arr.null_count else arr
-            values = None
-            if (dictionaries is None or f.name not in dictionaries) and \
-                    _estimate_high_cardinality(filled, n):
-                # RAW string mode: the "dictionary" is the column verbatim
-                # (unsorted, duplicates allowed; code == row index). At
-                # TPC-H SF100 sorted-dictionary encoding of ~450M distinct
-                # comments is infeasible (O(n log n) host sort + a
-                # dictionary as large as the data); raw mode is O(1).
-                # Predicates (LIKE/=/IN) evaluate host-side into boolean
-                # LUTs exactly as for sorted dictionaries; key uses
-                # re-encode on demand (schema.unsorted guards).
-                dicts[f.name] = np.asarray(filled, dtype=object)
-                unsorted.add(f.name)
-                cols.append(make_column(
-                    np.arange(n, dtype=np.int32), validity, f.dtype, cap))
-                continue
-            if dictionaries is not None and f.name in dictionaries:
-                dict_np = dictionaries[f.name]
-                codes = native.dict_encode_against_arrow(filled, dict_np)
-                if codes is not None:
-                    values = np.where(validity & (codes >= 0), codes, 0).astype(np.int32)
-            else:
-                res = native.dict_encode_arrow(filled) if not arr.null_count else None
-                if res is not None:
-                    codes, dict_np = res
-                    values = np.where(validity, codes, 0).astype(np.int32)
-                else:
-                    uniq = pc.unique(pc.drop_null(arr))
-                    dict_np = np.sort(np.asarray(uniq, dtype=object))
-            dicts[f.name] = dict_np.astype(object)
-            if values is None:
-                str_np = np.asarray(arr, dtype=object)
-                codes = np.searchsorted(dict_np.astype(str), np.where(validity, str_np, dict_np[0] if len(dict_np) else ""))
-                codes = codes.astype(np.int32)
-                values = np.where(validity, codes, 0).astype(np.int32)
-        elif f.dtype.kind is TypeKind.DECIMAL:
-            # arrow decimal128 -> scaled int64: view the 128-bit mantissa
-            # buffer directly (low limb; |v| < 2^63 guaranteed by p<=18)
-            buf = arr.buffers()[1]
-            limbs = np.frombuffer(buf, dtype=np.int64)
-            values = np.ascontiguousarray(
-                limbs.reshape(-1, 2)[arr.offset:arr.offset + n, 0])
-        elif f.dtype.kind is TypeKind.DATE32:
-            values = np.asarray(arr.cast(pa.int32()), dtype=np.int32)
-            values = np.where(validity, values, 0)
-        else:
-            if arr.null_count:
-                arr = arr.fill_null(False if pa.types.is_boolean(arr.type) else 0)
-            values = np.asarray(arr).astype(_np_dtype_for(f.dtype))
-        if f.dtype.kind in (TypeKind.INT32, TypeKind.INT64,
-                            TypeKind.DATE32, TypeKind.DECIMAL) and n:
-            vv = values[validity] if not validity.all() else values
-            if len(vv):
-                # value bounds let sort/join/group keys pack into shared
-                # int64 limbs downstream (planning metadata)
-                int_bounds[f.name] = (int(vv.min()), int(vv.max()))
+        values, validity, dict_np, is_raw, bounds = ingest_column_host(
+            table.column(i), f, n, dictionaries)
+        if dict_np is not None:
+            dicts[f.name] = dict_np
+        if is_raw:
+            unsorted.add(f.name)
+        if bounds is not None:
+            int_bounds[f.name] = bounds
         cols.append(make_column(values, validity, f.dtype, cap))
     schema = Schema(schema.fields, dicts, int_bounds, unsorted)
     return Batch(tuple(cols), jnp.int32(n)), schema

@@ -62,7 +62,11 @@ def run(sf: float, queries, iterations: int, distributed: bool,
     for q in queries:
         try:
             t0 = time.time()
-            plan = _rebind_scans(ctx.sql(TPCH_QUERIES[q]).plan, ctx)
+            from ..planner.optimizer import prune_columns
+            # prune before rebinding so the rebind ingests metadata for
+            # the scanned columns only (per-column lazy ingest)
+            plan = _rebind_scans(prune_columns(ctx.sql(TPCH_QUERIES[q]).plan),
+                                 ctx)
             if distributed:
                 from ..scheduler.runtime import execute_distributed
                 # distributed path: plan+compile+run per call (stage cache

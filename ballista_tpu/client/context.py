@@ -22,7 +22,14 @@ from .dataframe import DataFrame
 
 
 class TableProvider:
-    """A registered table: pyarrow Table + lazily-converted device batch."""
+    """A registered table: pyarrow Table + per-column lazily-converted
+    device columns.
+
+    Ingest is PER COLUMN: a pruned scan of 4 of lineitem's 16 columns
+    transfers (and dictionary-encodes) exactly those 4 — at SF10 a full
+    eager ingest of lineitem alone is ~8.6 GB of HBM, over half the chip
+    (the reference never materializes unused columns either: DataFusion
+    parquet scans push projections down)."""
 
     def __init__(self, name: str, arrow_table, primary_key=None,
                  bucket: bool = False):
@@ -30,30 +37,83 @@ class TableProvider:
         self.arrow_table = arrow_table
         self.primary_key = tuple(primary_key) if primary_key else None
         self.bucket = bucket
-        self._batch = None
-        self._schema = None
+        self._cols: dict = {}          # column name -> device Column
+        self._host: dict = {}          # column name -> (values, validity)
+        self._dicts: dict = {}
+        self._bounds: dict = {}
+        self._unsorted: set = set()
+        self._fields = None
         self._inferred_unique = None
 
     @property
-    def schema(self):
-        self._ensure()
-        return self._schema
-
-    @property
-    def batch(self):
-        self._ensure()
-        return self._batch
+    def num_rows(self) -> int:
+        return self.arrow_table.num_rows
 
     @property
     def capacity(self) -> int:
-        return self.batch.capacity
+        n = self.arrow_table.num_rows
+        return B.bucket_capacity(n) if self.bucket else B.round_capacity(n)
+
+    def _field_list(self):
+        if self._fields is None:
+            self._fields = B.schema_from_arrow(self.arrow_table.schema).fields
+        return self._fields
+
+    @property
+    def schema(self):
+        """Schema with ingest-time metadata. String dictionaries are
+        ensured on first access (plan-time expression binding — CASE/LIKE
+        dtype inference — needs them anywhere in the plan); numeric int
+        bounds are ensured per scanned column at rebind time; device
+        transfer stays per-column lazy (bind_inputs)."""
+        from ..schema import Schema, TypeKind
+        self.ensure_meta([f.name for f in self._field_list()
+                          if f.dtype.kind is TypeKind.STRING])
+        return Schema(self._field_list(), dict(self._dicts),
+                      dict(self._bounds), set(self._unsorted))
+
+    def ensure_meta(self, names) -> None:
+        """Host half only: dictionaries / int bounds / raw-mode flags —
+        what expression binding needs. No device transfer (the mesh and
+        serial runtimes ingest shards themselves from arrow)."""
+        fields = {f.name: f for f in self._field_list()}
+        n = self.arrow_table.num_rows
+        for name in names:
+            if name in self._cols or name in self._host:
+                continue
+            f = fields[name]
+            values, validity, dict_np, is_raw, bounds = B.ingest_column_host(
+                self.arrow_table.column(name), f, n)
+            if dict_np is not None:
+                self._dicts[name] = dict_np
+            if is_raw:
+                self._unsorted.add(name)
+            if bounds is not None:
+                self._bounds[name] = bounds
+            self._host[name] = (values, validity, f.dtype)
+
+    def ensure_columns(self, names) -> None:
+        self.ensure_meta(names)
+        for name in names:
+            if name in self._cols:
+                continue
+            values, validity, dtype = self._host.pop(name)
+            self._cols[name] = B.make_column(values, validity, dtype,
+                                             self.capacity)
+
+    def column_batch(self, names) -> "B.Batch":
+        """Device batch of exactly `names`, in order."""
+        import jax.numpy as jnp
+        self.ensure_columns(names)
+        return B.Batch(tuple(self._cols[c] for c in names),
+                       jnp.int32(self.arrow_table.num_rows))
+
+    @property
+    def batch(self):
+        return self.column_batch([f.name for f in self._field_list()])
 
     def _ensure(self):
-        if self._batch is None:
-            cap = (B.bucket_capacity(self.arrow_table.num_rows)
-                   if self.bucket else None)
-            self._batch, self._schema = B.from_arrow(self.arrow_table,
-                                                     capacity=cap)
+        self.ensure_columns([f.name for f in self._field_list()])
 
 
 class SessionContext:
@@ -326,12 +386,8 @@ class SessionContext:
         for i in set(input_ids):
             name, _, cols = i.partition("::")
             tp = self.tables[name]
-            b = tp.batch
-            if cols:
-                idx = [tp.schema.index_of(c) for c in cols.split(",")]
-                b = B.Batch(tuple(b.columns[j] for j in idx),
-                            b.num_rows, b.live)
-            out[i] = b
+            out[i] = (tp.column_batch(cols.split(",")) if cols
+                      else tp.batch)
         return out
 
     # -- execution --
@@ -348,10 +404,11 @@ class SessionContext:
                                   max_retries=max_retries)
 
         capacities = {name: tp.capacity for name, tp in self.tables.items()}
-        # refresh scan schemas to include ingest-time dictionaries
-        plan = _rebind_scans(plan, self)
+        # prune FIRST so the rebind ensures (and ingests) only the scanned
+        # columns, then refresh scan schemas with ingest-time dictionaries
         from ..planner.optimizer import prune_columns
         plan = prune_columns(plan)
+        plan = _rebind_scans(plan, self)
         opts = self.options
         for attempt in range(max_retries):
             exec_plan = create_physical_plan(plan, capacities, opts)
@@ -407,7 +464,13 @@ def file_metadata(path: str) -> dict:
 def _rebind_scans(plan: L.LogicalPlan, ctx: SessionContext) -> L.LogicalPlan:
     import dataclasses as dc
     if isinstance(plan, L.TableScan):
-        return dc.replace(plan, table_schema=ctx.tables[plan.table_name].schema)
+        tp = ctx.tables[plan.table_name]
+        # binding needs ingest-time metadata (dictionaries/bounds) for the
+        # scanned columns only — prune before rebinding so a 4-column scan
+        # of a 16-column table ingests 4 columns
+        tp.ensure_meta(plan.projection
+                       or [f.name for f in tp._field_list()])
+        return dc.replace(plan, table_schema=tp.schema)
     kids = plan.children()
     if not kids:
         return plan
@@ -415,4 +478,10 @@ def _rebind_scans(plan: L.LogicalPlan, ctx: SessionContext) -> L.LogicalPlan:
     for key, val in list(new.items()):
         if isinstance(val, L.LogicalPlan):
             new[key] = _rebind_scans(val, ctx)
+        elif isinstance(val, (list, tuple)) and \
+                any(isinstance(v, L.LogicalPlan) for v in val):
+            # list-valued children (Union.inputs)
+            new[key] = type(val)(_rebind_scans(v, ctx)
+                                 if isinstance(v, L.LogicalPlan) else v
+                                 for v in val)
     return type(plan)(**new)

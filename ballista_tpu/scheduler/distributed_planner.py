@@ -135,6 +135,12 @@ class DistributedPlanner:
             return PartitionPruneExec(OneRowExec())
         if isinstance(p, L.TableScan):
             tp = self.ctx.tables[p.table_name]
+            # stage-program binding needs the scanned columns' ingest
+            # metadata (dictionaries/bounds); host-side only — the mesh
+            # runtime ingests the shards itself
+            if hasattr(tp, "ensure_meta"):
+                tp.ensure_meta(p.projection
+                               or [f.name for f in tp.schema.fields])
             per_shard = round_capacity(-(-tp.capacity // self.opts.n_partitions))
             if p.projection is not None:
                 # pruned scan: the runtime ships only these columns to the
