@@ -21,6 +21,12 @@ def _enable_compile_cache():
     import os
 
     import jax
+    if os.environ.get("BALLISTA_FAULTDUMP"):
+        # periodic all-thread stack dumps to stderr: diagnoses relay /
+        # compile-service stalls inside long unattended sweeps
+        import faulthandler
+        faulthandler.dump_traceback_later(
+            int(os.environ["BALLISTA_FAULTDUMP"]), repeat=True)
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -28,21 +34,33 @@ def _enable_compile_cache():
 
 
 def run(sf: float, queries, iterations: int, distributed: bool,
-        lazy_ingest: bool = False):
+        lazy_ingest: bool = False, verify: bool = False,
+        capacity_mode: str = "bucket"):
     import jax
     _enable_compile_cache()
     from .. import batch as B
     from ..client import SessionContext
     from ..client.context import _rebind_scans
-    from ..datagen import register_tpch
+    from ..datagen import generate_tpch, register_tpch
     from ..exec.plan import compile_stage
     from ..planner.physical import create_physical_plan
     from .queries import TPCH_QUERIES
 
-    ctx = SessionContext()
+    # bucket capacities by default: geometric shape tiers hit the
+    # persistent compile cache across SF changes <19% apart and keep
+    # programs shared between close row counts (VERDICT r1 item 3)
+    ctx = SessionContext(capacity_mode=capacity_mode)
     t0 = time.time()
-    register_tpch(ctx, sf)
+    data = generate_tpch(sf)
+    register_tpch(ctx, sf, data=data)
     print(f"# datagen {time.time() - t0:.1f}s", file=sys.stderr)
+
+    pdt = None
+    if verify:
+        from .oracle import ORACLES, to_pd
+        t0 = time.time()
+        pdt = to_pd(data)
+        print(f"# oracle tables {time.time() - t0:.1f}s", file=sys.stderr)
 
     if not lazy_ingest:
         # lazy_ingest skips the warm pass: tables ingest on first use and
@@ -78,6 +96,7 @@ def run(sf: float, queries, iterations: int, distributed: bool,
                     out, schema = execute_distributed(ctx, plan, mesh)
                 per_iter = (time.time() - t0) / iterations
                 nrows = int(out.num_rows)
+                out_schema = schema
             else:
                 capacities = {n: tp.capacity for n, tp in ctx.tables.items()}
                 ep = create_physical_plan(plan, capacities, ctx.options)
@@ -91,10 +110,29 @@ def run(sf: float, queries, iterations: int, distributed: bool,
                     out = fn(inputs)
                 nrows = int(out.num_rows)
                 per_iter = (time.time() - t0) / iterations
+                out_schema = ep.schema
             results[q] = {"ms": round(per_iter * 1000, 1),
                           "compile_s": round(compile_s, 1), "rows": nrows}
+            extra = ""
+            if verify:
+                from .oracle import ORACLES, diff_frames
+                got = B.to_pandas(out, out_schema)
+                t0 = time.time()
+                exp = ORACLES[q](pdt)
+                oracle_ms = (time.time() - t0) * 1000
+                mismatch = diff_frames(got, exp)
+                results[q]["oracle_ms"] = round(oracle_ms, 1)
+                results[q]["vs_oracle"] = round(oracle_ms / max(
+                    per_iter * 1000, 1e-3), 1)
+                results[q]["match"] = not mismatch
+                if mismatch:
+                    extra = f"  MISMATCH: {mismatch}"
+                else:
+                    extra = (f"  [oracle {oracle_ms:8.1f} ms, "
+                             f"{results[q]['vs_oracle']}x]")
             print(f"q{q:2d}  {per_iter * 1000:10.1f} ms   "
-                  f"(compile {compile_s:6.1f}s, {nrows} rows)", flush=True)
+                  f"(compile {compile_s:6.1f}s, {nrows} rows){extra}",
+                  flush=True)
         except Exception as e:  # noqa: BLE001 - keep benching other queries
             results[q] = {"error": f"{type(e).__name__}: {e}"}
             print(f"q{q:2d}  ERROR {type(e).__name__}: {e}", flush=True)
@@ -161,7 +199,8 @@ def loadtest(sf: float, clients: int, requests: int, queries):
 
 
 def run_isolated(sf: float, queries, iterations: int, distributed: bool,
-                 per_query_timeout: int):
+                 per_query_timeout: int, verify: bool = False,
+                 lazy_ingest: bool = False):
     """Each query in its own subprocess with a hard timeout: one
     pathological compile can't consume the whole suite's budget (the
     reference's tpch.rs runs queries sequentially in-process; compile
@@ -176,6 +215,10 @@ def run_isolated(sf: float, queries, iterations: int, distributed: bool,
                "--iterations", str(iterations)]
         if distributed:
             cmd.append("--distributed")
+        if verify:
+            cmd.append("--verify")
+        if lazy_ingest:
+            cmd.append("--lazy-ingest")
         try:
             out = subprocess.run(cmd, capture_output=True, text=True,
                                  timeout=per_query_timeout)
@@ -206,6 +249,11 @@ def main(argv=None):
                     help="skip the eager table-ingest warm pass")
     ap.add_argument("--isolate", type=int, default=None, metavar="SECONDS",
                     help="run each query in a subprocess with this timeout")
+    ap.add_argument("--verify", action="store_true",
+                    help="diff results against the pandas oracle and "
+                         "record its per-query time as the baseline")
+    ap.add_argument("--capacity-mode", default="bucket",
+                    choices=("exact", "bucket"))
     ap.add_argument("--loadtest", default=None, metavar="CLIENTSxREQUESTS",
                     help="e.g. 4x8: 4 concurrent clients, 8 requests each")
     args = ap.parse_args(argv)
@@ -216,10 +264,12 @@ def main(argv=None):
         loadtest(args.sf, int(c), int(r), queries)
     elif args.isolate:
         run_isolated(args.sf, queries, args.iterations, args.distributed,
-                     args.isolate)
+                     args.isolate, verify=args.verify,
+                     lazy_ingest=args.lazy_ingest)
     else:
         run(args.sf, queries, args.iterations, args.distributed,
-            lazy_ingest=args.lazy_ingest)
+            lazy_ingest=args.lazy_ingest, verify=args.verify,
+            capacity_mode=args.capacity_mode)
 
 
 if __name__ == "__main__":

@@ -69,7 +69,7 @@ def main(argv=None):
     from .scheduler.distributed_planner import DistOptions
     from .scheduler.standalone import StandaloneCluster
 
-    ctx = SessionContext()
+    ctx = SessionContext(capacity_mode="bucket")
     if args.sf_demo:
         from .datagen import register_tpch
         register_tpch(ctx, args.sf_demo)

@@ -45,11 +45,12 @@ def bench_engine(data):
     from ballista_tpu.exec.plan import compile_stage
     from ballista_tpu.planner.physical import create_physical_plan
 
-    ctx = SessionContext()
+    ctx = SessionContext(capacity_mode="bucket")
     register_tpch(ctx, SF, data=data)
 
     t0 = time.time()
-    plan = _rebind_scans(ctx.sql(TPCH_QUERIES[QUERY]).plan, ctx)
+    from ballista_tpu.planner.optimizer import prune_columns
+    plan = _rebind_scans(prune_columns(ctx.sql(TPCH_QUERIES[QUERY]).plan), ctx)
     capacities = {name: tp.capacity for name, tp in ctx.tables.items()}
     exec_plan = create_physical_plan(plan, capacities, ctx.options)
     fn, input_ids = compile_stage(exec_plan)
