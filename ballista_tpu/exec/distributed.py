@@ -51,6 +51,9 @@ class _TraceCtx:
     def __init__(self):
         self.overflow: List[jax.Array] = []
         self.op_rows: List[tuple] = []   # (label, traced int32 rows)
+        # shuffle-write stats (PartitionStats, serde/scheduler/mod.rs:33):
+        # (quota, salt_kind|None, traced pre-clamp (P,) dest counts)
+        self.exchanges: List[tuple] = []
 
     def __enter__(self):
         _TraceCtx._current = self
@@ -69,6 +72,11 @@ class _TraceCtx:
         if cls._current is not None:
             cls._current.op_rows.append((label, num_rows))
 
+    @classmethod
+    def record_exchange(cls, quota: int, salt_kind, counts):
+        if cls._current is not None:
+            cls._current.exchanges.append((quota, salt_kind, counts))
+
 
 class ExchangeExec(ExecNode):
     """Hash-repartition the child's rows across the mesh (ShuffleWriterExec
@@ -76,7 +84,8 @@ class ExchangeExec(ExecNode):
 
     def __init__(self, child: ExecNode, key_names: Sequence[str],
                  n_parts: int, quota: int,
-                 salt: int = 1, salt_mode: str | None = None):
+                 salt: int = 1, salt_mode: str | None = None,
+                 salt_kind: str | None = None):
         self.children = (child,)
         self.key_names = tuple(key_names)
         self.n_parts = n_parts
@@ -85,16 +94,21 @@ class ExchangeExec(ExecNode):
         # destinations ('spread' probe side / 'replicate' build side)
         self.salt = salt
         self.salt_mode = salt_mode
+        # what salting a RETRY would apply to this exchange ('spread' /
+        # 'replicate' for join sides, None for plain repartitions) — the
+        # overflow-stats handler uses it to pick salt vs quota
+        self.salt_kind = salt_kind if salt_kind is not None else salt_mode
         self.schema = child.schema
         self.capacity = n_parts * quota
         self._key_idx = [child.schema.index_of(k) for k in key_names]
 
     def evaluate(self, inputs):
         b = self.children[0].evaluate(inputs)
-        out, overflow = hash_partition_exchange(
+        out, overflow, counts = hash_partition_exchange(
             b, self._key_idx, self.n_parts, self.quota, PARTITION_AXIS,
             salt=self.salt, salt_mode=self.salt_mode)
         _TraceCtx.record_overflow(overflow)
+        _TraceCtx.record_exchange(self.quota, self.salt_kind, counts)
         return out
 
     def _label(self):

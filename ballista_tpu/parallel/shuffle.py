@@ -77,10 +77,14 @@ def exchange_send_layout(batch: Batch, key_indices: Sequence[int],
     """The device half of a shuffle write (ShuffleWriterExec hash path):
     group rows by destination into a (P*quota)-slot send buffer.
 
-    Returns (send_batch, send_counts, overflow): send_batch rows
+    Returns (send_batch, send_counts, overflow, counts): send_batch rows
     [d*quota, d*quota+send_counts[d]) are the rows destined to partition
-    d; invalid slots are validity-masked. The mesh runtime all_to_alls
-    the buffer; the serial (out-of-core) runtime exchanges it host-side.
+    d; invalid slots are validity-masked. `counts` is the PRE-CLAMP
+    per-destination row count — the shuffle-write stats that drive
+    quota/salt selection on overflow retry (the reference's
+    PartitionStats idea, serde/scheduler/mod.rs:33-100). The mesh runtime
+    all_to_alls the buffer; the serial (out-of-core) runtime exchanges it
+    host-side.
     """
     P = n_parts
     if salt > 1 and salt_mode == "replicate":
@@ -124,7 +128,7 @@ def exchange_send_layout(batch: Batch, key_indices: Sequence[int],
         send_cols.append(Column(jnp.take(c.data, src),
                                 jnp.take(c.validity, src) & slot_live))
     total = jnp.sum(send_counts).astype(jnp.int32)
-    return Batch(tuple(send_cols), total), send_counts, overflow
+    return Batch(tuple(send_cols), total), send_counts, overflow, counts
 
 
 def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
@@ -138,7 +142,7 @@ def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
     dropped — caller must retry with a larger quota).
     """
     P = n_parts
-    send_batch, send_counts, overflow = exchange_send_layout(
+    send_batch, send_counts, overflow, counts = exchange_send_layout(
         batch, key_indices, P, quota, salt, salt_mode)
     quota = send_batch.capacity // P
 
@@ -155,7 +159,7 @@ def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
     keep = (j % quota) < jnp.take(recv_counts, j // quota)
     from ..ops.vsort import compact_batch
     total = jnp.sum(keep).astype(jnp.int32)
-    return compact_batch(Batch(tuple(out_cols), total), keep), overflow
+    return compact_batch(Batch(tuple(out_cols), total), keep), overflow, counts
 
 
 def all_gather_batch(batch: Batch, n_parts: int,

@@ -109,12 +109,14 @@ class DistributedPlanner:
         return leaf
 
     def _cut_shuffle(self, root: ExecNode, key_names, expected_rows: int,
-                     salt: int = 1, salt_mode: str | None = None) -> InputLeaf:
+                     salt: int = 1, salt_mode: str | None = None,
+                     salt_kind: str | None = None) -> InputLeaf:
         P = self.opts.n_partitions
         quota = max(self.opts.min_quota,
                     round_capacity(int(self.opts.quota_headroom * expected_rows / P)))
         return self._cut(ExchangeExec(root, key_names, P, quota,
-                                      salt=salt, salt_mode=salt_mode))
+                                      salt=salt, salt_mode=salt_mode,
+                                      salt_kind=salt_kind))
 
     def _cut_gather(self, root: ExecNode) -> InputLeaf:
         return self._cut(GatherExec(root, self.opts.n_partitions))
@@ -251,12 +253,15 @@ class DistributedPlanner:
             # full_outer (replicated builds would re-append unmatched rows).
             S = (min(self.opts.join_salt, self.opts.n_partitions)
                  if p.how != "full_outer" else 1)
+            saltable = p.how != "full_outer"
             bleaf = self._cut_shuffle(
                 build, bkeys, expected_rows=build.capacity * S,
-                salt=S, salt_mode="replicate" if S > 1 else None)
+                salt=S, salt_mode="replicate" if S > 1 else None,
+                salt_kind="replicate" if saltable else None)
             pleaf = self._cut_shuffle(
                 probe, pkeys, expected_rows=probe.capacity,
-                salt=S, salt_mode="spread" if S > 1 else None)
+                salt=S, salt_mode="spread" if S > 1 else None,
+                salt_kind="spread" if saltable else None)
             return HashJoinExec(bleaf, pleaf, on, p.how,
                                 unique_build=p.unique_build)
         if isinstance(p, L.Sort):

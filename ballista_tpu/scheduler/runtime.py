@@ -79,6 +79,7 @@ class DistributedRuntime:
         from jax import shard_map
 
         labels: List[str] = []
+        ex_meta: List[tuple] = []   # (quota, salt_kind) per exchange
 
         def per_shard(inputs):
             batches = {}
@@ -103,6 +104,12 @@ class DistributedRuntime:
                 rows = jnp.stack([jnp.asarray(r, jnp.int32)
                                   for _, r in tc.op_rows]) if tc.op_rows \
                     else jnp.zeros(0, jnp.int32)
+                ex_meta.clear()
+                ex_meta.extend((q, kind) for q, kind, _ in tc.exchanges)
+                ex_counts = (jnp.stack([c for _, _, c in tc.exchanges])
+                             if tc.exchanges
+                             else jnp.zeros((0, self.opts.n_partitions),
+                                            jnp.int32))
             wrapped_cols = tuple(Column(c.data[None], c.validity[None])
                                  for c in out.columns)
             if is_root:
@@ -110,16 +117,16 @@ class DistributedRuntime:
             else:
                 live = out.live[None] if out.live is not None else None
                 out_w = Batch(wrapped_cols, out.num_rows[None], live)
-            return out_w, overflow[None], rows[None]
+            return out_w, overflow[None], rows[None], ex_counts[None]
 
         spec = P(PARTITION_AXIS)
         # check_vma=False: kernel while_loops carry constant-initialized
         # tables that become shard-varying; the varying-axis checker can't
         # prove that and there's no cross-shard communication inside them.
         fn = shard_map(per_shard, mesh=self.mesh,
-                       in_specs=(spec,), out_specs=(spec, spec, spec),
+                       in_specs=(spec,), out_specs=(spec, spec, spec, spec),
                        check_vma=False)
-        return jax.jit(fn), labels
+        return jax.jit(fn), labels, ex_meta
 
     def _compile_stage(self, stage: Stage):
         import os
@@ -149,8 +156,8 @@ class DistributedRuntime:
                 if type(n).__name__ in _CUT_NODE_NAMES and n is not root]
         split = os.environ.get("BALLISTA_SPLIT_STAGES", "1") != "0"
         if not split or len(heavy) < 2 or not cuts:
-            fn, labels = self._shard_piece(root.evaluate, True)
-            return fn, leaf_ids, labels
+            fn, labels, ex_meta = self._shard_piece(root.evaluate, True)
+            return fn, leaf_ids, labels, ex_meta
 
         cached = getattr(root, "_stage_split_cache", None)
         if cached is not None:
@@ -160,8 +167,8 @@ class DistributedRuntime:
         for k, n in enumerate(cuts):
             key = f"__sp{stage.stage_id}_{k}"
             ids = _needed_inputs(n, patched)
-            pfn, plabels = self._shard_piece(n.evaluate, False)
-            pieces.append((key, pfn, ids, plabels))
+            pfn, plabels, pex = self._shard_piece(n.evaluate, False)
+            pieces.append((key, pfn, ids, plabels, pex))
             patched[id(n)] = key
 
             def _read(batches, _key=key):
@@ -169,9 +176,10 @@ class DistributedRuntime:
 
             n.evaluate = _read
         root_ids = _needed_inputs(root, patched)
-        rfn, rlabels = self._shard_piece(root.evaluate, True)
+        rfn, rlabels, rex = self._shard_piece(root.evaluate, True)
         op_labels: List[str] = []
-        all_pieces = pieces + [("__stage_root", rfn, root_ids, rlabels)]
+        ex_meta: List[tuple] = []
+        all_pieces = pieces + [("__stage_root", rfn, root_ids, rlabels, rex)]
         state: Dict[str, object] = {"exec": None}
 
         def run(inputs):
@@ -180,17 +188,23 @@ class DistributedRuntime:
             ex = state["exec"]
             vals = dict(inputs)
             flags, rows_list, labels = [], [], []
-            for key, pfn, ids, plabels in pieces:
-                out, ov, rows = ex.get(key, pfn)({i: vals[i] for i in ids})
+            ex_list, meta = [], []
+            for key, pfn, ids, plabels, pex in pieces:
+                out, ov, rows, exc = ex.get(key, pfn)({i: vals[i] for i in ids})
                 vals[key] = out
                 flags.append(ov)
                 rows_list.append(rows)
                 labels.extend(plabels)
-            out, ov, rows = ex.get("__stage_root", rfn)(
+                ex_list.append(exc)
+                meta.extend(pex)
+            out, ov, rows, exc = ex.get("__stage_root", rfn)(
                 {i: vals[i] for i in root_ids})
             flags.append(ov)
             rows_list.append(rows)
             labels.extend(rlabels)
+            ex_list.append(exc)
+            meta.extend(rex)
+            ex_meta[:] = meta
             op_labels[:] = labels
             overflow = flags[0]
             for f in flags[1:]:
@@ -199,9 +213,13 @@ class DistributedRuntime:
                 [r for r in rows_list if r.shape[1]], axis=1) \
                 if any(r.shape[1] for r in rows_list) \
                 else rows_list[0]
-            return out, overflow, all_rows
+            all_ex = jnp.concatenate(
+                [e for e in ex_list if e.shape[1]], axis=1) \
+                if any(e.shape[1] for e in ex_list) \
+                else ex_list[0]
+            return out, overflow, all_rows, all_ex
 
-        root._stage_split_cache = (run, leaf_ids, op_labels)
+        root._stage_split_cache = (run, leaf_ids, op_labels, ex_meta)
         return root._stage_split_cache
 
     def _precompile_pieces(self, all_pieces, inputs) -> Dict:
@@ -232,9 +250,9 @@ class DistributedRuntime:
                                             sharding=shard0)
 
             lowered = []
-            for key, fn, ids, _labels in all_pieces:
+            for key, fn, ids, *_rest in all_pieces:
                 in_spec = {i: specs[i] for i in ids}
-                out_spec, _, _ = jax.eval_shape(fn, in_spec)
+                out_spec = jax.eval_shape(fn, in_spec)[0]
                 specs[key] = jax.tree_util.tree_map(out_spec_of, out_spec)
                 lowered.append((key, fn, in_spec))
             with ThreadPoolExecutor(max_workers=workers) as ex:
@@ -255,7 +273,7 @@ class DistributedRuntime:
             m = StageMetrics()
             self.metrics[stage.stage_id] = m
             t0 = time.time()
-            fn, leaf_ids, op_labels = self._compile_stage(stage)
+            fn, leaf_ids, op_labels, ex_meta = self._compile_stage(stage)
             inputs = {}
             for lid in leaf_ids:
                 src = stage.sources[lid]
@@ -265,7 +283,7 @@ class DistributedRuntime:
                 else:
                     pb = outputs[src.name]
                 inputs[lid] = pb
-            out, overflow, op_rows = fn(inputs)
+            out, overflow, op_rows, ex_counts = fn(inputs)
             out.num_rows.block_until_ready()
             m.run_s = time.time() - t0
             from ..parallel.multihost import host_local_array
@@ -275,9 +293,18 @@ class DistributedRuntime:
                 m.operator_rows = {lbl: int(v) for lbl, v
                                    in zip(op_labels, totals)}
             if bool(host_local_array(overflow).any()):
-                raise ShuffleOverflowError(
+                err = ShuffleOverflowError(
                     f"stage {stage.stage_id}: shuffle quota exceeded "
                     "(retry with larger quota_headroom)")
+                # shuffle-write stats (PartitionStats analog,
+                # serde/scheduler/mod.rs:33-100): per-exchange pre-clamp
+                # (n_shards, P) destination counts — fetched only on the
+                # failure path so the happy path stays transfer-free
+                counts = host_local_array(ex_counts)  # (shards, E, P)
+                err.stats = [
+                    {"quota": q, "salt_kind": kind, "counts": counts[:, e, :]}
+                    for e, (q, kind) in enumerate(ex_meta)]
+                raise err
             outputs[str(stage.stage_id)] = out
             schemas[stage.stage_id] = stage.root.schema
             m.output_rows = int(host_local_array(out.num_rows).sum())
@@ -288,7 +315,70 @@ class DistributedRuntime:
 
 
 class ShuffleOverflowError(RuntimeError):
-    pass
+    """Raised when a shuffle exchange (or group table) exceeds its fixed
+    quota. When the failing runtime observed shuffle-write stats it attaches
+    them as `stats`: a list of per-exchange dicts
+    {"quota": int, "salt_kind": str|None, "counts": (shards, P) ndarray}
+    with PRE-clamp destination row counts (the reference's PartitionStats,
+    serde/scheduler/mod.rs:33-100)."""
+
+
+def escalate_overflow_opts(opts: "DistOptions", err, attempt: int) -> "DistOptions":
+    """Pick the retry DistOptions after a quota overflow.
+
+    Stats-driven when the error carries shuffle-write stats: the observed
+    max per-(shard, dest) count vs the quota sets the needed headroom
+    directly, and the max/median ratio detects hot-key skew — a skewed
+    saltable exchange gets its hot key split across `salt` destinations
+    instead of blindly quadrupling quotas (PartitionStats idea,
+    serde/scheduler/mod.rs:33-100). Falls back to blind quota->salt
+    escalation when no stats are available (plain capacity undersize or
+    group-table overflow)."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    ratio = 0.0      # worst observed need/quota over exchanges
+    skew = 1.0       # worst max/median on a saltable exchange
+    flat = hot = 0.0  # flat vs hot-key components of the skewed need
+    quota_of_skewed = 1.0
+    salt = opts.join_salt
+    for s in getattr(err, "stats", None) or ():
+        c = np.asarray(s["counts"], np.float64).reshape(-1, opts.n_partitions)
+        need = float(c.max())
+        q = max(1.0, float(s["quota"]))
+        if need <= q:
+            continue
+        ratio = max(ratio, need / q)
+        if s["salt_kind"] is not None:
+            pos = c[c > 0]
+            med = float(np.median(pos)) if pos.size else 1.0
+            sk = need / max(1.0, med)
+            if sk > skew:
+                skew, quota_of_skewed = sk, q
+                # salting spreads only the hot-key contribution over more
+                # destinations; the flat component stays put
+                flat, hot = med, need - med
+    if ratio > 0.0:
+        if skew >= 4.0:
+            salt = int(min(opts.n_partitions,
+                           max(2 * opts.join_salt,
+                               1 << int(np.ceil(np.log2(
+                                   min(skew, opts.n_partitions)))))))
+            projected = flat + hot * opts.join_salt / salt
+            headroom = opts.quota_headroom * max(
+                1.2, 1.5 * projected / quota_of_skewed)
+        else:
+            headroom = opts.quota_headroom * 1.5 * ratio
+        return dc.replace(opts, quota_headroom=headroom,
+                          max_group_table=opts.max_group_table * 4,
+                          join_salt=salt)
+    # blind escalation: first retry bumps quota; later retries add salt
+    salt = opts.join_salt if attempt == 0 else max(
+        2, min(opts.join_salt * 4, opts.n_partitions))
+    return dc.replace(opts, quota_headroom=opts.quota_headroom * 4,
+                      max_group_table=opts.max_group_table * 4,
+                      join_salt=salt)
 
 
 def execute_distributed(ctx, plan, mesh=None, options: Optional[DistOptions] = None,
@@ -308,18 +398,10 @@ def execute_distributed(ctx, plan, mesh=None, options: Optional[DistOptions] = N
         dplan = planner.plan(plan)
         try:
             return rt.execute(dplan)
-        except ShuffleOverflowError:
+        except ShuffleOverflowError as e:
             if attempt == max_retries - 1:
                 raise
-            import dataclasses as dc
-            # first retry: more quota headroom. If that still overflows the
-            # cause is key skew, not undersized averages — split hot keys
-            # across shards (salted joins) on the next retry.
-            salt = opts.join_salt if attempt == 0 else max(
-                2, min(opts.join_salt * 4, opts.n_partitions))
-            opts = dc.replace(opts, quota_headroom=opts.quota_headroom * 4,
-                              max_group_table=opts.max_group_table * 4,
-                              join_salt=salt)
+            opts = escalate_overflow_opts(opts, e, attempt)
             rt.opts = opts
             log.warning("shuffle overflow; retrying with headroom %.1f, "
                         "join salt %d", opts.quota_headroom, opts.join_salt)

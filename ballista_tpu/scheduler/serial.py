@@ -167,8 +167,9 @@ class SerialRuntime:
             with _TraceCtx() as tc, _PartitionCtx(pid):
                 out = body.evaluate(inputs)
                 counts = jnp.zeros(self.opts.n_partitions, jnp.int32)
+                raw = jnp.zeros(self.opts.n_partitions, jnp.int32)
                 if kind == "exchange":
-                    out, counts, ovf = exchange_send_layout(
+                    out, counts, ovf, raw = exchange_send_layout(
                         out, root._key_idx, root.n_parts, root.quota,
                         root.salt, root.salt_mode)
                     _TraceCtx.record_overflow(ovf)
@@ -180,7 +181,7 @@ class SerialRuntime:
                 rows = (jnp.stack([jnp.asarray(r, jnp.int32)
                                    for _, r in tc.op_rows])
                         if tc.op_rows else jnp.zeros(0, jnp.int32))
-            return out, counts, overflow, rows
+            return out, counts, overflow, rows, raw
 
         return jax.jit(run), leaf_ids, op_labels, kind
 
@@ -224,11 +225,20 @@ class SerialRuntime:
                             inputs[lid] = self._exchange_input(prod, pid, cap)
                         else:
                             inputs[lid] = self._gather_input(prod, cap)
-                out, counts, overflow, rows = fn(jnp.int32(pid), inputs)
+                out, counts, overflow, rows, raw = fn(jnp.int32(pid), inputs)
                 if bool(np.asarray(overflow)):
-                    raise ShuffleOverflowError(
+                    err = ShuffleOverflowError(
                         f"stage {stage.stage_id} partition {pid}: shuffle "
                         "quota exceeded (retry with larger quota_headroom)")
+                    if kind == "exchange":
+                        # shuffle-write stats from the overflowing shard
+                        # (PartitionStats, serde/scheduler/mod.rs:33-100)
+                        err.stats = [{
+                            "quota": quota,
+                            "salt_kind": getattr(stage.root, "salt_kind",
+                                                 None),
+                            "counts": np.asarray(raw)[None, :]}]
+                    raise err
                 sout.shards[pid] = _fetch_shard(out)
                 if kind == "exchange":
                     sout.send_counts[pid] = np.asarray(counts)
@@ -283,14 +293,11 @@ def execute_serial(ctx, plan, n_partitions: int,
         rt = SerialRuntime(ctx, opts, device=device)
         try:
             return rt.execute(dplan)
-        except ShuffleOverflowError:
+        except ShuffleOverflowError as e:
             if attempt == max_retries - 1:
                 raise
-            salt = opts.join_salt if attempt == 0 else max(
-                2, min(opts.join_salt * 4, opts.n_partitions))
-            opts = dc.replace(opts, quota_headroom=opts.quota_headroom * 4,
-                              max_group_table=opts.max_group_table * 4,
-                              join_salt=salt)
+            from .runtime import escalate_overflow_opts
+            opts = escalate_overflow_opts(opts, e, attempt)
             log.warning("serial shuffle overflow; retrying with headroom "
                         "%.1f, join salt %d", opts.quota_headroom,
                         opts.join_salt)

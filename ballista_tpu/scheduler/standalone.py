@@ -104,7 +104,8 @@ class JobContext:
 
         for attempt in range(max_quota_retries):
             stage = self.stage_by_id[stage_id]
-            fn, leaf_ids, op_labels = self.runtime._compile_stage(stage)
+            fn, leaf_ids, op_labels, ex_meta = \
+                self.runtime._compile_stage(stage)
             inputs = {}
             for lid in leaf_ids:
                 src = stage.sources[lid]
@@ -123,7 +124,7 @@ class JobContext:
                         raise KeyError(
                             f"stage {src.name} outputs lost and no spill")
                 inputs[lid] = pb
-            out, overflow, op_rows = fn(inputs)
+            out, overflow, op_rows, ex_counts = fn(inputs)
             if not bool(jnp.any(overflow)):
                 self.outputs[str(stage_id)] = out
                 if self.spiller is not None:
@@ -136,11 +137,17 @@ class JobContext:
             if attempt == max_quota_retries - 1:
                 raise ShuffleOverflowError(
                     f"stage {stage_id} quota exceeded after retries")
-            # re-plan the whole job with more headroom; downstream stages
-            # will pick up the larger capacities (consumer schemas change)
-            opts = dc.replace(self.runtime.opts,
-                              quota_headroom=self.runtime.opts.quota_headroom * 4,
-                              max_group_table=self.runtime.opts.max_group_table * 4)
+            # re-plan the whole job, sizing from the observed shuffle-write
+            # stats when available (PartitionStats analog); downstream
+            # stages pick up the larger capacities (consumer schemas change)
+            from .runtime import escalate_overflow_opts
+            err = ShuffleOverflowError("stats carrier")
+            import numpy as _np
+            counts = _np.asarray(ex_counts)  # (shards, E, P)
+            err.stats = [
+                {"quota": q, "salt_kind": kind, "counts": counts[:, e, :]}
+                for e, (q, kind) in enumerate(ex_meta)] if ex_meta else None
+            opts = escalate_overflow_opts(self.runtime.opts, err, attempt)
             self.runtime.opts = opts
             planner = DistributedPlanner(self.ctx, opts)
             self.dplan = planner.plan(self.logical_plan)

@@ -77,3 +77,51 @@ def test_salted_left_outer(env):
     got = B.to_pandas(batch, schema)
     assert int(got["c"][0]) == len(f)
     assert int(got["cw"][0]) == int((f.k < 100).sum())
+
+
+def test_stats_driven_retry_converges_in_one(env):
+    """Shuffle-write stats (PartitionStats, reference
+    serde/scheduler/mod.rs:33-100) must pick salt+quota from the observed
+    per-destination counts so a skewed join converges on the FIRST retry —
+    blind quota->salt escalation needed three attempts on this shape."""
+    ctx, f, d, mesh = env
+    opts = DistOptions(n_partitions=8, broadcast_threshold=0, min_quota=16,
+                       quota_headroom=1.05)
+    batch, schema = execute_distributed(ctx, ctx.sql(SQL).plan, mesh, opts,
+                                        max_retries=2)
+    got = B.to_pandas(batch, schema)
+    exp = _expected(f, d)
+    assert list(got["k"]) == list(exp["k"])
+    assert list(got["s"]) == list(exp["s"])
+
+
+def test_escalate_policy_unit():
+    import numpy as np
+
+    from ballista_tpu.scheduler.runtime import (ShuffleOverflowError,
+                                                escalate_overflow_opts)
+
+    opts = DistOptions(n_partitions=8, quota_headroom=2.0, join_salt=1)
+
+    # hot-key skew on a saltable exchange: salt goes up, headroom stays sane
+    err = ShuffleOverflowError("x")
+    counts = np.full((8, 8), 10.0)
+    counts[:, 3] = 500.0
+    err.stats = [{"quota": 64, "salt_kind": "spread", "counts": counts}]
+    out = escalate_overflow_opts(opts, err, 0)
+    assert out.join_salt >= 4
+    assert out.quota_headroom < opts.quota_headroom * 4  # not blind x4
+
+    # flat undersize: quota scales by the observed ratio, no salting
+    err2 = ShuffleOverflowError("x")
+    err2.stats = [{"quota": 64, "salt_kind": None,
+                   "counts": np.full((8, 8), 150.0)}]
+    out2 = escalate_overflow_opts(opts, err2, 0)
+    assert out2.join_salt == 1
+    assert out2.quota_headroom == pytest.approx(2.0 * 1.5 * 150.0 / 64.0)
+
+    # no stats (group-table overflow): blind escalation preserved
+    err3 = ShuffleOverflowError("x")
+    out3 = escalate_overflow_opts(opts, err3, 1)
+    assert out3.quota_headroom == pytest.approx(8.0)
+    assert out3.join_salt >= 2
