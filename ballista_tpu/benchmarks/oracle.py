@@ -397,8 +397,12 @@ def diff_frames(got: pd.DataFrame, exp: pd.DataFrame,
                 if list(pd.to_datetime(g)) != list(e):
                     return f"col {gcol}: datetime mismatch"
             else:
-                if list(g) != list(e):
-                    return f"col {gcol}: value mismatch"
+                gl, el = list(g), list(e)
+                if gl != el:
+                    bad = [i for i, (a, b) in enumerate(zip(gl, el)) if a != b]
+                    i = bad[0]
+                    return (f"col {gcol}: value mismatch at {len(bad)} rows, "
+                            f"first row {i}: got {gl[i]!r} exp {el[i]!r}")
         except AssertionError as err:
             return f"col {gcol}: {str(err).splitlines()[-1][:120]}"
     return None

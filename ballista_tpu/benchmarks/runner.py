@@ -42,8 +42,6 @@ def run(sf: float, queries, iterations: int, distributed: bool,
     from ..client import SessionContext
     from ..client.context import _rebind_scans
     from ..datagen import generate_tpch, register_tpch
-    from ..exec.plan import compile_stage
-    from ..planner.physical import create_physical_plan
     from .queries import TPCH_QUERIES
 
     # bucket capacities by default: geometric shape tiers hit the
@@ -98,16 +96,15 @@ def run(sf: float, queries, iterations: int, distributed: bool,
                 nrows = int(out.num_rows)
                 out_schema = schema
             else:
-                capacities = {n: tp.capacity for n, tp in ctx.tables.items()}
-                ep = create_physical_plan(plan, capacities, ctx.options)
-                fn, ids = compile_stage(ep)
-                inputs = ctx.bind_inputs(ids)
-                out = fn(inputs)
+                # overflow-converged compile (expanding joins re-size and
+                # retry; compiling without the flag silently clips — q21
+                # at SF>=0.5 gave wrong rows through the old manual path)
+                fn, inputs, ep, out = ctx.converge_compile(plan, pruned=True)
                 nrows = int(out.num_rows)  # drain (compile+warmup)
                 compile_s = time.time() - t0
                 t0 = time.time()
                 for _ in range(iterations):
-                    out = fn(inputs)
+                    out, _overflow = fn(inputs)
                 nrows = int(out.num_rows)
                 per_iter = (time.time() - t0) / iterations
                 out_schema = ep.schema

@@ -392,8 +392,6 @@ class SessionContext:
 
     # -- execution --
     def collect(self, plan: L.LogicalPlan, max_retries: int = 5):
-        import dataclasses as dc
-
         if self._distributed:
             cl = self.cluster()
             job_id = cl.submit_plan(plan)
@@ -403,12 +401,30 @@ class SessionContext:
             return execute_serial(self, plan, self.serial_partitions,
                                   max_retries=max_retries)
 
+        fn, inputs, exec_plan, out = self.converge_compile(
+            plan, max_retries=max_retries)
+        return out, exec_plan.schema
+
+    def converge_compile(self, plan: L.LogicalPlan, max_retries: int = 5,
+                         pruned: bool = False):
+        """Compile with overflow detection and retry until the output fits.
+
+        Returns (fn, inputs, exec_plan, out) where `out` is the first
+        non-overflowing result and `fn(inputs)` -> (batch, overflow_flag)
+        can be re-dispatched (benchmark timing loops). Every capacity-
+        bound program MUST go through this (or the distributed runtime's
+        equivalent): compiling without the overflow flag silently clips
+        expanding joins — found the hard way as a q21 SF1 mismatch."""
+        import dataclasses as dc
+
         capacities = {name: tp.capacity for name, tp in self.tables.items()}
-        # prune FIRST so the rebind ensures (and ingests) only the scanned
-        # columns, then refresh scan schemas with ingest-time dictionaries
-        from ..planner.optimizer import prune_columns
-        plan = prune_columns(plan)
-        plan = _rebind_scans(plan, self)
+        if not pruned:
+            # prune FIRST so the rebind ensures (and ingests) only the
+            # scanned columns, then refresh scan schemas with ingest-time
+            # dictionaries
+            from ..planner.optimizer import prune_columns
+            plan = prune_columns(plan)
+            plan = _rebind_scans(plan, self)
         opts = self.options
         for attempt in range(max_retries):
             exec_plan = create_physical_plan(plan, capacities, opts)
@@ -416,7 +432,7 @@ class SessionContext:
             inputs = self.bind_inputs(input_ids)
             out, overflow = fn(inputs)
             if not bool(overflow):
-                return out, exec_plan.schema
+                return fn, inputs, exec_plan, out
             if attempt == max_retries - 1:
                 # returning the clipped batch would be a silently wrong
                 # answer (found by fuzzing: heavy-expansion joins)

@@ -42,8 +42,6 @@ def bench_engine(data):
     from ballista_tpu.client import SessionContext
     from ballista_tpu.client.context import _rebind_scans
     from ballista_tpu.datagen import register_tpch
-    from ballista_tpu.exec.plan import compile_stage
-    from ballista_tpu.planner.physical import create_physical_plan
 
     ctx = SessionContext(capacity_mode="bucket")
     register_tpch(ctx, SF, data=data)
@@ -51,15 +49,12 @@ def bench_engine(data):
     t0 = time.time()
     from ballista_tpu.planner.optimizer import prune_columns
     plan = _rebind_scans(prune_columns(ctx.sql(TPCH_QUERIES[QUERY]).plan), ctx)
-    capacities = {name: tp.capacity for name, tp in ctx.tables.items()}
-    exec_plan = create_physical_plan(plan, capacities, ctx.options)
-    fn, input_ids = compile_stage(exec_plan)
-    inputs = ctx.bind_inputs(input_ids)
     ingest_s = time.time() - t0
 
-    # warmup/compile (also warms the host<->device transfer path)
+    # warmup/compile (also warms the host<->device transfer path);
+    # overflow-converged so capacity clips can never fake a result
     t0 = time.time()
-    out = fn(inputs)
+    fn, inputs, exec_plan, out = ctx.converge_compile(plan, pruned=True)
     _ = int(out.num_rows)
     compile_s = time.time() - t0
 
@@ -69,7 +64,7 @@ def bench_engine(data):
     K = 10
     t0 = time.time()
     for _ in range(K):
-        out = fn(inputs)
+        out, _overflow = fn(inputs)
     n = int(out.num_rows)
     best = (time.time() - t0) / K
     df = B.to_pandas(out, exec_plan.schema)
