@@ -138,5 +138,108 @@ def parse_prepared_query(payload: bytes) -> bytes:
     return parse_fields(payload)[1][0]
 
 
-def command_get_tables() -> bytes:
-    return pack_any("CommandGetTables", b"")
+def command_get_tables(catalog: Optional[str] = None,
+                       db_schema_filter: Optional[str] = None,
+                       table_name_filter: Optional[str] = None,
+                       table_types: Tuple[str, ...] = (),
+                       include_schema: bool = False) -> bytes:
+    body = b""
+    if catalog is not None:
+        body += _field_bytes(1, catalog.encode())
+    if db_schema_filter is not None:
+        body += _field_bytes(2, db_schema_filter.encode())
+    if table_name_filter is not None:
+        body += _field_bytes(3, table_name_filter.encode())
+    for t in table_types:
+        body += _field_bytes(4, t.encode())
+    if include_schema:
+        body += _field_varint(5, 1)
+    return pack_any("CommandGetTables", body)
+
+
+def parse_get_tables(payload: bytes) -> dict:
+    """-> {catalog, db_schema_filter, table_name_filter, table_types,
+    include_schema} (FlightSql.proto CommandGetTables fields 1-5)."""
+    f = parse_fields(payload)
+    return {
+        "catalog": f[1][0].decode() if 1 in f else None,
+        "db_schema_filter": f[2][0].decode() if 2 in f else None,
+        "table_name_filter": f[3][0].decode() if 3 in f else None,
+        "table_types": tuple(v.decode() for v in f.get(4, [])),
+        "include_schema": bool(f[6][0]) if 6 in f else
+                          bool(f[5][0]) if 5 in f else False,
+    }
+
+
+def command_get_db_schemas(catalog: Optional[str] = None,
+                           db_schema_filter: Optional[str] = None) -> bytes:
+    body = b""
+    if catalog is not None:
+        body += _field_bytes(1, catalog.encode())
+    if db_schema_filter is not None:
+        body += _field_bytes(2, db_schema_filter.encode())
+    return pack_any("CommandGetDbSchemas", body)
+
+
+def parse_get_db_schemas(payload: bytes) -> dict:
+    f = parse_fields(payload)
+    return {"catalog": f[1][0].decode() if 1 in f else None,
+            "db_schema_filter": f[2][0].decode() if 2 in f else None}
+
+
+def command_get_catalogs() -> bytes:
+    return pack_any("CommandGetCatalogs", b"")
+
+
+def command_get_table_types() -> bytes:
+    return pack_any("CommandGetTableTypes", b"")
+
+
+def command_get_sql_info(ids: Tuple[int, ...] = ()) -> bytes:
+    body = b"".join(_field_varint(1, i) for i in ids)
+    return pack_any("CommandGetSqlInfo", body)
+
+
+def parse_get_sql_info(payload: bytes) -> Tuple[int, ...]:
+    f = parse_fields(payload)
+    vals = []
+    for v in f.get(1, []):
+        if isinstance(v, int):
+            vals.append(v)
+        else:  # packed repeated encoding
+            i = 0
+            while i < len(v):
+                x, i = _read_varint(v, i)
+                vals.append(x)
+    return tuple(vals)
+
+
+def command_get_primary_keys(table: str) -> bytes:
+    return pack_any("CommandGetPrimaryKeys", _field_bytes(3, table.encode()))
+
+
+def command_statement_update(query: str) -> bytes:
+    return pack_any("CommandStatementUpdate", _field_bytes(1, query.encode()))
+
+
+def parse_statement_update(payload: bytes) -> str:
+    return parse_fields(payload)[1][0].decode()
+
+
+def command_prepared_statement_update(handle: bytes) -> bytes:
+    return pack_any("CommandPreparedStatementUpdate", _field_bytes(1, handle))
+
+
+def command_prepared_statement_query(handle: bytes) -> bytes:
+    return pack_any("CommandPreparedStatementQuery", _field_bytes(1, handle))
+
+
+def do_put_update_result(record_count: int) -> bytes:
+    """DoPutUpdateResult {1: int64 record_count} — the app_metadata of the
+    PutResult a FlightSQL server returns for statement updates."""
+    return _field_varint(1, record_count)
+
+
+def parse_do_put_update_result(buf: bytes) -> int:
+    f = parse_fields(buf)
+    return f[1][0] if 1 in f else 0

@@ -266,9 +266,59 @@ class DistributedRuntime:
             return {}
 
     def execute(self, dplan: DistributedPlan):
+        """Run the stage DAG with exchange-compute overlap.
+
+        Every stage program is dispatched ASYNCHRONOUSLY: XLA resolves the
+        inter-stage data dependencies on-device (stage outputs feed the
+        next program's inputs without coming to the host), so device
+        compute of stage k overlaps host-side compilation/orchestration of
+        stage k+1 and, through XLA's async collectives, the all_to_all
+        exchange at a stage epilogue overlaps the consumer's independent
+        prologue compute. Overflow flags are fetched in ONE deferred sync
+        after the whole DAG is in flight — downstream stages execute
+        speculatively past the shuffle barrier and the work is discarded
+        on the (rare) quota-overflow retry. The reference overlaps its
+        producer compute with partition writes in the shuffle-write hot
+        loop (shuffle_writer.rs:341-392); here the whole pipeline is
+        overlapped. BALLISTA_STAGE_SYNC=1 restores the per-stage barrier
+        (exact per-stage run_s for profiling)."""
+        import os
+
+        from ..parallel.multihost import host_local_array
+
+        sync = os.environ.get("BALLISTA_STAGE_SYNC") == "1"
         outputs: Dict[str, PartitionedBatch] = {}
         schemas = {}
         self.metrics = {}
+        pending = []  # (stage, metrics, overflow, op_labels, op_rows,
+                      #  ex_meta, ex_counts, out)
+
+        def drain():
+            for stage, m, overflow, op_labels, op_rows, ex_meta, ex_counts, \
+                    out in pending:
+                if op_labels:
+                    totals = host_local_array(op_rows).sum(axis=0)
+                    m.operator_rows = {lbl: int(v) for lbl, v
+                                       in zip(op_labels, totals)}
+                if bool(host_local_array(overflow).any()):
+                    err = ShuffleOverflowError(
+                        f"stage {stage.stage_id}: shuffle quota exceeded "
+                        "(retry with larger quota_headroom)")
+                    # shuffle-write stats (PartitionStats analog,
+                    # serde/scheduler/mod.rs:33-100): per-exchange
+                    # pre-clamp (n_shards, P) destination counts —
+                    # fetched only on the failure path so the happy path
+                    # stays transfer-free
+                    counts = host_local_array(ex_counts)  # (shards, E, P)
+                    err.stats = [
+                        {"quota": q, "salt_kind": kind,
+                         "counts": counts[:, e, :]}
+                        for e, (q, kind) in enumerate(ex_meta)]
+                    raise err
+                m.output_rows = int(host_local_array(out.num_rows).sum())
+                log.debug("stage %d done: %s", stage.stage_id, m.as_dict())
+            pending.clear()
+
         for stage in dplan.stages:
             m = StageMetrics()
             self.metrics[stage.stage_id] = m
@@ -284,31 +334,17 @@ class DistributedRuntime:
                     pb = outputs[src.name]
                 inputs[lid] = pb
             out, overflow, op_rows, ex_counts = fn(inputs)
-            out.num_rows.block_until_ready()
-            m.run_s = time.time() - t0
-            from ..parallel.multihost import host_local_array
-            if op_labels:
-                import numpy as _np
-                totals = host_local_array(op_rows).sum(axis=0)
-                m.operator_rows = {lbl: int(v) for lbl, v
-                                   in zip(op_labels, totals)}
-            if bool(host_local_array(overflow).any()):
-                err = ShuffleOverflowError(
-                    f"stage {stage.stage_id}: shuffle quota exceeded "
-                    "(retry with larger quota_headroom)")
-                # shuffle-write stats (PartitionStats analog,
-                # serde/scheduler/mod.rs:33-100): per-exchange pre-clamp
-                # (n_shards, P) destination counts — fetched only on the
-                # failure path so the happy path stays transfer-free
-                counts = host_local_array(ex_counts)  # (shards, E, P)
-                err.stats = [
-                    {"quota": q, "salt_kind": kind, "counts": counts[:, e, :]}
-                    for e, (q, kind) in enumerate(ex_meta)]
-                raise err
             outputs[str(stage.stage_id)] = out
             schemas[stage.stage_id] = stage.root.schema
-            m.output_rows = int(host_local_array(out.num_rows).sum())
-            log.debug("stage %d done: %s", stage.stage_id, m.as_dict())
+            pending.append((stage, m, overflow, op_labels, op_rows,
+                            ex_meta, ex_counts, out))
+            if sync:
+                out.num_rows.block_until_ready()
+                drain()
+            # dispatch-side time; under the async pipeline device work of
+            # earlier stages is still in flight here
+            m.run_s = time.time() - t0
+        drain()
         final = outputs[str(dplan.final_stage)]
         schema = dplan.final_schema
         return gather_partitions(final, schema), schema

@@ -181,3 +181,114 @@ def test_handshake_bearer_auth():
             bad.authenticate(BadAuth())
     finally:
         srv.shutdown()
+
+
+class TestFlightSqlConformance:
+    """Wire-exact FlightSQL catalog/metadata/do_put flows — the frames an
+    ADBC/JDBC FlightSQL driver sends (flight_sql.rs:644-935 parity)."""
+
+    def test_get_catalogs_and_db_schemas(self, server):
+        from ballista_tpu import flightsql as fsql
+        srv, endpoint = server
+        client = fl.connect(endpoint)
+        info = client.get_flight_info(fl.FlightDescriptor.for_command(
+            fsql.command_get_catalogs()))
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.column("catalog_name").to_pylist() == ["ballista"]
+        info = client.get_flight_info(fl.FlightDescriptor.for_command(
+            fsql.command_get_db_schemas(db_schema_filter="pub%")))
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.column("db_schema_name").to_pylist() == ["public"]
+        # non-matching filter -> empty
+        info = client.get_flight_info(fl.FlightDescriptor.for_command(
+            fsql.command_get_db_schemas(db_schema_filter="nope%")))
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.num_rows == 0
+
+    def test_get_tables_filters_and_schema(self, server):
+        from ballista_tpu import flightsql as fsql
+        srv, endpoint = server
+        client = fl.connect(endpoint)
+        info = client.get_flight_info(fl.FlightDescriptor.for_command(
+            fsql.command_get_tables(table_name_filter="t",
+                                    include_schema=True)))
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.column("table_name").to_pylist() == ["t"]
+        assert t.column("table_type").to_pylist() == ["TABLE"]
+        # table_schema column holds an IPC-serialized Arrow schema
+        schema_bytes = t.column("table_schema")[0].as_py()
+        schema = pa.ipc.read_schema(pa.BufferReader(schema_bytes))
+        assert "g" in schema.names and "v" in schema.names
+        # type filter excluding TABLE -> empty
+        info = client.get_flight_info(fl.FlightDescriptor.for_command(
+            fsql.command_get_tables(table_types=("VIEW",))))
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.num_rows == 0
+
+    def test_get_table_types_and_sql_info(self, server):
+        from ballista_tpu import flightsql as fsql
+        srv, endpoint = server
+        client = fl.connect(endpoint)
+        info = client.get_flight_info(fl.FlightDescriptor.for_command(
+            fsql.command_get_table_types()))
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.column("table_type").to_pylist() == ["TABLE"]
+        info = client.get_flight_info(fl.FlightDescriptor.for_command(
+            fsql.command_get_sql_info((0, 3))))
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.column("info_name").to_pylist() == [0, 3]
+        vals = t.column("value")
+        assert vals[0].as_py() == "ballista-tpu"   # server name
+        assert vals[1].as_py() is True             # read-only
+
+    def test_get_primary_keys_empty(self, server):
+        from ballista_tpu import flightsql as fsql
+        srv, endpoint = server
+        client = fl.connect(endpoint)
+        info = client.get_flight_info(fl.FlightDescriptor.for_command(
+            fsql.command_get_primary_keys("t")))
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.num_rows == 0
+        assert "key_sequence" in t.schema.names
+
+    def test_prepared_statement_param_binding(self, server):
+        from ballista_tpu import flightsql as fsql
+        srv, endpoint = server
+        client = fl.connect(endpoint)
+        res = list(client.do_action(fl.Action(
+            "CreatePreparedStatement",
+            fsql.pack_any("ActionCreatePreparedStatementRequest",
+                          fsql._field_bytes(
+                              1, b"select g, v from t where v >= ? "
+                                 b"and g = ? order by v")))))
+        handle = fsql.parse_prepared_query(
+            fsql.unpack_any(res[0].body.to_pybytes())[1])
+        # bind (2, 'a') via do_put — the JDBC driver's setX path
+        params = pa.table({"p1": pa.array([2], pa.int64()),
+                           "p2": pa.array(["a"])})
+        desc = fl.FlightDescriptor.for_command(
+            fsql.command_prepared_statement_query(handle))
+        writer, reader = client.do_put(desc, params.schema)
+        writer.write_table(params)
+        writer.done_writing()
+        reader.read()  # server echoes the handle
+        writer.close()
+        info = client.get_flight_info(desc)
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.column("g").to_pylist() == ["a"]
+        assert t.column("v").to_pylist() == [2]
+
+    def test_statement_update_ctas(self, server):
+        from ballista_tpu import flightsql as fsql
+        srv, endpoint = server
+        client = fl.connect(endpoint)
+        desc = fl.FlightDescriptor.for_command(fsql.command_statement_update(
+            "create table t2 as select g, v from t where v > 1"))
+        writer, reader = client.do_put(
+            desc, pa.schema([]))
+        writer.done_writing()
+        buf = reader.read()  # PutResult app_metadata buffer
+        assert fsql.parse_do_put_update_result(buf.to_pybytes()) == 2
+        writer.close()
+        t = flight_query(endpoint, "select count(*) as n from t2")
+        assert t.column("n").to_pylist() == [2]
