@@ -203,6 +203,13 @@ def ingest_column_host(arr, f, n: int, dictionaries: dict | None = None):
     import pyarrow.compute as pc
 
     if isinstance(arr, pa.ChunkedArray):
+        if (arr.num_chunks and pa.types.is_string(arr.type)
+                and arr.nbytes >= (1 << 31) - (1 << 24)):
+            # int32 offsets overflow when a combined string column nears
+            # 2 GiB (SF10 l_comment is ~2.2 GiB): widen to large_string
+            # first; every downstream consumer (fill_null, take,
+            # np.asarray to object) handles 64-bit offsets
+            arr = arr.cast(pa.large_string())
         arr = arr.combine_chunks() if arr.num_chunks else pa.array([], type=arr.type)
     validity = np.ones(n, dtype=bool)
     if arr.null_count:

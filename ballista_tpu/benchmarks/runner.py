@@ -35,7 +35,8 @@ def _enable_compile_cache():
 
 def run(sf: float, queries, iterations: int, distributed: bool,
         lazy_ingest: bool = False, verify: bool = False,
-        capacity_mode: str = "bucket"):
+        capacity_mode: str = "bucket", tbl_dir: str = None,
+        expected: str = None):
     import jax
     _enable_compile_cache()
     from .. import batch as B
@@ -49,13 +50,23 @@ def run(sf: float, queries, iterations: int, distributed: bool,
     # programs shared between close row counts (VERDICT r1 item 3)
     ctx = SessionContext(capacity_mode=capacity_mode)
     t0 = time.time()
-    data = generate_tpch(sf)
-    register_tpch(ctx, sf, data=data)
-    print(f"# datagen {time.time() - t0:.1f}s", file=sys.stderr)
+    data = None
+    if tbl_dir:
+        # dbgen-format ingest (tpch.rs convert-tpch parity): point at a
+        # directory of real dbgen .tbl files for the reference diff
+        from ..datagen.tbl import register_tpch_tbl
+        register_tpch_tbl(ctx, tbl_dir)
+        print(f"# tbl ingest {time.time() - t0:.1f}s", file=sys.stderr)
+    else:
+        data = generate_tpch(sf)
+        register_tpch(ctx, sf, data=data)
+        print(f"# datagen {time.time() - t0:.1f}s", file=sys.stderr)
 
     pdt = None
-    if verify:
+    if verify and not expected:
         from .oracle import ORACLES, to_pd
+        if data is None:
+            data = {n: ctx.tables[n].arrow_table for n in ctx.tables}
         t0 = time.time()
         pdt = to_pd(data)
         print(f"# oracle tables {time.time() - t0:.1f}s", file=sys.stderr)
@@ -111,7 +122,16 @@ def run(sf: float, queries, iterations: int, distributed: bool,
             results[q] = {"ms": round(per_iter * 1000, 1),
                           "compile_s": round(compile_s, 1), "rows": nrows}
             extra = ""
-            if verify:
+            if expected:
+                # exact diff vs captured answer files (tpch.rs
+                # --expected-results, benchmarks/src/bin/tpch.rs:421-422)
+                from ..datagen.tbl import diff_expected
+                got = B.to_pandas(out, out_schema)
+                mismatch = diff_expected(got, expected, q)
+                results[q]["match"] = not mismatch
+                extra = (f"  MISMATCH: {mismatch}" if mismatch
+                         else "  [== expected]")
+            elif verify:
                 from .oracle import ORACLES, diff_frames
                 got = B.to_pandas(out, out_schema)
                 t0 = time.time()
@@ -246,6 +266,12 @@ def main(argv=None):
                     help="skip the eager table-ingest warm pass")
     ap.add_argument("--isolate", type=int, default=None, metavar="SECONDS",
                     help="run each query in a subprocess with this timeout")
+    ap.add_argument("--tbl-dir", default=None,
+                    help="ingest dbgen .tbl files from this directory "
+                         "instead of the native datagen")
+    ap.add_argument("--expected", default=None, metavar="DIR",
+                    help="EXACT-diff results vs DIR/answers/q{n}.out "
+                         "(tpch.rs --expected-results parity)")
     ap.add_argument("--verify", action="store_true",
                     help="diff results against the pandas oracle and "
                          "record its per-query time as the baseline")
@@ -266,7 +292,8 @@ def main(argv=None):
     else:
         run(args.sf, queries, args.iterations, args.distributed,
             lazy_ingest=args.lazy_ingest, verify=args.verify,
-            capacity_mode=args.capacity_mode)
+            capacity_mode=args.capacity_mode, tbl_dir=args.tbl_dir,
+            expected=args.expected)
 
 
 if __name__ == "__main__":

@@ -1259,6 +1259,7 @@ def _timed_piece(fn, label: str, key: str, inputs, timing: bool):
     per-operator profiler."""
     if not timing:
         return fn(inputs)
+    import os
     import sys
     import time
     out = fn(inputs)  # compile + warm
@@ -1269,7 +1270,20 @@ def _timed_piece(fn, label: str, key: str, inputs, timing: bool):
         out = fn(inputs)
     n = int(out[0].num_rows)
     ms = (time.time() - t0) / K * 1000
-    print(f"# piece {key:10s} {label:20s} {ms:9.2f} ms  ({n} rows)",
+    # roofline accounting: a relational piece is HBM-bandwidth-bound
+    # (gathers/sorts/masked reduces, little MXU) — floor of bytes moved is
+    # every input read once + every output written once; compare against
+    # the chip's HBM roofline (v5e 819 GB/s; override via
+    # BALLISTA_HBM_GBPS). The reference keeps per-operator byte counters
+    # the same way (ShuffleWriteMetrics, shuffle_writer.rs:139-163).
+    leaves = jax.tree_util.tree_leaves(inputs) + jax.tree_util.tree_leaves(out)
+    nbytes = sum(a.size * a.dtype.itemsize for a in leaves
+                 if hasattr(a, "dtype"))
+    gbps = nbytes / 2**30 / (ms / 1000) if ms > 0 else 0.0
+    roof = float(os.environ.get("BALLISTA_HBM_GBPS", "819"))
+    print(f"# piece {key:10s} {label:20s} {ms:9.2f} ms  ({n} rows, "
+          f"{nbytes / 2**20:8.1f} MiB, {gbps:7.1f} GiB/s, "
+          f"{100 * gbps / roof:5.1f}% roofline)",
           file=sys.stderr, flush=True)
     return out
 
