@@ -119,14 +119,38 @@ def create_physical_plan(plan: L.LogicalPlan,
                 return InputLeaf(iid, p.table_schema.select(p.projection),
                                  cap)
             return InputLeaf(p.table_name, p.table_schema, cap)
+        def lower_filtered_cross(join, predicate):
+            """Theta join over a too-large cross product: fuse the
+            residual predicate into a chunked nested-loop join instead of
+            materializing the product. Returns None if the product is
+            small enough for CrossJoinExec (caller applies the filter)."""
+            from ..exec.plan import (CrossJoinExec, NestedLoopJoinExec,
+                                     _static_one_row)
+            b, pr = lower(join.left), lower(join.right)
+            if (b.capacity * pr.capacity > CrossJoinExec.MAX_CELLS
+                    and not _static_one_row(b)
+                    and not _static_one_row(pr)):
+                return NestedLoopJoinExec(b, pr, predicate, opts)
+            return FilterExec(CrossJoinExec(b, pr), predicate)
+
         if isinstance(p, L.Filter):
+            if isinstance(p.input, L.Join) and p.input.how == "cross":
+                return lower_filtered_cross(p.input, p.predicate)
             return FilterExec(lower(p.input), p.predicate)
         if isinstance(p, L.Projection):
             return ProjectExec(lower(p.input), list(p.exprs),
                                names=list(p.names) if p.names else None)
         if isinstance(p, L.Aggregate):
             inp, pred = _strip_filters(p.input)
-            child = lower(inp)
+            if pred is not None and isinstance(inp, L.Join) \
+                    and inp.how == "cross":
+                # the stripped WHERE is the theta predicate of a cross
+                # join: route through the same NLJ-or-cross lowering the
+                # Filter branch uses instead of exposing a bare product
+                child = lower_filtered_cross(inp, pred)
+                pred = None
+            else:
+                child = lower(inp)
             T = opts.group_table_hint or min(
                 _next_pow2(max(2 * child.capacity, 16)), opts.max_group_table)
             return HashAggregateExec(child, list(p.group_exprs), list(p.aggs),
