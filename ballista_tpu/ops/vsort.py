@@ -98,6 +98,15 @@ def _pack_columns(cols):
     return operands, unpack
 
 
+def pack_columns(cols):
+    """Public alias of `_pack_columns` for pipelines that keep the packed
+    representation alive across several data movements (the shuffle rides
+    packed limbs through sort -> slot gather -> all_to_all -> receive
+    compaction and unpacks ONCE at the end — ~4x fewer gathers and ~2-3x
+    fewer collectives than moving per-column data+validity arrays)."""
+    return _pack_columns(cols)
+
+
 def sort_batch_columns(keys: Sequence[jax.Array], batch: Batch,
                        extra: Sequence[jax.Array] = (),
                        is_stable: bool = True):

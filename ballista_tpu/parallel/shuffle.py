@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from ..batch import Batch, Column, row_mask
-from ..ops.compact import compaction_perm, gather_batch
 from ..ops.hash import hash_columns
 from .mesh import PARTITION_AXIS
 
@@ -59,53 +58,54 @@ def shuffle_dest(batch: Batch, key_indices: Sequence[int], n_parts: int,
     return jnp.where(live, dest, n_parts), live
 
 
-def _replicate_batch(batch: Batch, salt: int) -> Tuple[Batch, jax.Array]:
-    """Expand each row into `salt` consecutive replicas; returns the
-    expanded batch and each expanded row's replica id."""
-    cap = batch.capacity
-    j = jnp.arange(cap * salt, dtype=jnp.int32)
-    orig = j // salt
-    sub = (j % salt).astype(jnp.uint32)
-    cols = [Column(jnp.take(c.data, orig), jnp.take(c.validity, orig))
-            for c in batch.columns]
-    return Batch(tuple(cols), batch.num_rows * salt), sub
+def _send_layout_packed(batch: Batch, key_indices: Sequence[int],
+                        n_parts: int, quota: int,
+                        salt: int = 1, salt_mode: str | None = None):
+    """The device half of a shuffle write (ShuffleWriterExec hash path) on
+    the PACKED representation: group rows by destination into a
+    (P*quota)-slot send buffer of int64 limb operands (ops/vsort
+    pack_columns). Keeping the limbs alive across the whole exchange
+    (sort -> slot gather -> all_to_all -> receive compaction) moves ~4x
+    fewer arrays per step than per-column data+validity movement.
 
+    Returns (send_ops, unpack, slot_live, send_counts, overflow, counts):
+    send-op rows [d*quota, d*quota+send_counts[d]) are the rows destined
+    to partition d; slot_live masks the real slots. `counts` is the
+    PRE-CLAMP per-destination row count — the shuffle-write stats that
+    drive quota/salt selection on overflow retry (the reference's
+    PartitionStats idea, serde/scheduler/mod.rs:33-100)."""
+    from ..ops.vsort import pack_columns
 
-def exchange_send_layout(batch: Batch, key_indices: Sequence[int],
-                         n_parts: int, quota: int,
-                         salt: int = 1, salt_mode: str | None = None):
-    """The device half of a shuffle write (ShuffleWriterExec hash path):
-    group rows by destination into a (P*quota)-slot send buffer.
-
-    Returns (send_batch, send_counts, overflow, counts): send_batch rows
-    [d*quota, d*quota+send_counts[d]) are the rows destined to partition
-    d; invalid slots are validity-masked. `counts` is the PRE-CLAMP
-    per-destination row count — the shuffle-write stats that drive
-    quota/salt selection on overflow retry (the reference's
-    PartitionStats idea, serde/scheduler/mod.rs:33-100). The mesh runtime
-    all_to_alls the buffer; the serial (out-of-core) runtime exchanges it
-    host-side.
-    """
     P = n_parts
     if salt > 1 and salt_mode == "replicate":
         keys = [batch.columns[i] for i in key_indices]
         h = hash_columns(tuple(k.data for k in keys),
                          tuple(k.validity for k in keys), seed=SHUFFLE_SEED)
         live0 = row_mask(batch)
-        batch, sub = _replicate_batch(batch, salt)
-        h = jnp.take(h, jnp.arange(batch.capacity, dtype=jnp.int32) // salt)
-        live = jnp.take(live0, jnp.arange(batch.capacity, dtype=jnp.int32) // salt)
+        cap0 = batch.capacity
+        packed0, unpack = pack_columns(batch.columns)
+        # replicate on the packed limbs: one gather per limb instead of
+        # data+validity gathers per column
+        j = jnp.arange(cap0 * salt, dtype=jnp.int32)
+        orig = j // salt
+        sub = (j % salt).astype(jnp.uint32)
+        packed = [jnp.take(op, orig) for op in packed0]
+        h = jnp.take(h, orig)
+        live = jnp.take(live0, orig)
         dest = ((h * jnp.uint32(salt) + sub) % jnp.uint32(P)).astype(jnp.int32)
         dest = jnp.where(live, dest, P)
+        cap = cap0 * salt
     else:
         dest, live = shuffle_dest(batch, key_indices, P, salt, salt_mode)
-    cap = batch.capacity
+        packed, unpack = pack_columns(batch.columns)
+        cap = batch.capacity
 
-    # group rows by destination: ONE variadic sort moves every column with
-    # the dest key (ops/vsort.py — gathering via an argsort permutation is
+    # group rows by destination: ONE single-key sort moves every packed
+    # limb with the dest key (gathering via an argsort permutation is
     # 6-8x slower than sorting payloads alongside the key on TPU)
-    from ..ops.vsort import sort_batch_columns
-    sorted_batch, _, (sorted_dest,) = sort_batch_columns((dest,), batch)
+    sorted_ops = jax.lax.sort((dest,) + tuple(packed), num_keys=1,
+                              is_stable=True)
+    sorted_dest = sorted_ops[0]
     # per-dest counts without scatter: counts[d] = searchsorted diff over
     # the sorted destinations (scatter costs ~0.5s/6M rows on v5e)
     dests = jnp.arange(P + 1, dtype=jnp.int32)
@@ -123,12 +123,23 @@ def exchange_send_layout(batch: Batch, key_indices: Sequence[int],
     src = jnp.take(offsets, d_of) + k_of
     slot_live = k_of < jnp.take(send_counts, d_of)
     src = jnp.clip(src, 0, cap - 1)
-    send_cols = []
-    for c in sorted_batch.columns:
-        send_cols.append(Column(jnp.take(c.data, src),
-                                jnp.take(c.validity, src) & slot_live))
+    send_ops = tuple(jnp.take(op, src) for op in sorted_ops[1:])
+    return send_ops, unpack, slot_live, send_counts, overflow, counts
+
+
+def exchange_send_layout(batch: Batch, key_indices: Sequence[int],
+                         n_parts: int, quota: int,
+                         salt: int = 1, salt_mode: str | None = None):
+    """Batch-level send layout (the serial out-of-core runtime's host-side
+    exchange): unpacks the packed layout once. The mesh runtime keeps the
+    packed form through the collectives (hash_partition_exchange)."""
+    send_ops, unpack, slot_live, send_counts, overflow, counts = \
+        _send_layout_packed(batch, key_indices, n_parts, quota, salt,
+                            salt_mode)
+    cols = tuple(Column(c.data, c.validity & slot_live)
+                 for c in unpack(send_ops))
     total = jnp.sum(send_counts).astype(jnp.int32)
-    return Batch(tuple(send_cols), total), send_counts, overflow, counts
+    return Batch(cols, total), send_counts, overflow, counts
 
 
 def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
@@ -142,41 +153,49 @@ def hash_partition_exchange(batch: Batch, key_indices: Sequence[int],
     dropped — caller must retry with a larger quota).
     """
     P = n_parts
-    send_batch, send_counts, overflow, counts = exchange_send_layout(
-        batch, key_indices, P, quota, salt, salt_mode)
-    quota = send_batch.capacity // P
+    send_ops, unpack, _slot_live, send_counts, overflow, counts = \
+        _send_layout_packed(batch, key_indices, P, quota, salt, salt_mode)
 
-    out_cols = []
+    # the collectives ride the packed limbs: one all_to_all per int64
+    # operand instead of one per column data + one per validity
     recv_counts = jax.lax.all_to_all(
         send_counts, axis_name, split_axis=0, concat_axis=0, tiled=True)
-    for c in send_batch.columns:
-        recv_d = jax.lax.all_to_all(c.data, axis_name, 0, 0, tiled=True)
-        recv_v = jax.lax.all_to_all(c.validity, axis_name, 0, 0, tiled=True)
-        out_cols.append(Column(recv_d, recv_v))
+    recv_ops = tuple(jax.lax.all_to_all(op, axis_name, 0, 0, tiled=True)
+                     for op in send_ops)
 
-    # compact received runs: row j of sender-chunk k is live iff j < recv_counts[k]
+    # compact received runs (row j of sender-chunk k is live iff
+    # j % quota < recv_counts[k]) with ONE packed single-key sort; unpack
+    # once at the very end
     j = jnp.arange(P * quota, dtype=jnp.int32)
     keep = (j % quota) < jnp.take(recv_counts, j // quota)
-    from ..ops.vsort import compact_batch
     total = jnp.sum(keep).astype(jnp.int32)
-    return compact_batch(Batch(tuple(out_cols), total), keep), overflow, counts
+    sorted_ops = jax.lax.sort(((~keep).astype(jnp.int32),) + recv_ops,
+                              num_keys=1, is_stable=True)
+    live = jnp.arange(P * quota, dtype=jnp.int32) < total
+    cols = tuple(Column(c.data, c.validity & live)
+                 for c in unpack(sorted_ops[1:]))
+    return Batch(cols, total), overflow, counts
 
 
 def all_gather_batch(batch: Batch, n_parts: int,
                      axis_name: str = PARTITION_AXIS) -> Batch:
     """Inside shard_map: gather every shard's rows onto every shard
     (Ballista CoalescePartitionsExec analog for the final merge stage).
-    Output capacity = n_parts * capacity."""
-    from ..ops.vsort import compact_batch
+    Output capacity = n_parts * capacity. Rides the packed limbs: one
+    all_gather per int64 operand, one packed compaction sort, one unpack."""
+    from ..ops.vsort import pack_columns
 
     cap = batch.capacity
     nrows = jax.lax.all_gather(batch.num_rows, axis_name)  # (P,)
-    cols = []
+    packed, unpack = pack_columns(batch.columns)
+    gathered = tuple(jax.lax.all_gather(op, axis_name, tiled=True)
+                     for op in packed)
     j = jnp.arange(n_parts * cap, dtype=jnp.int32)
     keep = (j % cap) < jnp.take(nrows, j // cap)
-    for c in batch.columns:
-        d = jax.lax.all_gather(c.data, axis_name, tiled=True)
-        v = jax.lax.all_gather(c.validity, axis_name, tiled=True)
-        cols.append(Column(d, v & keep))
     total = jnp.sum(nrows).astype(jnp.int32)
-    return compact_batch(Batch(tuple(cols), total), keep)
+    sorted_ops = jax.lax.sort(((~keep).astype(jnp.int32),) + gathered,
+                              num_keys=1, is_stable=True)
+    live = j < total
+    cols = tuple(Column(c.data, c.validity & live)
+                 for c in unpack(sorted_ops[1:]))
+    return Batch(cols, total)

@@ -237,7 +237,8 @@ class KeyValueJobStore:
         self.store = store
 
     def save_job(self, graph: ExecutionGraph, plan_json: Optional[str] = None):
-        doc = {"graph": graph.to_dict()}
+        from ..serde.plans import WIRE_VERSION
+        doc = {"@wire": WIRE_VERSION, "graph": graph.to_dict()}
         if plan_json is None:
             prev = self.get_job(graph.job_id)
             plan_json = prev.get("plan") if prev else None

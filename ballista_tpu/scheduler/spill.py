@@ -8,8 +8,11 @@ Arrow IPC file per stage under `work_dir/<job_id>/stage_<id>.arrow`
 (the reference's shuffle-file layout, `shuffle_writer.rs` path scheme);
 restore re-feeds the mesh without re-running the producer chain.
 
-Point `work_dir` at NFS/FUSE-mounted object storage for the GCS-upload
-behavior; the IO layer is identical.
+`work_dir` is an object-store URL resolved through the
+ObjectStoreRegistry (utils/object_store.py — the reference's
+BallistaObjectStoreRegistry, core/src/utils.rs:91): a plain path or
+file:// URL spills to local disk, mem:// to the in-process store, and a
+registered cloud scheme uploads like the reference's Replicator.
 """
 
 from __future__ import annotations
@@ -27,14 +30,15 @@ from ..batch import Column
 
 
 class StageSpiller:
-    def __init__(self, work_dir: str):
+    def __init__(self, work_dir: str, registry=None):
+        from ..utils.object_store import DEFAULT_REGISTRY
         self.work_dir = work_dir
-        os.makedirs(work_dir, exist_ok=True)
+        self.store, self._prefix = \
+            (registry or DEFAULT_REGISTRY).resolve(work_dir)
 
-    def _path(self, job_id: str, stage_id: int) -> str:
-        d = os.path.join(self.work_dir, job_id)
-        os.makedirs(d, exist_ok=True)
-        return os.path.join(d, f"stage_{stage_id}.arrow")
+    def _key(self, job_id: str, stage_id: int) -> str:
+        base = f"{job_id}/stage_{stage_id}.arrow"
+        return f"{self._prefix}/{base}" if self._prefix else base
 
     def spill(self, job_id: str, stage_id: int, pb: PartitionedBatch):
         """Persist a stage's sharded output: per-column (P, cap) data +
@@ -50,21 +54,20 @@ class StageSpiller:
                 b"ncols": str(len(pb.columns)).encode(),
                 b"num_rows": ",".join(map(str, nrows)).encode()}
         table = table.replace_schema_metadata(meta)
-        tmp = self._path(job_id, stage_id) + ".tmp"
-        with pa.OSFile(tmp, "wb") as f:
-            with pa.ipc.new_file(f, table.schema) as w:
-                w.write_table(table)
-        os.replace(tmp, self._path(job_id, stage_id))
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_file(sink, table.schema) as w:
+            w.write_table(table)
+        self.store.put(self._key(job_id, stage_id),
+                       sink.getvalue().to_pybytes())
 
     def restore(self, job_id: str, stage_id: int,
                 mesh=None) -> Optional[PartitionedBatch]:
         """Reload a spilled stage output onto the mesh (the object-store
         fallback read, shuffle_reader.rs:787-858)."""
-        path = self._path(job_id, stage_id)
-        if not os.path.exists(path):
+        blob = self.store.get(self._key(job_id, stage_id))
+        if blob is None:
             return None
-        with pa.OSFile(path, "rb") as f:
-            table = pa.ipc.open_file(f).read_all()
+        table = pa.ipc.open_file(pa.BufferReader(blob)).read_all()
         meta = table.schema.metadata
         P = int(meta[b"P"])
         cap = int(meta[b"cap"])
@@ -92,39 +95,32 @@ class StageSpiller:
 
     def clean_job(self, job_id: str):
         """RemoveJobData parity (executor_server.rs:1210): delete a job's
-        spilled files."""
-        import shutil
-        d = os.path.join(self.work_dir, job_id)
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        spilled objects."""
+        prefix = f"{self._prefix}/{job_id}/" if self._prefix \
+            else f"{job_id}/"
+        for key in list(self.store.list(prefix)):
+            self.store.delete(key)
 
     def clean_expired(self, ttl_seconds: float = 7 * 24 * 3600) -> list:
         """Shuffle-data TTL cleaner parity (clean_shuffle_data_loop,
         executor_process.rs:503; default TTL 7 days): remove job spill
         directories whose newest file is older than the TTL. Returns the
         removed job ids."""
-        import shutil
         import time
-        removed = []
         now = time.time()
-        for job_id in list(os.listdir(self.work_dir)):
-            d = os.path.join(self.work_dir, job_id)
-            if not os.path.isdir(d):
-                continue
-            try:
-                newest = max((os.path.getmtime(os.path.join(d, f))
-                              for f in os.listdir(d)), default=0)
-            except OSError:
-                continue
-            if now - newest > ttl_seconds:
-                shutil.rmtree(d, ignore_errors=True)
-                removed.append(job_id)
+        newest: dict = {}
+        for key in list(self.store.list(self._prefix)):
+            rel = key[len(self._prefix):].lstrip("/") if self._prefix \
+                else key
+            job_id = rel.split("/", 1)[0]
+            m = self.store.mtime(key) or 0
+            newest[job_id] = max(newest.get(job_id, 0), m)
+        removed = [j for j, m in newest.items() if now - m > ttl_seconds]
+        for j in removed:
+            self.clean_job(j)
         return removed
 
     def clean_all(self):
         """Full cleanup on shutdown (executor_process.rs:542)."""
-        import shutil
-        for job_id in list(os.listdir(self.work_dir)):
-            d = os.path.join(self.work_dir, job_id)
-            if os.path.isdir(d):
-                shutil.rmtree(d, ignore_errors=True)
+        for key in list(self.store.list(self._prefix)):
+            self.store.delete(key)

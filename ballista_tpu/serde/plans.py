@@ -146,9 +146,39 @@ def decode_plan(d: dict) -> L.LogicalPlan:
     return cls(**kwargs)
 
 
+# Wire-format version (the reference guards cross-version decode with the
+# executor's ExecutorSpecification.version + rustc-version plugin checks;
+# recover_jobs + the sqlite job store imply cross-process/cross-restart
+# decode here). Bump on any breaking change to the encoded plan/graph
+# shape; decoders reject mismatches with an actionable error instead of
+# failing deep inside field decoding.
+WIRE_VERSION = 1
+
+
+class WireVersionError(ValueError):
+    pass
+
+
+def check_wire_version(doc: dict, what: str = "document"):
+    """Raise if `doc` was encoded under a different WIRE_VERSION.
+    Documents without a tag predate versioning and are rejected too."""
+    v = doc.get("@wire")
+    if v != WIRE_VERSION:
+        raise WireVersionError(
+            f"{what} encoded under wire version {v!r}; this build reads "
+            f"version {WIRE_VERSION} — re-submit the job (persisted state "
+            "from other versions is not decodable)")
+
+
 def plan_to_json(p: L.LogicalPlan) -> str:
-    return json.dumps(encode_plan(p))
+    doc = encode_plan(p)
+    doc["@wire"] = WIRE_VERSION
+    return json.dumps(doc)
 
 
 def plan_from_json(s: str) -> L.LogicalPlan:
-    return decode_plan(json.loads(s))
+    doc = json.loads(s)
+    if "@wire" in doc:
+        check_wire_version(doc, "plan")
+        doc = {k: v for k, v in doc.items() if k != "@wire"}
+    return decode_plan(doc)

@@ -38,3 +38,42 @@ def test_dot_outputs(ctx):
     ddot = distributed_plan_dot(dp)
     assert "cluster_0" in ddot and "shuffle" in ddot
     assert ddot.count("subgraph") == len(dp.stages)
+
+
+def test_wire_version_guard():
+    """Persisted state from another wire version is rejected up front
+    (cross-version decode guard for recover_jobs + sqlite job store)."""
+    import json
+
+    import pytest
+
+    from ballista_tpu.serde.plans import (WIRE_VERSION, WireVersionError,
+                                          plan_from_json, plan_to_json)
+    from ballista_tpu.planner import logical as L
+    from ballista_tpu.schema import DataType, Field, Schema, TypeKind
+
+    schema = Schema([Field("x", DataType(TypeKind.INT64))])
+    plan = L.TableScan("t", schema, None)
+    s = plan_to_json(plan)
+    assert json.loads(s)["@wire"] == WIRE_VERSION
+    assert isinstance(plan_from_json(s), L.TableScan)
+    doc = json.loads(s)
+    doc["@wire"] = WIRE_VERSION + 1
+    with pytest.raises(WireVersionError):
+        plan_from_json(json.dumps(doc))
+
+
+def test_job_store_version_guard(tmp_path):
+    import json
+
+    import pytest
+
+    from ballista_tpu.scheduler.job_store import FileJobStore, recover_graphs
+    from ballista_tpu.serde.plans import WireVersionError
+
+    store = FileJobStore(str(tmp_path))
+    # fabricate a stale-version persisted job
+    with open(tmp_path / "zzz9999.json", "w") as f:
+        json.dump({"@wire": 999, "graph": {}}, f)
+    with pytest.raises(WireVersionError):
+        recover_graphs(store)
