@@ -82,6 +82,12 @@ class TaskStatus:
     error: Optional[str] = None
     # fetch_failed: which producer stage's outputs were lost
     failed_input_stage: Optional[int] = None
+    # classified failure cause (errors.BallistaError.kind): a
+    # non-retryable kind fails the job immediately instead of burning
+    # TASK_MAX_FAILURES retries (the reference's ExecutionError-vs-
+    # retryable split, execution_graph.rs:540-580); None keeps the
+    # plain bounded-retry behavior
+    error_kind: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -220,6 +226,17 @@ class ExecutionGraph:
                 # (execution_graph.rs:430-520)
                 events.extend(self._handle_fetch_failure(s))
             else:  # plain task failure: retryable up to TASK_MAX_FAILURES
+                if s.error_kind is not None:
+                    from ..errors import BallistaError
+                    if s.error_kind in BallistaError.PERMANENT:
+                        # permanent failure (planning/not_implemented/
+                        # resource_exhausted...): retrying is wasted work
+                        self.state = JobState.FAILED
+                        self.error = (f"stage {st.stage_id} failed "
+                                      f"permanently ({s.error_kind}): "
+                                      f"{s.error}")
+                        events.append(JobEvent.JOB_FAILED)
+                        continue
                 st.task_failures += 1
                 if st.task_failures > TASK_MAX_FAILURES:
                     self.state = JobState.FAILED

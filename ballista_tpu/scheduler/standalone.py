@@ -75,11 +75,14 @@ class MeshTaskLauncher(TaskLauncher):
                     task.task_id, task.job_id, task.stage_id, task.partitions,
                     task.executor_id, "successful"))
             except Exception as e:  # noqa: BLE001 - feed the retry machinery
-                log.warning("stage %s/%s failed: %s", task.job_id,
-                            task.stage_id, e)
+                from ..errors import classify
+                err = classify(e)
+                log.warning("stage %s/%s failed (%s): %s", task.job_id,
+                            task.stage_id, err.kind, e)
                 statuses.append(TaskStatus(
                     task.task_id, task.job_id, task.stage_id, task.partitions,
-                    task.executor_id, "failed", f"{type(e).__name__}: {e}"))
+                    task.executor_id, "failed", str(err),
+                    error_kind=err.kind))
         report(statuses)
 
 
