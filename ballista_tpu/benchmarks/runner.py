@@ -33,10 +33,14 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+class QueryTimeout(Exception):
+    pass
+
+
 def run(sf: float, queries, iterations: int, distributed: bool,
         lazy_ingest: bool = False, verify: bool = False,
         capacity_mode: str = "bucket", tbl_dir: str = None,
-        expected: str = None):
+        expected: str = None, query_timeout: int = 0):
     import jax
     _enable_compile_cache()
     from .. import batch as B
@@ -85,8 +89,25 @@ def run(sf: float, queries, iterations: int, distributed: bool,
         from ..parallel.mesh import make_mesh
         mesh = make_mesh()
 
+    # in-process per-query watchdog: single-process sweeps keep table
+    # uploads + compiled pieces shared across queries (isolated
+    # subprocesses re-pay the relay upload per query), while SIGALRM
+    # still bounds one pathological compile/run. Best-effort: a signal
+    # can't always interrupt a blocking PJRT call mid-flight, but it
+    # fires at the next Python boundary either way.
+    if query_timeout:
+        import signal
+
+        def _alarm(signum, frame):
+            raise QueryTimeout(f"query exceeded {query_timeout}s")
+
+        signal.signal(signal.SIGALRM, _alarm)
+
     results = {}
     for q in queries:
+        if query_timeout:
+            import signal
+            signal.alarm(query_timeout)
         try:
             t0 = time.time()
             from ..planner.optimizer import prune_columns
@@ -153,6 +174,10 @@ def run(sf: float, queries, iterations: int, distributed: bool,
         except Exception as e:  # noqa: BLE001 - keep benching other queries
             results[q] = {"error": f"{type(e).__name__}: {e}"}
             print(f"q{q:2d}  ERROR {type(e).__name__}: {e}", flush=True)
+        finally:
+            if query_timeout:
+                import signal
+                signal.alarm(0)
     total = sum(r["ms"] for r in results.values() if "ms" in r)
     print(json.dumps({"sf": sf, "total_ms": round(total, 1),
                       "queries": results}))
@@ -266,6 +291,9 @@ def main(argv=None):
                     help="skip the eager table-ingest warm pass")
     ap.add_argument("--isolate", type=int, default=None, metavar="SECONDS",
                     help="run each query in a subprocess with this timeout")
+    ap.add_argument("--query-timeout", type=int, default=0, metavar="SECONDS",
+                    help="in-process SIGALRM per-query timeout (keeps table "
+                         "uploads shared, unlike --isolate)")
     ap.add_argument("--tbl-dir", default=None,
                     help="ingest dbgen .tbl files from this directory "
                          "instead of the native datagen")
@@ -293,7 +321,7 @@ def main(argv=None):
         run(args.sf, queries, args.iterations, args.distributed,
             lazy_ingest=args.lazy_ingest, verify=args.verify,
             capacity_mode=args.capacity_mode, tbl_dir=args.tbl_dir,
-            expected=args.expected)
+            expected=args.expected, query_timeout=args.query_timeout)
 
 
 if __name__ == "__main__":

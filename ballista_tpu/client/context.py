@@ -124,7 +124,7 @@ class SessionContext:
 
     def __init__(self, options: Optional[PhysicalOptions] = None,
                  distributed: bool = False, mesh=None,
-                 capacity_mode: str = "exact",
+                 capacity_mode: str = "bucket",
                  serial_partitions: Optional[int] = None):
         if capacity_mode not in ("exact", "bucket"):
             raise ValueError("capacity_mode must be 'exact' or 'bucket'")

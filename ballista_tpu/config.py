@@ -63,7 +63,7 @@ VALID_ENTRIES = {e.key: e for e in [
                 "Batch capacity sizing: 'exact' (lane-rounded row count) or "
                 "'bucket' (geometric tiers, <19% padding, reuses compiled "
                 "programs across data sizes)",
-                _parse_capacity_mode, "exact"),
+                _parse_capacity_mode, "bucket"),
     ConfigEntry(BALLISTA_BROADCAST_THRESHOLD,
                 "Max build-side rows for broadcast join", int, str(1 << 17)),
     ConfigEntry(BALLISTA_MAX_GROUP_TABLE,

@@ -44,15 +44,16 @@ class LocalFileStore(ObjectStore):
     """file:// — keys are paths under a root; atomic tmp+rename puts."""
 
     def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        # absolutize eagerly: joining keys onto a relative root and then
+        # comparing against abspath(root) rejected every key (r2 verdict)
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
 
     def _path(self, key: str) -> str:
         p = os.path.normpath(os.path.join(self.root, key))
         # is_subdirectory path-safety check (executor_server.rs:1249):
         # reject keys escaping the root before touching the filesystem
-        if not p.startswith(os.path.abspath(self.root) + os.sep) \
-                and p != os.path.abspath(self.root):
+        if not p.startswith(self.root + os.sep) and p != self.root:
             raise ValueError(f"object key escapes store root: {key!r}")
         return p
 
