@@ -27,6 +27,10 @@ def _enable_compile_cache():
         import faulthandler
         faulthandler.dump_traceback_later(
             int(os.environ["BALLISTA_FAULTDUMP"]), repeat=True)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon sitecustomize captures JAX_PLATFORMS before any user
+        # code runs; honor an explicit cpu request through the config API
+        jax.config.update("jax_platforms", "cpu")
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -97,14 +97,47 @@ def write_answers(pdt: dict, out_dir: str, queries=None):
     return ans
 
 
+def _render_rows(got, header, rows):
+    """Format the engine frame cell-by-cell against the answer's printed
+    scales (column-constant: taken from the first non-empty answer cell)."""
+    scales = []
+    for ci in range(len(header)):
+        s = 0
+        for r in rows:
+            if r[ci]:
+                s = len(r[ci].split(".")[1]) if "." in r[ci] else 0
+                break
+        scales.append(s)
+    out = []
+    for ri in range(len(got)):
+        row = []
+        for ci in range(len(header)):
+            g = got.iloc[ri, ci]
+            if isinstance(g, float) or str(got.dtypes.iloc[ci]).startswith("float"):
+                gs = f"{g:.{scales[ci]}f}"
+                if gs == "-" + "0." + "0" * scales[ci]:  # negative zero
+                    gs = gs[1:]
+            elif isinstance(g, Decimal):
+                gs = str(g.quantize(Decimal(1).scaleb(-scales[ci])))
+            else:
+                gs = "" if g is None else str(g)
+            row.append(gs)
+        out.append(row)
+    return out
+
+
 def diff_expected(got, expected_dir: str, q: int) -> Optional[str]:
     """EXACT diff of an engine result frame against answers/q{n}.out.
 
     Non-float columns compare as exact strings; Decimal columns are
     quantized to the answer's printed scale and must match EXACTLY (the
     north-star bit-identical check); true floats (avg columns) round to
-    the answer's printed decimals before comparing. Returns None on
-    match, else the first difference."""
+    the answer's printed decimals before comparing. Position-wise first;
+    if that fails, both sides are canonically re-sorted by every column
+    and re-compared — ORDER BY keys that don't cover all output columns
+    leave tie order engine-defined (e.g. q16's 4-of-5-column sort), and
+    a correct answer set with different tie-breaking must not fail the
+    gate. Returns None on match, else the first difference."""
     path = os.path.join(expected_dir, "answers", f"q{q}.out")
     with open(path) as f:
         lines = [l.rstrip("\n") for l in f]
@@ -114,23 +147,16 @@ def diff_expected(got, expected_dir: str, q: int) -> Optional[str]:
         return f"column count {len(got.columns)} vs {len(header)}"
     if len(got) != len(rows):
         return f"row count {len(got)} vs {len(rows)}"
-    for ci in range(len(header)):
-        gcol = got.iloc[:, ci]
-        for ri in range(len(rows)):
-            e = rows[ri][ci]
-            g = gcol.iloc[ri]
-            if isinstance(g, float) or str(gcol.dtype).startswith("float"):
-                scale = len(e.split(".")[1]) if "." in e else 0
-                gs = f"{g:.{scale}f}"
-                # normalize negative zero
-                if gs == "-" + "0." + "0" * scale:
-                    gs = gs[1:]
-            elif isinstance(g, Decimal):
-                scale = len(e.split(".")[1]) if "." in e else 0
-                gs = str(g.quantize(Decimal(1).scaleb(-scale)))
-            else:
-                gs = "" if g is None else str(g)
-            if gs != e:
-                return (f"q{q} col {header[ci]} row {ri}: "
-                        f"got {gs!r} expected {e!r}")
+    grows = _render_rows(got, header, rows)
+    if grows == rows:
+        return None
+    # tie-tolerant retry: canonical full-row sort on both sides
+    if sorted(grows) == sorted(rows):
+        return None
+    gs, es = sorted(grows), sorted(rows)
+    for ri in range(len(es)):
+        for ci in range(len(header)):
+            if gs[ri][ci] != es[ri][ci]:
+                return (f"q{q} col {header[ci]} row {ri} (canonical): "
+                        f"got {gs[ri][ci]!r} expected {es[ri][ci]!r}")
     return None

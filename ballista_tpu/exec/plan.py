@@ -190,23 +190,13 @@ class HashAggregateExec(ExecNode):
         self._pre_bound = (bind_expr(pre_filter, child.schema)
                            if pre_filter is not None else None)
         in_schema = child.schema
-        self._group_bounds = [bind_expr(e, in_schema) for e in group_exprs]
-        # RAW string guards: raw codes are row indices, so code equality
-        # (grouping) and code order (min/max) are meaningless — `carry`
-        # is exempt (any code of an all-equal group decodes to the value)
-        for gb, ge in zip(self._group_bounds, group_exprs):
-            if gb.dictionary is not None and not gb.dict_sorted:
-                raise NotImplementedError(
-                    f"GROUP BY high-cardinality raw string {ge!r} "
-                    "(raise BALLISTA_RAW_DICT_MAX to dictionary-encode)")
-        if mode != "final":  # final-mode children carry state cols, not args
-            for a in aggs:
-                if a.kind in ("min", "max") and a.arg is not None:
-                    ab = bind_expr(a.arg, in_schema)
-                    if ab.dictionary is not None and not ab.dict_sorted:
-                        raise NotImplementedError(
-                            f"{a.kind} over a high-cardinality raw string "
-                            "(raise BALLISTA_RAW_DICT_MAX to dictionary-encode)")
+        from ..exprs import sorted_recode
+        # RAW string group keys re-encode on demand (exprs.sorted_recode):
+        # raw codes are row indices, so grouping needs the dense-rank
+        # remap for code equality == value equality — `carry` stays
+        # exempt (any code of an all-equal group decodes to the value)
+        self._group_bounds = [sorted_recode(bind_expr(e, in_schema))
+                              for e in group_exprs]
         self._group_names = (list(group_names) if group_names
                              else [expr_name(e) for e in group_exprs])
         if table_size is None:
@@ -314,23 +304,28 @@ class HashAggregateExec(ExecNode):
             agg_fields = tuple(ba.out_field for ba in self._bound_aggs)
         else:
             self._bound_aggs = [BoundAgg(a, in_schema) for a in aggs]
+            for ba in self._bound_aggs:
+                # min/max over a RAW string re-encodes on demand: code
+                # extrema are only exact against a sorted dictionary
+                if ba.spec.kind in ("min", "max") and ba.arg is not None:
+                    ba.arg = sorted_recode(ba.arg)
             if mode == "partial":
                 agg_fields = tuple(f for ba in self._bound_aggs for f in ba.state_fields())
             else:
                 agg_fields = tuple(ba.out_field for ba in self._bound_aggs)
-            for a in aggs:
+            for ba in self._bound_aggs:
                 # dict-coded min/max stay in code space (sorted dicts make
-                # code-extrema exact); propagate under the output name
-                # (single) / first state column (partial)
-                if a.kind in ("min", "max", "carry") and a.arg is not None:
-                    base = a.arg.child if isinstance(a.arg, Alias) else a.arg
-                    if (isinstance(base, Col)
-                            and in_schema.dictionary(base.name) is not None):
-                        out_name = (f"{a.name}#s0" if mode == "partial"
-                                    else a.name)
-                        dicts[out_name] = in_schema.dictionary(base.name)
-                        if not in_schema.is_sorted_dict(base.name):
-                            unsorted_out.add(out_name)
+                # code-extrema exact); propagate the BOUND arg's dictionary
+                # (the recoded sorted dict for raw inputs) under the output
+                # name (single) / first state column (partial)
+                a = ba.spec
+                if a.kind in ("min", "max", "carry") and ba.arg is not None \
+                        and ba.arg.dictionary is not None:
+                    out_name = (f"{a.name}#s0" if mode == "partial"
+                                else a.name)
+                    dicts[out_name] = ba.arg.dictionary
+                    if not ba.arg.dict_sorted:
+                        unsorted_out.add(out_name)
         bounds = {n: b.int_bound
                   for n, b in zip(self._group_names, self._group_bounds)
                   if b.int_bound}
@@ -1064,14 +1059,12 @@ class SortExec(ExecNode):
         self.keys = tuple(keys)
         self.schema = child.schema
         self.capacity = child.capacity
-        self._key_bounds = [(bind_expr(e, child.schema), asc, nf)
-                            for e, asc, nf in keys]
-        for (kb, _, _), (e, _, _) in zip(self._key_bounds, keys):
-            if kb.dictionary is not None and not kb.dict_sorted:
-                # raw codes are row indices; code order != value order
-                raise NotImplementedError(
-                    f"ORDER BY high-cardinality raw string {e!r} "
-                    "(raise BALLISTA_RAW_DICT_MAX to dictionary-encode)")
+        from ..exprs import sorted_recode
+        # RAW string sort keys re-encode on demand: raw codes are row
+        # indices (code order != value order); the dense-rank remap makes
+        # code order lexicographic. Payload columns keep their raw codes.
+        self._key_bounds = [(sorted_recode(bind_expr(e, child.schema)),
+                             asc, nf) for e, asc, nf in keys]
 
     def evaluate(self, inputs):
         b = self.children[0].evaluate(inputs)

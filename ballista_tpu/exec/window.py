@@ -200,23 +200,17 @@ class WindowExec(ExecNode):
             key = (tuple(str(e) for e in s.partition_by),
                    tuple((str(e), asc, nf) for e, asc, nf in s.order_by))
             self._groups.setdefault(key, []).append(i)
-        self._bound_parts = [tuple(bind_expr(e, in_schema) for e in s.partition_by)
+        # RAW string partition/order keys re-encode on demand
+        # (exprs.sorted_recode): dense-rank codes restore value equality
+        # (partitioning) and lexicographic order (ordering)
+        from ..exprs import sorted_recode
+        self._bound_parts = [tuple(sorted_recode(bind_expr(e, in_schema))
+                                   for e in s.partition_by)
                              for s in self.specs]
-        self._bound_orders = [tuple((bind_expr(e, in_schema), asc, nf)
+        self._bound_orders = [tuple((sorted_recode(bind_expr(e, in_schema)),
+                                     asc, nf)
                                     for e, asc, nf in s.order_by)
                               for s in self.specs]
-        for bp in self._bound_parts:
-            for kb in bp:
-                if kb.dictionary is not None and not kb.dict_sorted:
-                    raise NotImplementedError(
-                        "window PARTITION BY on a high-cardinality raw "
-                        "string (raise BALLISTA_RAW_DICT_MAX to encode)")
-        for bo in self._bound_orders:
-            for kb, _, _ in bo:
-                if kb.dictionary is not None and not kb.dict_sorted:
-                    raise NotImplementedError(
-                        "window ORDER BY on a high-cardinality raw "
-                        "string (raise BALLISTA_RAW_DICT_MAX to encode)")
         self._bound_args = [bind_expr(s.arg, in_schema) if s.arg is not None
                             else None for s in self.specs]
 

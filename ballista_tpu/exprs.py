@@ -359,6 +359,61 @@ def _div_round_half(num, den):
     return sign * q
 
 
+# dictionary id -> (dict ref, sorted unique values, dense-rank LUT).
+# The ref pins the array so a recycled id can't alias a dead dictionary.
+_RECODE_CACHE: dict = {}
+
+
+def sorted_recode(b: Bound) -> Bound:
+    """Order-faithful re-encode of a RAW string Bound ('re-encode on
+    demand').
+
+    RAW codes are row indices: code equality != value equality and code
+    order != lexicographic order, so grouping / sorting / min-max /
+    range compares can't use them. This wraps the bound evaluator with a
+    dense-rank LUT gather: output codes index the SORTED unique
+    dictionary, restoring both properties exactly (no hashing, no
+    collisions). The rank is computed by pyarrow's C++ kernels — no
+    host object sort — once per raw dictionary and cached for the
+    session, so SF100-scale comment columns only ever pay it when a
+    query actually groups or orders by them. No-op for non-raw Bounds.
+    """
+    if b.dictionary is None or b.dict_sorted:
+        return b
+    key = id(b.dictionary)
+    hit = _RECODE_CACHE.get(key)
+    if hit is None or hit[0] is not b.dictionary:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        try:
+            arr = pa.array(b.dictionary, type=pa.string())
+        except pa.lib.ArrowInvalid:
+            # combined string data over 2 GiB needs 64-bit offsets
+            arr = pa.array(b.dictionary, type=pa.large_string())
+        if len(arr):
+            ranks = pc.rank(arr, sort_keys="ascending", tiebreaker="dense")
+            lut = (np.asarray(ranks) - 1).astype(np.int32)
+            u = pc.unique(arr)
+            uniq = np.asarray(pc.take(u, pc.sort_indices(u)), dtype=object)
+        else:
+            lut = np.zeros(1, np.int32)
+            uniq = np.empty(0, dtype=object)
+        hit = (b.dictionary, uniq, lut)
+        _RECODE_CACHE[key] = hit
+    _, uniq, lut = hit
+    lut_dev = jnp.asarray(lut)
+    inner = b.fn
+
+    def fn(batch):
+        col = inner(batch)
+        idx = jnp.clip(col.data, 0, lut_dev.shape[0] - 1)
+        return Column(lut_dev[idx], col.validity)
+
+    n = max(len(uniq), 1)
+    return Bound(b.dtype, b.nullable, fn, dictionary=uniq, code_bound=n,
+                 dict_sorted=True, ndv_bound=n)
+
+
 _POW10 = np.array([10 ** i for i in range(19)], dtype=np.int64)
 
 
@@ -683,23 +738,26 @@ def bind_expr(e: Expr, schema: Schema) -> Bound:
             dic = l.dictionary if l.dictionary is not None else _dict_for(e.left, schema)
             if not l.dict_sorted:
                 # RAW (unsorted) dictionary: equality via a boolean LUT
-                # over the values (same mechanism as LIKE); range
-                # compares would need code order — re-encode on demand
-                if e.op not in ("=", "!=", "<>"):
-                    raise NotImplementedError(
-                        f"{e.op} on a high-cardinality raw string column "
-                        "(raise BALLISTA_RAW_DICT_MAX to dictionary-encode)")
-                lut = np.asarray(dic.astype(str) == str(e.right.value))
-                if e.op in ("!=", "<>"):
-                    lut = ~lut
-                lut_dev = jnp.asarray(lut) if len(lut) else jnp.zeros(1, bool)
-                lb = l
+                # over the values (same mechanism as LIKE, cheaper than a
+                # recode); range compares re-encode on demand so code
+                # order is lexicographic, then fall through to the
+                # sorted-dictionary logic below
+                if e.op in ("=", "!=", "<>"):
+                    lut = np.asarray(dic.astype(str) == str(e.right.value))
+                    if e.op in ("!=", "<>"):
+                        lut = ~lut
+                    lut_dev = (jnp.asarray(lut) if len(lut)
+                               else jnp.zeros(1, bool))
+                    lb = l
 
-                def fn(batch):
-                    col = lb.fn(batch)
-                    idx = jnp.clip(col.data, 0, lut_dev.shape[0] - 1)
-                    return Column(lut_dev[idx] & col.validity, col.validity)
-                return Bound(BOOL, l.nullable, fn)
+                    def fn(batch):
+                        col = lb.fn(batch)
+                        idx = jnp.clip(col.data, 0, lut_dev.shape[0] - 1)
+                        return Column(lut_dev[idx] & col.validity,
+                                      col.validity)
+                    return Bound(BOOL, l.nullable, fn)
+                l = sorted_recode(l)
+                dic = l.dictionary
             pos, exact = _string_lit_to_code(str(e.right.value), dic, e.op)
             if e.op == "=" and not exact:
                 return Bound(BOOL, False, _const_column(False, BOOL))

@@ -7,9 +7,16 @@ the packed int64 limbs. Run on the chip:
 
   PYTHONPATH=/root/repo:/root/.axon_site python bench_logs/ab_exchange.py
 """
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import ballista_tpu  # noqa: F401  (x64)
 import jax

@@ -12,6 +12,12 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize captures JAX_PLATFORMS before user code runs
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import ballista_tpu  # noqa: F401
 from ballista_tpu.client import SessionContext
 from ballista_tpu.client.context import _rebind_scans

@@ -21,7 +21,7 @@ from ballista_tpu.datagen.tbl import (diff_expected, read_tbl,
                                       write_answers)
 
 SF = 0.01
-QUERIES = (1, 3, 6, 12, 14, 19)   # CI subset; scripts/reference_diff.sh runs all 22
+QUERIES = (1, 3, 6, 12, 14, 19)   # CI subset at SF0.01; scripts/reference_diff.sh runs all 22 at SF1
 
 
 @pytest.fixture(scope="module")
