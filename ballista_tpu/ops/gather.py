@@ -35,7 +35,10 @@ def gather_columns(cols: Sequence[Column], idx: jax.Array,
     if not cols:
         return []
 
-    slots64: List[jax.Array] = []     # int64-viewed data arrays
+    slots64: List[jax.Array] = []     # int64 data arrays
+    slotsf: List[jax.Array] = []      # float64 data arrays (own stack:
+    # the axon remote compiler's x64-removal rewrite cannot lower
+    # bitcast-convert on 64-bit types, so f64 never views as s64)
     slots32: List[jax.Array] = []     # int32-viewed data arrays
     bit_arrays: List[jax.Array] = []  # bools packed into bitmask words
     plan = []                         # (cls, slot_or_bit, orig_dtype, vbit)
@@ -45,10 +48,12 @@ def gather_columns(cols: Sequence[Column], idx: jax.Array,
             plan.append(("bit", len(bit_arrays), None, len(bit_arrays) + 1))
             bit_arrays.append(d)
         elif d.dtype.itemsize == 8:
-            cast = None if d.dtype == jnp.int64 else d.dtype
-            plan.append(("w64", len(slots64), cast, len(bit_arrays)))
-            slots64.append(d if cast is None
-                           else jax.lax.bitcast_convert_type(d, jnp.int64))
+            if d.dtype == jnp.int64:
+                plan.append(("w64", len(slots64), None, len(bit_arrays)))
+                slots64.append(d)
+            else:
+                plan.append(("wf", len(slotsf), None, len(bit_arrays)))
+                slotsf.append(d)
         else:
             cast = None if d.dtype == jnp.int32 else d.dtype
             plan.append(("w32", len(slots32), cast, len(bit_arrays)))
@@ -68,6 +73,8 @@ def gather_columns(cols: Sequence[Column], idx: jax.Array,
     out64 = jnp.take(jnp.stack(slots64, axis=1), idx, axis=0, mode="clip")
     out32 = (jnp.take(jnp.stack(slots32, axis=1), idx, axis=0, mode="clip")
              if slots32 else None)
+    outf = (jnp.take(jnp.stack(slotsf, axis=1), idx, axis=0, mode="clip")
+            if slotsf else None)
 
     def bit(i: int) -> jax.Array:
         w, o = divmod(i, _WBITS)
@@ -82,8 +89,8 @@ def gather_columns(cols: Sequence[Column], idx: jax.Array,
             data = bit(slot)
         elif cls == "w64":
             data = out64[:, slot]
-            if cast is not None:
-                data = jax.lax.bitcast_convert_type(data, cast)
+        elif cls == "wf":
+            data = outf[:, slot]
         else:
             data = out32[:, slot]
             if cast is not None:

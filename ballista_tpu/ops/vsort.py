@@ -44,10 +44,13 @@ def _pack_columns(cols):
             plan.append(("bit", len(bits), None, len(bits) + 1))
             bits.append(d)
         elif d.dtype.itemsize == 8:
-            cast = None if d.dtype == jnp.int64 else d.dtype
-            plan.append(("w64", len(wides), cast, len(bits)))
-            wides.append(d if cast is None
-                         else jax.lax.bitcast_convert_type(d, jnp.int64))
+            # 64-bit payloads ride as their own operands WITHOUT a
+            # bitcast: the axon remote compile service's x64-removal
+            # rewrite has no bitcast-convert(s64) lowering (found by
+            # ab_exchange.py — TPC-H never sorts big f64 columns, so the
+            # suite never hit it). lax.sort carries f64 operands fine.
+            plan.append(("w64", len(wides), None, len(bits)))
+            wides.append(d)
         else:
             cast = None if d.dtype == jnp.int32 else d.dtype
             plan.append(("w32", len(halves), cast, len(bits)))
