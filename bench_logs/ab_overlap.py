@@ -47,8 +47,8 @@ os.environ.pop("BALLISTA_STAGE_SYNC", None)
 rows = run_once()
 print(f"# q{Q} sf{SF}: {rows} rows", flush=True)
 
-K = 5
-ROUNDS = 4
+K = int(os.environ.get("AB_K", "5"))
+ROUNDS = int(os.environ.get("AB_ROUNDS", "4"))
 res = {"async": [], "sync": []}
 for r in range(ROUNDS):
     for arm in ("async", "sync"):
@@ -60,6 +60,8 @@ for r in range(ROUNDS):
         for _ in range(K):
             run_once()
         res[arm].append((time.time() - t0) / K)
+        print(f"# round {r} {arm}: {res[arm][-1]*1000:.1f} ms/run",
+              flush=True)
 
 a = min(res["async"]) * 1000
 s = min(res["sync"]) * 1000
