@@ -106,6 +106,71 @@ class BoundAgg:
         return [Field(f"{self.spec.name}#s{i}", dt, True)
                 for i, dt in enumerate(self.state_dtypes)]
 
+    # --- fused one-compaction sorted path (ops/segagg.fused_sorted_aggregate) ---
+    # Each method returns (reqs, assemble) where reqs is a list of
+    # (kind, data, validity) requests and assemble maps the per-request
+    # output Columns to this aggregate's state columns — or None when the
+    # kind can't ride the shared compaction (percentile needs its own
+    # value sort). State values/validities mirror partial()/merge()
+    # exactly; the exec falls back to the SortedLayout path when any
+    # aggregate in the group returns None.
+    def fused_requests(self, batch: Batch):
+        k = self.spec.kind
+        if k in NON_DECOMPOSABLE:
+            return None
+        if k == "count_star":
+            return [("count", None, None)], lambda outs: list(outs)
+        col = self.arg.fn(batch)
+        data = col.data
+        if k in ("sum", "avg") and self.state_dtypes[0].kind in (
+                TypeKind.DECIMAL, TypeKind.INT64):
+            data = data.astype(jnp.int64)
+        if k == "count":
+            return [("count", data, col.validity)], lambda outs: list(outs)
+        if k in ("sum", "min", "max", "carry"):
+            return [(k, data, col.validity)], lambda outs: list(outs)
+        ones = lambda c: Column(c.data, jnp.ones_like(c.validity))  # noqa: E731
+        if k == "avg":
+            return ([("sum", data, col.validity),
+                     ("count", data, col.validity)],
+                    lambda outs: [outs[0], ones(outs[1])])
+        if k in MOMENT_KINDS:
+            x = _as_f64(self.arg, col)
+            return ([("sum", x, col.validity),
+                     ("sum", x * x, col.validity),
+                     ("count", x, col.validity)],
+                    lambda outs: [ones(o) for o in outs])
+        if k == "corr":
+            col2 = self.arg2.fn(batch)
+            both = col.validity & col2.validity
+            x = _as_f64(self.arg, col)
+            y = _as_f64(self.arg2, col2)
+            return ([("sum", x, both), ("sum", y, both),
+                     ("sum", x * x, both), ("sum", y * y, both),
+                     ("sum", x * y, both), ("count", x, both)],
+                    lambda outs: [ones(o) for o in outs])
+        return None
+
+    def fused_merge_requests(self, state_cols: List[Column]):
+        k = self.spec.kind
+        if k in NON_DECOMPOSABLE:
+            return None
+        ones = lambda c: Column(c.data, jnp.ones_like(c.validity))  # noqa: E731
+        if k in ("count", "count_star"):
+            return ([("sum", state_cols[0].data, state_cols[0].validity)],
+                    lambda outs: [ones(outs[0])])
+        if k in ("sum", "min", "max", "carry"):
+            return ([(k, state_cols[0].data, state_cols[0].validity)],
+                    lambda outs: list(outs))
+        if k == "avg":
+            return ([("sum", state_cols[0].data, state_cols[0].validity),
+                     ("sum", state_cols[1].data, state_cols[1].validity)],
+                    lambda outs: [outs[0], ones(outs[1])])
+        if k in MOMENT_KINDS or k == "corr":
+            return ([("sum", sc.data, sc.validity) for sc in state_cols],
+                    lambda outs: [ones(o) for o in outs])
+        return None
+
     # --- phase 1: raw rows -> per-group states (layout: ops.segagg) ---
     def partial(self, batch: Batch, layout) -> List[Column]:
         k = self.spec.kind

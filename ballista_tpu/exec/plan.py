@@ -293,6 +293,10 @@ class HashAggregateExec(ExecNode):
                 elif k == "avg":
                     sum_dt = ba.state_dtypes[0]
                     ba.out_field = Field(a.name, _avg_dtype(sum_dt), nullable=True)
+                else:
+                    # moments / corr finalize to f64 (aggregate.py parity)
+                    from ..schema import FLOAT64
+                    ba.out_field = Field(a.name, FLOAT64, nullable=True)
                 self._bound_aggs.append(ba)
                 # min/max state columns carry dictionary codes through the
                 # shuffle; restore the dict on the final output field
@@ -401,6 +405,33 @@ class HashAggregateExec(ExecNode):
             DEAD = jnp.int64(2**62)
             skeys = tuple(jnp.where(live, k, DEAD) for k in norm)
             b, (live,), s_sorted = sort_batch_columns(skeys, b, extra=(live,))
+            # key columns re-evaluated on the sorted batch
+            key_cols = [g.fn(b) for g in self._group_bounds]
+            fused = self._fused_plans(b)
+            if fused is not None:
+                # one-compaction path (segagg.fused_sorted_aggregate):
+                # replaces run_start/run_end construction + per-aggregate
+                # T-sized takes with a single shared variadic sort — the
+                # r3 roofline table's dominant cost at multi-million-group
+                # aggregates (q21: 760 ms/piece -> the shared sort)
+                T_used = max(min(T_used, n), 1)
+                all_reqs, spans = [], []
+                for rs, _assemble in fused:
+                    spans.append((len(all_reqs), len(rs)))
+                    all_reqs.extend(rs)
+                key_out, fouts, n_groups, n_total = \
+                    segagg.fused_sorted_aggregate(s_sorted, live, key_cols,
+                                                  all_reqs, T_used)
+                _TraceCtx.record_overflow(n_total > T_used)
+                out_cols: List[Column] = list(key_out)
+                for ba, (_rs, assemble), (st, ln) in zip(
+                        self._bound_aggs, fused, spans):
+                    states = assemble(fouts[st:st + ln])
+                    if self.mode == "partial":
+                        out_cols.extend(states)
+                    else:
+                        out_cols.append(ba.finalize(states))
+                return self._finish(out_cols, T_used, n_groups, None)
             layout = segagg.layout_from_sorted_keys(s_sorted, live, T_used)
             T_used = layout.T  # clamped to row capacity
             _TraceCtx.record_overflow(layout.n_groups > T_used)
@@ -408,9 +439,7 @@ class HashAggregateExec(ExecNode):
             used = None
             gid = jnp.arange(T_used, dtype=jnp.int32)
             gvalid = gid < n_groups
-            # key columns re-evaluated on the sorted batch; run heads are
-            # T_used-sized gathers (small)
-            key_cols = [g.fn(b) for g in self._group_bounds]
+            # run heads are T_used-sized gathers (small)
             src = jnp.clip(layout.run_start, 0, n - 1)
             for kc in key_cols:
                 key_out.append(Column(jnp.take(kc.data, src, mode="clip"),
@@ -433,6 +462,41 @@ class HashAggregateExec(ExecNode):
                 out_cols.append(ba.finalize(states))
 
         # --- compact to the front / pad to capacity ---
+        return self._finish(out_cols, T_used, n_groups, used)
+
+    def _fused_plans(self, b):
+        """(reqs, assemble) per aggregate for the one-compaction sorted
+        path, or None when any aggregate can't ride it (percentile) or
+        the backend favors the take-based path.
+
+        Backend-conditional default (BALLISTA_FUSED_AGG overrides): on
+        TPU the per-aggregate T-sized takes cost ~60-90 ms each at
+        multi-million groups and the shared compaction sort wins; on CPU
+        gathers are cheap and the extra full sort LOSES (measured 2M
+        rows/860k groups, 4 aggs: fused 6.4 s vs takes 3.9 s on CPU)."""
+        import os
+        v = os.environ.get("BALLISTA_FUSED_AGG")
+        if v is not None:
+            if v != "1":
+                return None
+        else:
+            if jax.default_backend() == "cpu":
+                return None
+        plans = []
+        for ba in self._bound_aggs:
+            if self.mode == "final":
+                idxs = [i for i, f in enumerate(self.children[0].schema.fields)
+                        if f.name.startswith(f"{ba.spec.name}#s")]
+                fr = ba.fused_merge_requests([b.columns[i] for i in idxs])
+            else:
+                fr = ba.fused_requests(b)
+            if fr is None:
+                return None
+            plans.append(fr)
+        return plans
+
+    def _finish(self, out_cols, T_used, n_groups, used):
+        from .distributed import _TraceCtx
         if used is not None and self._group_bounds:
             perm, _ = compaction_perm(used)
             interim = Batch(tuple(out_cols), n_groups)

@@ -298,6 +298,107 @@ class SortedLayout(NamedTuple):
         return _group_percentile(gid, ok, v, frac, cnt, gvalid, self.T)
 
 
+def fused_sorted_aggregate(s_keys: Sequence[jax.Array], live: jax.Array,
+                           key_cols: Sequence[Column], reqs, T: int):
+    """Segment aggregation over presorted keys with ONE shared compaction.
+
+    SortedLayout reads each aggregate's per-run totals with T-sized
+    `jnp.take`s out of n-sized running arrays (plus a `first_positions`
+    sort for run_start) — at 2-4M groups each take costs ~60-90 ms on
+    v5e and they dominated the r3 SF1 roofline table (q21's group-bys:
+    225-760 ms/piece, <0.1% of HBM roofline). Here every aggregate
+    contributes n-sized running arrays (cumsums / running extrema) whose
+    value at each run's LAST live row is the run total, and ALL of them
+    plus the key columns move front with one stable variadic sort
+    (ops/vsort packing, ~11 ms/col marginal); per-run totals then come
+    from adjacent differences in T-space.
+
+    s_keys:   normalized sorted key limbs (dead rows sentineled back).
+    live:     liveness in sorted order.
+    key_cols: key columns evaluated on the sorted batch.
+    reqs:     [(kind, data, validity)] with kind in {'count','sum','min',
+              'max','carry'}; 'count' with data=None counts live rows.
+    Returns (key_out, outs, n_groups, n_groups_total) with the exact
+    output/validity semantics of the SortedLayout methods.
+    """
+    from ..batch import Batch
+    from ..exec.window import _segmented_prefix_extremum
+    from .vsort import sort_batch_columns
+
+    n = live.shape[0]
+    T = max(min(T, n), 1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    prev_same = jnp.ones(n, dtype=jnp.bool_)
+    for k in s_keys:
+        rolled = jnp.concatenate([k[:1], k[:-1]])
+        prev_same = prev_same & (k == rolled)
+    first = live & (~prev_same | (pos == 0))
+    n_groups_total = jnp.cumsum(first.astype(jnp.int32))[-1]
+    n_groups = jnp.minimum(n_groups_total, jnp.int32(T))
+    next_first = jnp.concatenate([first[1:], jnp.ones(1, jnp.bool_)])
+    next_live = jnp.concatenate([live[1:], jnp.zeros(1, jnp.bool_)])
+    last = live & (next_first | ~next_live)
+
+    seg_start = None
+    cols: List[Column] = list(key_cols)
+    plans = []
+    for kind, data, validity in reqs:
+        ok = live if validity is None else (validity & live)
+        if kind == "count":
+            cols.append(Column(jnp.cumsum(ok.astype(jnp.int64)), ok))
+            plans.append((kind, len(cols) - 1))
+        elif kind == "sum":
+            contrib = jnp.where(ok, data, jnp.zeros((), data.dtype))
+            cols.append(Column(jnp.cumsum(contrib), ok))
+            cols.append(Column(jnp.cumsum(ok.astype(jnp.int64)), ok))
+            plans.append((kind, len(cols) - 2))
+        elif kind in ("min", "max"):
+            if seg_start is None:
+                seg_start = jax.lax.cummax(jnp.where(first, pos, 0))
+            run, _ = _segmented_prefix_extremum(data, ok, seg_start,
+                                                kind == "max")
+            cols.append(Column(run, ok))
+            cols.append(Column(jnp.cumsum(ok.astype(jnp.int64)), ok))
+            plans.append((kind, len(cols) - 2))
+        elif kind == "carry":
+            cols.append(Column(data, ok))
+            plans.append((kind, len(cols) - 1))
+        else:
+            raise ValueError(f"unsupported fused aggregate kind {kind}")
+
+    moved, _, _ = sort_batch_columns((~last,), Batch(tuple(cols), n_groups))
+    gvalid = jnp.arange(T, dtype=jnp.int32) < n_groups
+
+    def diff(arr):
+        a = arr[:T]
+        prev = jnp.concatenate([jnp.zeros(1, a.dtype), a[:-1]])
+        return a - prev
+
+    key_out = [Column(c.data[:T], c.validity[:T] & gvalid)
+               for c in moved.columns[:len(key_cols)]]
+    outs: List[Column] = []
+    for kind, i in plans:
+        if kind == "count":
+            cnt = diff(moved.columns[i].data)
+            outs.append(Column(jnp.where(gvalid, cnt, 0), gvalid))
+        elif kind == "sum":
+            s = diff(moved.columns[i].data)
+            cnt = diff(moved.columns[i + 1].data)
+            v = gvalid & (cnt > 0)
+            outs.append(Column(jnp.where(v, s, jnp.zeros((), s.dtype)), v))
+        elif kind in ("min", "max"):
+            m = moved.columns[i].data[:T]
+            cnt = diff(moved.columns[i + 1].data)
+            v = gvalid & (cnt > 0)
+            outs.append(Column(jnp.where(v, m, jnp.zeros((), m.dtype)), v))
+        else:  # carry
+            c = moved.columns[i]
+            v = gvalid & c.validity[:T]
+            outs.append(Column(jnp.where(v, c.data[:T],
+                                         jnp.zeros((), c.data.dtype)), v))
+    return key_out, outs, n_groups, n_groups_total
+
+
 def direct_slots(key_cols: Sequence[Column], bounds: Sequence[int],
                  live: jax.Array,
                  nullables: Optional[Sequence[bool]] = None

@@ -130,3 +130,46 @@ def test_matmul_agg_large_signed(monkeypatch):
     np.add.at(exp_c, slot[m], 1)
     assert np.array_equal(np.asarray(s), exp_s)
     assert np.array_equal(np.asarray(c), exp_c)
+
+
+def test_fused_sorted_aggregate_matches_old_path(monkeypatch):
+    """BALLISTA_FUSED_AGG=1 forces the one-compaction path on CPU; its
+    outputs must be identical to the take-based SortedLayout path across
+    every fused kind, single AND two-phase (partial/final) modes."""
+    import numpy as np
+    import pandas as pd
+
+    from ballista_tpu.client import SessionContext
+
+    rng = np.random.default_rng(7)
+    n = 30_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9_000, n).astype(np.int64),
+        "v": rng.integers(-500, 500, n).astype(np.int64),
+        "w": rng.random(n),
+        "s": rng.choice(list("abcdefg"), n),
+    })
+    df.loc[rng.choice(n, 500, replace=False), "v"] = None
+    sql = ("select k, count(*) c, count(v) cv, sum(v) sv, min(w) mw, "
+           "max(w) xw, avg(v) av, min(s) ms, stddev_samp(w) sd "
+           "from t group by k order by k")
+
+    results = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("BALLISTA_FUSED_AGG", flag)
+        ctx = SessionContext()
+        ctx.register_pandas("t", df)
+        results[flag] = ctx.sql(sql).to_pandas()
+        # two-phase through the distributed mesh runtime
+        ctx2 = SessionContext(distributed=True)
+        ctx2.register_pandas("t", df)
+        results[flag + "d"] = ctx2.sql(sql).to_pandas()
+    for a, b in (("0", "1"), ("0", "1d"), ("0", "0d")):
+        ga, gb = results[a], results[b]
+        assert list(ga.columns) == list(gb.columns)
+        for col in ga.columns:
+            va, vb = ga[col].to_numpy(), gb[col].to_numpy()
+            if va.dtype.kind == "f":
+                assert np.allclose(va, vb, equal_nan=True), (a, b, col)
+            else:
+                assert (pd.Series(va).fillna(-1) == pd.Series(vb).fillna(-1)).all(), (a, b, col)
