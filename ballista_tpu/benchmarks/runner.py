@@ -44,7 +44,8 @@ class QueryTimeout(Exception):
 def run(sf: float, queries, iterations: int, distributed: bool,
         lazy_ingest: bool = False, verify: bool = False,
         capacity_mode: str = "bucket", tbl_dir: str = None,
-        expected: str = None, query_timeout: int = 0):
+        expected: str = None, query_timeout: int = 0,
+        evict_between: bool = False, serial: int = 0):
     import jax
     _enable_compile_cache()
     from .. import batch as B
@@ -119,7 +120,21 @@ def run(sf: float, queries, iterations: int, distributed: bool,
             # the scanned columns only (per-column lazy ingest)
             plan = _rebind_scans(prune_columns(ctx.sql(TPCH_QUERIES[q]).plan),
                                  ctx)
-            if distributed:
+            if serial:
+                # out-of-core: partition-by-partition on one device with
+                # host-RAM shuffles (scheduler/serial.py) — for queries
+                # whose single-program working set exceeds HBM (SF10 q5/q8
+                # plan a >16GB join buffer)
+                from ..scheduler.serial import execute_serial
+                ctx.serial_partitions = serial
+                out, out_schema = execute_serial(ctx, plan, serial)
+                compile_s = time.time() - t0
+                t0 = time.time()
+                for _ in range(iterations):
+                    out, out_schema = execute_serial(ctx, plan, serial)
+                per_iter = (time.time() - t0) / iterations
+                nrows = int(out.num_rows)
+            elif distributed:
                 from ..scheduler.runtime import execute_distributed
                 # distributed path: plan+compile+run per call (stage cache
                 # inside the runtime); time end-to-end
@@ -178,6 +193,16 @@ def run(sf: float, queries, iterations: int, distributed: bool,
         except Exception as e:  # noqa: BLE001 - keep benching other queries
             results[q] = {"error": f"{type(e).__name__}: {e}"}
             print(f"q{q:2d}  ERROR {type(e).__name__}: {e}", flush=True)
+            if "RESOURCE_EXHAUSTED" in str(e):
+                # free accumulated device columns so ONE oversized query
+                # can't poison the rest of the sweep (SF10 r3: q9's OOM
+                # left HBM full and q10-q22 all died instantly)
+                import gc
+                ctx.evict_device()
+                gc.collect()
+        else:
+            if evict_between:
+                ctx.evict_device()
         finally:
             if query_timeout:
                 import signal
@@ -298,6 +323,15 @@ def main(argv=None):
     ap.add_argument("--query-timeout", type=int, default=0, metavar="SECONDS",
                     help="in-process SIGALRM per-query timeout (keeps table "
                          "uploads shared, unlike --isolate)")
+    ap.add_argument("--serial", type=int, default=0, metavar="N",
+                    help="out-of-core: run each query partition-by-"
+                         "partition over N partitions on one device "
+                         "(scheduler/serial.py) — for working sets "
+                         "beyond HBM")
+    ap.add_argument("--evict-between", action="store_true",
+                    help="free device columns after every query (HBM-tight "
+                         "scale factors; host ingest is kept and re-uploads "
+                         "lazily)")
     ap.add_argument("--tbl-dir", default=None,
                     help="ingest dbgen .tbl files from this directory "
                          "instead of the native datagen")
@@ -325,7 +359,8 @@ def main(argv=None):
         run(args.sf, queries, args.iterations, args.distributed,
             lazy_ingest=args.lazy_ingest, verify=args.verify,
             capacity_mode=args.capacity_mode, tbl_dir=args.tbl_dir,
-            expected=args.expected, query_timeout=args.query_timeout)
+            expected=args.expected, query_timeout=args.query_timeout,
+            evict_between=args.evict_between, serial=args.serial)
 
 
 if __name__ == "__main__":

@@ -97,9 +97,19 @@ class TableProvider:
         for name in names:
             if name in self._cols:
                 continue
-            values, validity, dtype = self._host.pop(name)
+            # host arrays are KEPT (host RAM is plentiful): evict_device
+            # can then free HBM between queries and re-upload on demand
+            values, validity, dtype = self._host[name]
             self._cols[name] = B.make_column(values, validity, dtype,
                                              self.capacity)
+
+    def evict_device(self) -> None:
+        """Drop device-resident columns, keeping host-side ingest: frees
+        HBM between queries in big sweeps (at SF10 the accumulated
+        scanned columns of 8 queries filled the 16 GB chip and every
+        later query died RESOURCE_EXHAUSTED). Columns re-upload lazily
+        on next use."""
+        self._cols.clear()
 
     def column_batch(self, names) -> "B.Batch":
         """Device batch of exactly `names`, in order."""
@@ -153,6 +163,14 @@ class SessionContext:
         plugin_dir = config.get(BALLISTA_PLUGIN_DIR)
         if plugin_dir:
             self.load_plugins(plugin_dir)
+
+    def evict_device(self) -> None:
+        """Free HBM: drop every table's device columns (host ingest kept;
+        re-uploads happen lazily on next use). Call between queries in
+        memory-tight sweeps or after a RESOURCE_EXHAUSTED failure."""
+        for tp in self.tables.values():
+            tp.evict_device()
+        self._stage_cache.clear()
 
     def cluster(self):
         """The standalone scheduler+mesh cluster (created lazily)."""
