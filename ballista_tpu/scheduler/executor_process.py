@@ -1,0 +1,221 @@
+"""Deployable executor worker: the executor_process binary.
+
+Reference parity: `executor/src/executor_process.rs` (start-up, scheduler
+registration, heartbeats, work loop, graceful shutdown) combined with the
+pull-mode execution loop (`executor/src/execution_loop.rs:56`): the worker
+registers with the scheduler over the RPC wire (scheduler/rpc.py), polls
+for tasks, executes each stage-task on its local device mesh, exchanges
+stage data with other executors through the shared object store
+(scheduler/spill.py — the Replicator/shuffle-file transport), and reports
+TaskStatus on the next poll.
+
+Usage:
+  python -m ballista_tpu.scheduler.executor_process \
+      --scheduler http://host:port [--executor-id ID] [--slots N] \
+      [--devices N] [--poll-ms 100] [--heartbeat-s 10]
+
+SIGTERM triggers the graceful-stop protocol: finish the in-flight task,
+flush its status, notify ExecutorStopped, exit 0 (executor_process.rs's
+TERMINATING grace path).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import signal
+import sys
+import threading
+import time
+from typing import Dict, List, Optional
+
+log = logging.getLogger("ballista_tpu.executor")
+
+
+class _ExecutorJob:
+    """Executor-side job state: context, deterministically re-derived stage
+    programs, and the shared-store spiller (one per (job, spec version))."""
+
+    def __init__(self, spec, mesh):
+        from ..client.context import _rebind_scans
+        from ..planner.optimizer import prune_columns, reduce_group_keys
+        from ..serde.tasks import build_context
+        from .distributed_planner import DistributedPlanner
+        from .runtime import DistributedRuntime
+        from .spill import StageSpiller
+        from .standalone import JobContext
+
+        self.spec = spec
+        ctx = build_context(spec.tables)
+        plan = prune_columns(reduce_group_keys(
+            _rebind_scans(spec.plan, ctx)))
+        runtime = DistributedRuntime(ctx, mesh, spec.options)
+        dplan = DistributedPlanner(ctx, spec.options).plan(plan)
+        self.jc = JobContext(spec.job_id, dplan, runtime, ctx, plan,
+                             spiller=StageSpiller(spec.work_dir))
+
+
+class ExecutorProcess:
+    def __init__(self, scheduler_url: str, executor_id: str,
+                 task_slots: int = 1, mesh=None, poll_interval: float = 0.1,
+                 heartbeat_interval: float = 10.0):
+        from ..parallel.mesh import make_mesh
+        from .rpc import SchedulerRpcClient
+        from .server import ExecutorMetadata
+
+        self.client = SchedulerRpcClient(scheduler_url)
+        self.meta = ExecutorMetadata(executor_id, task_slots=task_slots)
+        self.mesh = mesh or make_mesh()
+        self.poll_interval = poll_interval
+        self.heartbeat_interval = heartbeat_interval
+        self.jobs: Dict[str, _ExecutorJob] = {}
+        self._statuses: List = []
+        self._stop = threading.Event()
+        self._hb_thread: Optional[threading.Thread] = None
+
+    # -- lifecycle --
+    def start(self):
+        self.client.register_executor(self.meta)
+        log.info("executor %s registered at %s (%d devices, %d slots)",
+                 self.meta.executor_id, self.client.url,
+                 self.mesh.devices.size, self.meta.task_slots)
+        self._hb_thread = threading.Thread(target=self._heartbeat_loop,
+                                           daemon=True)
+        self._hb_thread.start()
+
+    def _heartbeat_loop(self):
+        """Heartbeater (executor/src/executor_server.rs heartbeat task):
+        keeps the executor alive in the scheduler's registry while a long
+        stage program occupies the poll thread."""
+        while not self._stop.wait(self.heartbeat_interval):
+            try:
+                self.client.heartbeat(self.meta.executor_id)
+            except Exception as e:  # noqa: BLE001 - scheduler may be down
+                log.warning("heartbeat failed: %s", e)
+
+    def stop(self, graceful: bool = True):
+        self._stop.set()
+        if graceful:
+            try:
+                if self._statuses:
+                    self.client.poll_work(self.meta.executor_id, 0,
+                                          self._statuses)
+                    self._statuses = []
+                self.client.executor_stopped(self.meta.executor_id)
+            except Exception as e:  # noqa: BLE001
+                log.warning("graceful stop notification failed: %s", e)
+
+    # -- work loop --
+    def _job_for(self, task) -> _ExecutorJob:
+        ej = self.jobs.get(task.job_id)
+        want = getattr(task, "_spec_version", None)
+        if ej is not None and (want is None or ej.spec.version >= want):
+            return ej
+        spec = self.client.get_job(task.job_id)
+        if spec is None:
+            raise RuntimeError(f"scheduler has no spec for {task.job_id}")
+        if spec.options.n_partitions != self.mesh.devices.size:
+            raise RuntimeError(
+                f"job {task.job_id} plans {spec.options.n_partitions} "
+                f"partitions but this executor's mesh has "
+                f"{self.mesh.devices.size} devices")
+        ej = _ExecutorJob(spec, self.mesh)
+        self.jobs[task.job_id] = ej
+        return ej
+
+    def _run_task(self, task):
+        from ..errors import BallistaError, classify
+        from .execution_graph import TaskStatus
+
+        try:
+            ej = self._job_for(task)
+            # max_quota_retries=1: an overflow must FAIL the task so the
+            # scheduler escalates the job spec for every executor
+            # coherently (rpc.py _escalate_on_overflow) — local silent
+            # escalation would desync capacities across processes
+            ej.jc.run_stage(task.stage_id, max_quota_retries=1)
+            return TaskStatus(task.task_id, task.job_id, task.stage_id,
+                              task.partitions, self.meta.executor_id,
+                              "successful")
+        except Exception as e:  # noqa: BLE001 - all failures ride the wire
+            err = classify(e)
+            log.warning("task %s/%s failed (%s): %s", task.job_id,
+                        task.stage_id, err.kind, err.message)
+            self.jobs.pop(task.job_id, None)  # re-derive on retry
+            if err.kind == "fetch_failed":
+                return TaskStatus(task.task_id, task.job_id, task.stage_id,
+                                  task.partitions, self.meta.executor_id,
+                                  "fetch_failed", str(err),
+                                  failed_input_stage=err.map_stage_id,
+                                  error_kind=err.kind)
+            return TaskStatus(task.task_id, task.job_id, task.stage_id,
+                              task.partitions, self.meta.executor_id,
+                              "failed", str(err), error_kind=err.kind)
+
+    def poll_once(self) -> int:
+        statuses, self._statuses = self._statuses, []
+        try:
+            tasks = self.client.poll_work(
+                self.meta.executor_id, self.meta.task_slots, statuses)
+        except Exception as e:  # noqa: BLE001 - scheduler hiccup: retry
+            log.warning("poll failed: %s", e)
+            self._statuses = statuses  # redeliver next poll
+            return 0
+        for task in tasks:
+            self._statuses.append(self._run_task(task))
+        return len(tasks)
+
+    def run_forever(self):
+        self.start()
+        while not self._stop.is_set():
+            if self.poll_once() == 0:
+                self._stop.wait(self.poll_interval)
+        log.info("executor %s stopped", self.meta.executor_id)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scheduler", required=True, help="scheduler RPC URL")
+    ap.add_argument("--executor-id", default=None)
+    ap.add_argument("--slots", type=int, default=1)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="CPU-platform virtual device count (tests); 0 = "
+                         "use the platform's real devices")
+    ap.add_argument("--poll-ms", type=int, default=100)
+    ap.add_argument("--heartbeat-s", type=float, default=10.0)
+    args = ap.parse_args(argv)
+
+    if args.devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") +
+            f" --xla_force_host_platform_device_count={args.devices}")
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    executor_id = args.executor_id or f"executor-{os.uname().nodename}-{os.getpid()}"
+    ex = ExecutorProcess(args.scheduler, executor_id,
+                         task_slots=args.slots,
+                         poll_interval=args.poll_ms / 1000.0,
+                         heartbeat_interval=args.heartbeat_s)
+
+    def _term(signum, frame):
+        log.info("SIGTERM: graceful stop")
+        ex.stop(graceful=True)
+
+    signal.signal(signal.SIGTERM, _term)
+    print(f"EXECUTOR_READY {executor_id}", flush=True)
+    try:
+        ex.run_forever()
+    except KeyboardInterrupt:
+        ex.stop(graceful=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -124,7 +124,12 @@ class JobContext:
                         if pb is not None:
                             self.outputs[src.name] = pb
                     if pb is None:
-                        raise KeyError(
+                        # typed fetch failure: carries the producer stage id
+                        # so the graph can roll back precisely
+                        # (error.rs:58 FetchFailed payload)
+                        from ..errors import fetch_failed
+                        raise fetch_failed(
+                            "", int(src.name), [],
                             f"stage {src.name} outputs lost and no spill")
                 inputs[lid] = pb
             out, overflow, op_rows, ex_counts = fn(inputs)

@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--job-store", default=None,
                     help="sqlite path for HA job state (recovers on restart)")
     ap.add_argument("--task-slots", type=int, default=4)
+    ap.add_argument("--scheduler-rpc-port", type=int, default=0,
+                    help="serve the cross-process scheduler RPC wire on "
+                         "this port (0 disables): executor_process workers "
+                         "register here (ballista-scheduler binary parity); "
+                         "requires --work-dir for the shuffle object store")
     ap.add_argument("--log-file", default=None,
                     help="rolling log file (executor_process.rs rolling "
                          "appender parity)")
@@ -95,6 +100,20 @@ def main(argv=None):
     api = ApiServer(cluster, host=args.host, port=args.port).start()
     logging.info("REST/UI on http://%s:%d/", args.host, api.port)
 
+    rpc_httpd = None
+    if args.scheduler_rpc_port:
+        import threading
+
+        from .scheduler.rpc import serve_scheduler
+        _svc, rpc_httpd = serve_scheduler(
+            args.work_dir or "/tmp/ballista_shuffle",
+            host=args.host, port=args.scheduler_rpc_port,
+            job_store=cluster.scheduler.job_store)
+        threading.Thread(target=rpc_httpd.serve_forever,
+                         daemon=True).start()
+        logging.info("scheduler RPC wire on http://%s:%d/rpc/*", args.host,
+                     rpc_httpd.server_address[1])
+
     flight = None
     if args.flight_port:
         from .flight import BallistaFlightServer
@@ -109,6 +128,8 @@ def main(argv=None):
     except KeyboardInterrupt:
         logging.info("shutting down")
         api.stop()
+        if rpc_httpd is not None:
+            rpc_httpd.shutdown()
         if flight is not None:
             flight.shutdown()
 

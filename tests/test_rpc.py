@@ -1,0 +1,187 @@
+"""Cross-process control plane: scheduler RPC service + executor workers.
+
+The genuinely-distributed story (SchedulerGrpc + executor_process parity):
+a scheduler HTTP service owns the job state machine; separately-launched
+executor worker processes register over the wire, poll for stage tasks,
+execute them on their own device meshes, exchange stage outputs through
+the shared object store, and report statuses back. No Python objects are
+shared between the processes — only wire JSON and spilled Arrow files.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from ballista_tpu.scheduler.distributed_planner import DistOptions
+from ballista_tpu.scheduler.execution_graph import TaskDescription, TaskStatus
+from ballista_tpu.scheduler.rpc import SchedulerRpcClient, serve_scheduler
+from ballista_tpu.scheduler.server import ExecutorMetadata
+from ballista_tpu.serde import tasks as T
+
+N_PART = 4
+SF = 0.002
+TABLES = {"kind": "tpch", "sf": SF}
+SQL = """
+    select o_orderpriority, count(*) as n
+    from orders join customer on o_custkey = c_custkey
+    where o_totalprice > 1000
+    group by o_orderpriority order by o_orderpriority
+"""
+
+
+def test_task_wire_roundtrip():
+    t = TaskDescription("job1", 3, (0, 1, 2), 7, "ex-a")
+    assert T.task_from_wire(json.loads(json.dumps(T.task_to_wire(t)))) == t
+    s = TaskStatus(7, "job1", 3, (0, 1), "ex-a", "fetch_failed",
+                   "lost", failed_input_stage=2, error_kind="fetch_failed")
+    assert T.status_from_wire(
+        json.loads(json.dumps(T.status_to_wire(s)))) == s
+    m = ExecutorMetadata("ex-a", "h", 50051, 4)
+    assert T.executor_meta_from_wire(T.executor_meta_to_wire(m)) == m
+
+
+def test_jobspec_wire_roundtrip():
+    from ballista_tpu.serde.tasks import build_context
+    ctx = build_context(TABLES)
+    plan = ctx.sql(SQL).plan
+    spec = T.JobSpec("j", plan, TABLES, DistOptions(n_partitions=4),
+                     "/tmp/x", version=2, final_stage=5)
+    spec2 = T.jobspec_from_wire(
+        json.loads(json.dumps(T.jobspec_to_wire(spec))))
+    assert spec2.job_id == "j" and spec2.version == 2
+    assert spec2.options == spec.options
+    assert spec2.work_dir == "/tmp/x" and spec2.final_stage == 5
+    from ballista_tpu.serde.plans import encode_plan
+    assert encode_plan(spec2.plan) == encode_plan(plan)
+
+
+def test_wire_version_guard():
+    from ballista_tpu.serde.plans import WireVersionError
+    w = T.task_to_wire(TaskDescription("j", 0, (0,), 0, "e"))
+    w["@wire"] = 999
+    with pytest.raises(WireVersionError):
+        T.task_from_wire(w)
+
+
+# -- process-level fixtures --
+
+def _start_scheduler(work_dir, executor_timeout_s=180.0):
+    service, httpd = serve_scheduler(str(work_dir),
+                                     executor_timeout_s=executor_timeout_s)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    return service, httpd, url
+
+
+def _spawn_executor(url, executor_id, devices=N_PART):
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cpu",
+               XLA_FLAGS=f"--xla_force_host_platform_device_count={devices}")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "ballista_tpu.scheduler.executor_process",
+         "--scheduler", url, "--executor-id", executor_id,
+         "--devices", str(devices), "--poll-ms", "50",
+         "--heartbeat-s", "1"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    # wait for registration marker
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        line = p.stdout.readline()
+        if "EXECUTOR_READY" in line:
+            return p
+        if p.poll() is not None:
+            break
+    raise RuntimeError(f"executor {executor_id} failed to start")
+
+
+def _oracle():
+    from ballista_tpu.datagen import generate_tpch
+    data = generate_tpch(SF)
+    o, c = data["orders"].to_pandas(), data["customer"].to_pandas()
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    m = m[m.o_totalprice.astype(float) > 1000]
+    return (m.groupby("o_orderpriority").size().reset_index(name="n")
+             .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def test_rpc_end_to_end_two_executors(tmp_path):
+    """Two worker processes + scheduler service run a real join+agg query;
+    the result fetched over the wire matches the pandas oracle."""
+    service, httpd, url = _start_scheduler(tmp_path / "shuffle")
+    procs = []
+    try:
+        procs.append(_spawn_executor(url, "ex-a"))
+        procs.append(_spawn_executor(url, "ex-b"))
+        client = SchedulerRpcClient(url)
+        job_id = client.submit_sql(
+            SQL, TABLES, options={"n_partitions": N_PART})
+        got = client.wait(job_id, timeout_s=420)
+        exp = _oracle()
+        assert list(got["o_orderpriority"]) == list(exp["o_orderpriority"])
+        assert [int(x) for x in got["n"]] == [int(x) for x in exp["n"]]
+        # both workers must still be alive (no crash-and-luck pass)
+        assert all(p.poll() is None for p in procs)
+    finally:
+        for p in procs:
+            p.kill()
+        httpd.shutdown()
+
+
+def test_rpc_killed_executor_job_completes(tmp_path):
+    """SIGKILL one worker mid-flight: heartbeat expiry removes it and the
+    survivor finishes the job (executor_manager.rs:450 expiry +
+    execution_graph reset_stages_on_lost_executor, over a real wire)."""
+    service, httpd, url = _start_scheduler(tmp_path / "shuffle",
+                                           executor_timeout_s=3.0)
+    procs = []
+    try:
+        procs.append(_spawn_executor(url, "ex-a"))
+        procs.append(_spawn_executor(url, "ex-b"))
+        client = SchedulerRpcClient(url)
+        job_id = client.submit_sql(
+            SQL, TABLES, options={"n_partitions": N_PART})
+        # let ex-a (first registrant, first in round-robin) claim work,
+        # then kill it without a word
+        time.sleep(0.5)
+        procs[0].send_signal(signal.SIGKILL)
+        got = client.wait(job_id, timeout_s=420)
+        exp = _oracle()
+        assert [int(x) for x in got["n"]] == [int(x) for x in exp["n"]]
+        assert procs[1].poll() is None
+    finally:
+        for p in procs:
+            p.kill()
+        httpd.shutdown()
+
+
+def test_rpc_overflow_escalates_spec_version(tmp_path):
+    """A shuffle-quota overflow fails the task over the wire; the scheduler
+    escalates the job spec (version bump) and the re-run succeeds with the
+    larger capacities — cross-process capacity coherence."""
+    service, httpd, url = _start_scheduler(tmp_path / "shuffle")
+    procs = []
+    try:
+        procs.append(_spawn_executor(url, "ex-a"))
+        client = SchedulerRpcClient(url)
+        job_id = client.submit_sql(
+            SQL, TABLES,
+            options={"n_partitions": N_PART, "broadcast_threshold": 0,
+                     "min_quota": 1, "quota_headroom": 0.01})
+        got = client.wait(job_id, timeout_s=420)
+        exp = _oracle()
+        assert [int(x) for x in got["n"]] == [int(x) for x in exp["n"]]
+        assert service.specs[job_id].version >= 1
+    finally:
+        for p in procs:
+            p.kill()
+        httpd.shutdown()
