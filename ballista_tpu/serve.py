@@ -91,8 +91,14 @@ def main(argv=None):
                                 work_dir=args.work_dir, policy=args.policy)
     if args.job_store:
         from .scheduler.kv import KeyValueJobStore, SqliteKeyValueStore
-        cluster.scheduler.job_store = KeyValueJobStore(
-            SqliteKeyValueStore(args.job_store))
+        if args.job_store.startswith(("http://", "https://")):
+            # shared KV service (etcd-deployment analog, kv_remote.py):
+            # N schedulers point at one store for HA takeover
+            from .scheduler.kv_remote import RemoteKeyValueStore
+            backend = RemoteKeyValueStore(args.job_store)
+        else:
+            backend = SqliteKeyValueStore(args.job_store)
+        cluster.scheduler.job_store = KeyValueJobStore(backend)
         recovered = cluster.scheduler.recover_jobs()
         if recovered:
             logging.info("recovered jobs: %s", recovered)

@@ -1,0 +1,110 @@
+"""Shared network KV backend (storage/etcd.rs:37 parity): two client
+processes'-worth of RemoteKeyValueStore against one KvService — cross-client
+visibility, transactional watch events, lease locks with TTL takeover, and
+scheduler-restart job recovery through the shared store."""
+
+import threading
+import time
+
+import pytest
+
+from ballista_tpu.scheduler.kv import (Keyspace, KeyValueJobStore,
+                                       MemoryKeyValueStore)
+from ballista_tpu.scheduler.kv_remote import RemoteKeyValueStore, serve_kv
+
+
+@pytest.fixture()
+def kv_url():
+    service, httpd = serve_kv()
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_cross_client_put_get_scan_txn(kv_url):
+    a = RemoteKeyValueStore(kv_url)
+    b = RemoteKeyValueStore(kv_url)
+    a.put(Keyspace.EXECUTORS, "e1", '{"slots":4}')
+    assert b.get(Keyspace.EXECUTORS, "e1") == '{"slots":4}'
+    b.apply_txn([("put", Keyspace.SLOTS, "s1", "1"),
+                 ("put", Keyspace.SLOTS, "s2", "2"),
+                 ("delete", Keyspace.EXECUTORS, "e1", None)])
+    assert a.get(Keyspace.EXECUTORS, "e1") is None
+    assert a.scan(Keyspace.SLOTS) == [("s1", "1"), ("s2", "2")]
+    # keyspaces stay disjoint
+    assert a.get(Keyspace.SESSIONS, "s1") is None
+
+
+def test_watch_sees_other_clients_events(kv_url):
+    a = RemoteKeyValueStore(kv_url)
+    b = RemoteKeyValueStore(kv_url)
+    w = a.watch(Keyspace.HEARTBEATS, "e")
+    b.put(Keyspace.HEARTBEATS, "e1", "t1")
+    b.put(Keyspace.HEARTBEATS, "x9", "t2")   # prefix mismatch: filtered
+    b.delete(Keyspace.HEARTBEATS, "e1")
+    evs = w.drain()
+    assert [(e.kind, e.key) for e in evs] == [("put", "e1"),
+                                              ("delete", "e1")]
+    # long-poll: a put from another thread wakes a blocked poll
+    def later():
+        time.sleep(0.2)
+        b.put(Keyspace.HEARTBEATS, "e2", "t3")
+    threading.Thread(target=later, daemon=True).start()
+    ev = w.poll(timeout=5.0)
+    assert ev is not None and ev.key == "e2"
+
+
+def test_lease_lock_mutual_exclusion_and_ttl_takeover(kv_url):
+    a = RemoteKeyValueStore(kv_url, lock_ttl_s=0.5)
+    b = RemoteKeyValueStore(kv_url, lock_ttl_s=0.5)
+    order = []
+    with a.lock(Keyspace.SLOTS, "global"):
+        order.append("a")
+        with pytest.raises(TimeoutError):
+            with b.lock(Keyspace.SLOTS, "global", acquire_timeout_s=0.2):
+                order.append("b-too-early")
+    with b.lock(Keyspace.SLOTS, "global", acquire_timeout_s=2.0):
+        order.append("b")
+    assert order == ["a", "b"]
+    # TTL takeover: a "crashed" holder (never unlocks) expires
+    out = a._call("lock", ks="slots", key="wedged", ttl_s=0.3)
+    assert out["acquired"]
+    with b.lock(Keyspace.SLOTS, "wedged", acquire_timeout_s=2.0):
+        order.append("stolen")
+    assert order[-1] == "stolen"
+
+
+def test_job_recovery_through_shared_store(kv_url):
+    """Scheduler-restart takeover via the SHARED store: scheduler 1 saves a
+    running job; scheduler 2 (fresh client, same service) recovers it —
+    the multi-scheduler HA story the etcd backend exists for (kv.rs:697)."""
+    from ballista_tpu.scheduler.execution_graph import ExecutionGraph
+    from ballista_tpu.scheduler.job_store import recover_graphs
+
+    s1 = KeyValueJobStore(RemoteKeyValueStore(kv_url))
+    g = ExecutionGraph("jobr", [(0, 4, []), (1, 4, [0])])
+    s1.save_job(g)
+    s2 = KeyValueJobStore(RemoteKeyValueStore(kv_url))
+    recovered = recover_graphs(s2)
+    assert [r.job_id for r in recovered] == ["jobr"]
+    r = recovered[0]
+    assert set(r.stages) == {0, 1}
+    assert r.stages[1].inputs == (0,)
+
+
+def test_embedded_store_can_back_the_service(tmp_path):
+    """The service hosts any embedded backend; sqlite gives durability."""
+    from ballista_tpu.scheduler.kv import SqliteKeyValueStore
+    service, httpd = serve_kv(SqliteKeyValueStore(str(tmp_path / "kv.db")))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        c = RemoteKeyValueStore(url)
+        c.put(Keyspace.JOB_STATUS, "j1", "running")
+        assert c.get(Keyspace.JOB_STATUS, "j1") == "running"
+        # durable: visible through a fresh embedded handle on the same file
+        assert SqliteKeyValueStore(str(tmp_path / "kv.db")).get(
+            Keyspace.JOB_STATUS, "j1") == "running"
+    finally:
+        httpd.shutdown()
