@@ -510,3 +510,13 @@ class TestJobStorePersistence:
         s1.run_until_idle()
         s2 = SchedulerServer(VirtualLauncher(), job_store=store)
         assert s2.recover_jobs() == []
+
+
+class TestSchedulerEventBench:
+    def test_event_bench_completes_all_jobs(self):
+        """The scheduler event-loop micro-bench (scheduler_events.rs
+        analog) is itself a correctness harness: every submitted job must
+        reach SUCCESSFUL through the real event pump."""
+        from ballista_tpu.benchmarks.scheduler_events import bench_inproc
+        out = bench_inproc(20, 4, 8, 2)
+        assert out["jobs_per_s"] > 0 and out["events_per_s"] > 0
