@@ -20,10 +20,22 @@ def main(argv=None):
                     default="parquet")
     ap.add_argument("--tables", default=None,
                     help="comma-separated subset (default: all 8)")
+    ap.add_argument("--chunks", type=int, default=0,
+                    help="stream each table as N independently-generated "
+                         "parquet part files with bounded RAM (the SF100 "
+                         "path; dbgen -C/-S chunking parity)")
     args = ap.parse_args(argv)
 
     names = (args.tables.split(",") if args.tables else list(TPCH_TABLES))
     os.makedirs(args.out, exist_ok=True)
+    if args.chunks:
+        assert args.format == "parquet", "--chunks writes parquet part files"
+        from .tpch import generate_tpch_parquet
+        counts = generate_tpch_parquet(args.sf, args.out, args.chunks,
+                                       tables=names)
+        for name, rows in counts.items():
+            print(f"{name}: {rows} rows -> {args.out}/{name}/part_*.parquet")
+        return
     for name in names:
         t = generate_table(name, args.sf)
         path = os.path.join(args.out, f"{name}.{args.format}")

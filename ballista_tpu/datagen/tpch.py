@@ -140,10 +140,22 @@ TPCH_TABLES = {
 }
 
 
-def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
+def generate_table(name: str, sf: float, seed: int = 19940101,
+                   lo: int = None, hi: int = None,
+                   rng: np.random.Generator = None) -> pa.Table:
+    """Generate one table, or (lo, hi, rng given) one ROW-RANGE of it.
+
+    The range form is the SF100 path (tpch-gen.sh's dbgen -S chunk
+    parity): each chunk draws from its own rng stream, so chunks generate
+    independently with bounded RAM and any degree of parallelism. The
+    default (whole-table) stream is unchanged — committed answer fixtures
+    stay valid. For orders/lineitem the range indexes ORDERS rows, so a
+    lineitem chunk regenerates its orders chunk and stays key-consistent.
+    """
     import zlib
     # NOTE: stable per-table seed — Python's hash() is salted per process
-    rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % 100000)
+    if rng is None:
+        rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % 100000)
     if name == "region":
         return pa.table({
             "r_regionkey": pa.array(range(5), type=pa.int64()),
@@ -158,8 +170,10 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
             "n_comment": pa.array(_comment_pool(rng, 25)),
         })
     if name == "supplier":
-        n = TPCH_TABLES[name][0](sf)
-        keys = np.arange(1, n + 1)
+        full_n = TPCH_TABLES[name][0](sf)
+        lo, hi = (lo, hi) if lo is not None else (0, full_n)
+        n = hi - lo
+        keys = np.arange(lo + 1, hi + 1)
         nk = rng.integers(0, 25, n)
         pool = _comment_pool(rng, 1000)
         # dbgen: some suppliers have 'Customer ... Complaints' comments (Q16)
@@ -176,8 +190,10 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
             "s_comment": pa.array(comments),
         })
     if name == "customer":
-        n = TPCH_TABLES[name][0](sf)
-        keys = np.arange(1, n + 1)
+        full_n = TPCH_TABLES[name][0](sf)
+        lo, hi = (lo, hi) if lo is not None else (0, full_n)
+        n = hi - lo
+        keys = np.arange(lo + 1, hi + 1)
         nk = rng.integers(0, 25, n)
         pool = _comment_pool(rng, 1000)
         return pa.table({
@@ -191,8 +207,10 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
             "c_comment": pa.array(pool[rng.integers(0, 1000, n)]),
         })
     if name == "part":
-        n = TPCH_TABLES[name][0](sf)
-        keys = np.arange(1, n + 1)
+        full_n = TPCH_TABLES[name][0](sf)
+        lo, hi = (lo, hi) if lo is not None else (0, full_n)
+        n = hi - lo
+        keys = np.arange(lo + 1, hi + 1)
         c5 = np.array(COLORS, dtype=object)
         name_parts = [c5[rng.integers(0, len(c5), n)] for _ in range(5)]
         names = np.array([" ".join(p) for p in zip(*name_parts)], dtype=object)
@@ -221,9 +239,11 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
     if name == "partsupp":
         n_part = TPCH_TABLES["part"][0](sf)
         n_supp = TPCH_TABLES["supplier"][0](sf)
-        pk = np.repeat(np.arange(1, n_part + 1), 4)
+        # range indexes PART rows (4 partsupp rows per part)
+        plo, phi = (lo, hi) if lo is not None else (0, n_part)
+        pk = np.repeat(np.arange(plo + 1, phi + 1), 4)
         n = len(pk)
-        sk = ((pk + (np.tile(np.arange(4), n_part) * (n_supp // 4 + 1))) % n_supp) + 1
+        sk = ((pk + (np.tile(np.arange(4), phi - plo) * (n_supp // 4 + 1))) % n_supp) + 1
         pool = _comment_pool(rng, 1000)
         return pa.table({
             "ps_partkey": pa.array(pk, type=pa.int64()),
@@ -233,9 +253,11 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
             "ps_comment": pa.array(pool[rng.integers(0, 1000, n)]),
         })
     if name == "orders":
-        n = TPCH_TABLES[name][0](sf)
+        full_n = TPCH_TABLES[name][0](sf)
+        lo, hi = (lo, hi) if lo is not None else (0, full_n)
+        n = hi - lo
         # dbgen: order keys are sparse (8 of each 32)
-        base = np.arange(n)
+        base = np.arange(lo, hi)
         keys = (base // 8) * 32 + (base % 8) + 1
         n_cust = TPCH_TABLES["customer"][0](sf)
         # only 2/3 of customers have orders (dbgen skips custkey % 3 == 0)
@@ -260,7 +282,14 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
             "o_comment": pa.array(pool[rng.integers(0, 2000, n)]),
         })
     if name == "lineitem":
-        orders = generate_table("orders", sf, seed)
+        # range indexes ORDERS rows: the chunk's lineitems derive from the
+        # matching orders chunk, regenerated with the orders-chunk rng so
+        # keys/dates stay consistent across independently-built chunks
+        if lo is not None:
+            orders = generate_table("orders", sf, seed, lo, hi,
+                                    rng=_chunk_rng("orders", seed, lo, hi))
+        else:
+            orders = generate_table("orders", sf, seed)
         okeys = np.asarray(orders["o_orderkey"])
         odates = np.asarray(orders["o_orderdate"].cast(pa.int32()))
         n_orders = len(okeys)
@@ -308,6 +337,61 @@ def generate_table(name: str, sf: float, seed: int = 19940101) -> pa.Table:
             "l_comment": pa.array(pool[rng.integers(0, 2000, n)]),
         })
     raise KeyError(name)
+
+
+def _chunk_rng(name: str, seed: int, lo: int, hi: int) -> np.random.Generator:
+    """Deterministic per-(table, range) stream: any process can build any
+    chunk independently and get identical bytes."""
+    import zlib
+    return np.random.default_rng(
+        [seed + zlib.crc32(name.encode()) % 100000, lo, hi])
+
+
+def chunk_ranges(name: str, sf: float, n_chunks: int):
+    """Row ranges of the table's DRIVING index (orders rows for lineitem,
+    part rows for partsupp — 4 partsupp rows per part, ~4 lineitems per
+    order)."""
+    base = {"lineitem": "orders", "partsupp": "part"}.get(name, name)
+    full = TPCH_TABLES[base][0](sf)
+    bounds = [round(i * full / n_chunks) for i in range(n_chunks + 1)]
+    return [(bounds[c], bounds[c + 1]) for c in range(n_chunks)
+            if bounds[c + 1] > bounds[c]]
+
+
+def generate_table_chunks(name: str, sf: float, n_chunks: int,
+                          seed: int = 19940101):
+    """Yield (chunk_index, pa.Table): bounded-RAM generation for scale
+    factors whose tables don't fit in host memory (the SF100 path; dbgen's
+    -C/-S chunking, benchmarks/tpch-gen.sh parity). Chunked streams differ
+    from the whole-table stream — verify chunked data against an oracle on
+    the same data, not against whole-table answer fixtures."""
+    if name in ("region", "nation"):
+        yield 0, generate_table(name, sf, seed)
+        return
+    base = {"lineitem": "orders", "partsupp": "part"}.get(name, name)
+    for c, (lo, hi) in enumerate(chunk_ranges(name, sf, n_chunks)):
+        yield c, generate_table(name, sf, seed, lo, hi,
+                                rng=_chunk_rng(base if name == "partsupp"
+                                               else name, seed, lo, hi))
+
+
+def generate_tpch_parquet(sf: float, out_dir: str, n_chunks: int = 1,
+                          seed: int = 19940101, tables=None,
+                          row_group_rows: int = 1 << 20) -> dict:
+    """Stream every table to parquet part-files with bounded RAM:
+    out_dir/<table>/part_<c>.parquet. Returns per-table row counts."""
+    import pyarrow.parquet as pq
+    counts = {}
+    for name in (tables or list(TPCH_TABLES)):
+        d = os.path.join(out_dir, name)
+        os.makedirs(d, exist_ok=True)
+        rows = 0
+        for c, t in generate_table_chunks(name, sf, n_chunks, seed):
+            pq.write_table(t, os.path.join(d, f"part_{c:04d}.parquet"),
+                           row_group_size=row_group_rows)
+            rows += t.num_rows
+        counts[name] = rows
+    return counts
 
 
 def generate_tpch(sf: float, seed: int = 19940101,
