@@ -9,6 +9,7 @@ Local mode executes plans in-process (the `standalone` mode analog,
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, Optional
 
@@ -51,12 +52,20 @@ class TableProvider:
 
     @property
     def capacity(self) -> int:
-        n = self.arrow_table.num_rows
+        n = self.num_rows
         return B.bucket_capacity(n) if self.bucket else B.round_capacity(n)
+
+    def _column(self, name: str):
+        """Full column accessor; ParquetDatasetProvider overrides to read
+        one column from the part files without materializing the table."""
+        return self.arrow_table.column(name)
+
+    def _arrow_schema(self):
+        return self.arrow_table.schema
 
     def _field_list(self):
         if self._fields is None:
-            self._fields = B.schema_from_arrow(self.arrow_table.schema).fields
+            self._fields = B.schema_from_arrow(self._arrow_schema()).fields
         return self._fields
 
     @property
@@ -77,13 +86,13 @@ class TableProvider:
         what expression binding needs. No device transfer (the mesh and
         serial runtimes ingest shards themselves from arrow)."""
         fields = {f.name: f for f in self._field_list()}
-        n = self.arrow_table.num_rows
+        n = self.num_rows
         for name in names:
             if name in self._cols or name in self._host:
                 continue
             f = fields[name]
             values, validity, dict_np, is_raw, bounds = B.ingest_column_host(
-                self.arrow_table.column(name), f, n)
+                self._column(name), f, n)
             if dict_np is not None:
                 self._dicts[name] = dict_np
             if is_raw:
@@ -116,7 +125,7 @@ class TableProvider:
         import jax.numpy as jnp
         self.ensure_columns(names)
         return B.Batch(tuple(self._cols[c] for c in names),
-                       jnp.int32(self.arrow_table.num_rows))
+                       jnp.int32(self.num_rows))
 
     @property
     def batch(self):
@@ -124,6 +133,117 @@ class TableProvider:
 
     def _ensure(self):
         self.ensure_columns([f.name for f in self._field_list()])
+
+
+class ParquetDatasetProvider(TableProvider):
+    """Out-of-core table: a directory of parquet part files (the chunked
+    datagen layout, datagen --chunks) that is never fully materialized in
+    host RAM.
+
+    The host-level half of the SF100 story (the mesh/serial runtimes are
+    the DEVICE-level half): row counts and schema come from parquet
+    metadata; plan-time column metadata (dictionaries/bounds) streams one
+    COLUMN at a time; the serial out-of-core runtime scans one row-range
+    at a time via `range_table`, which reads only the overlapping part
+    files. The reference's executors equally scan parquet partitions
+    straight from shared storage (DataFusion ParquetExec's partitioned
+    scan + projection/row-group pruning)."""
+
+    def __init__(self, name: str, directory: str, primary_key=None,
+                 bucket: bool = False):
+        import glob
+
+        import pyarrow.parquet as pq
+        files = sorted(glob.glob(os.path.join(directory, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no parquet part files in {directory}")
+        self.files = files
+        self._file_rows = []
+        for f in files:
+            self._file_rows.append(pq.ParquetFile(f).metadata.num_rows)
+        self._schema = pq.ParquetFile(files[0]).schema_arrow
+        self._n = sum(self._file_rows)
+        super().__init__(name, arrow_table=None, primary_key=primary_key,
+                         bucket=bucket)
+
+    @property
+    def num_rows(self) -> int:
+        return self._n
+
+    def _arrow_schema(self):
+        return self._schema
+
+    def _column(self, name: str):
+        """One full column across all part files (a single column fits
+        host RAM at scales where the whole table does not)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        chunks = [pq.read_table(f, columns=[name]).column(name)
+                  for f in self.files]
+        return pa.chunked_array([c for ch in chunks for c in ch.chunks])
+
+    def range_table(self, lo: int, hi: int, columns=None):
+        """Global row range [lo, hi) reading only overlapping part files
+        (row-group granularity within a file via parquet's reader)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pieces, start = [], 0
+        for f, n in zip(self.files, self._file_rows):
+            end = start + n
+            if end > lo and start < hi:
+                t = pq.read_table(f, columns=list(columns) if columns
+                                  else None)
+                pieces.append(t.slice(max(lo - start, 0),
+                                      min(hi, end) - max(lo, start)))
+            start = end
+            if start >= hi:
+                break
+        if not pieces:
+            sch = self._schema if columns is None else pa.schema(
+                [self._schema.field(c) for c in columns])
+            return pa.table({f.name: pa.array([], f.type) for f in sch})
+        return pa.concat_tables(pieces)
+
+    def dataset_dictionaries(self, columns=None) -> dict:
+        """Global sorted string dictionaries computed ONE PART FILE at a
+        time (batch.compute_dictionaries semantics with bounded RAM)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        names = [f.name for f in self._schema
+                 if (pa.types.is_string(f.type)
+                     or pa.types.is_large_string(f.type))
+                 and (columns is None or f.name in columns)]
+        uniq = {n: set() for n in names}
+        if names:
+            for f in self.files:
+                t = pq.read_table(f, columns=names)
+                for n in names:
+                    uniq[n].update(
+                        np.asarray(pc.unique(pc.drop_null(t.column(n))),
+                                   dtype=object).tolist())
+        return {n: np.sort(np.array(sorted(u), dtype=object)).astype(object)
+                for n, u in uniq.items()}
+
+    @property
+    def arrow_table(self):
+        """Full materialization escape hatch for non-out-of-core paths;
+        at SF100 scales callers should be on range_table instead."""
+        if self._materialized is None:
+            import logging
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            logging.getLogger("ballista_tpu.context").warning(
+                "materializing full parquet dataset %s (%d rows) — the "
+                "serial runtime would stream it", self.name, self._n)
+            self._materialized = pa.concat_tables(
+                pq.read_table(f) for f in self.files)
+        return self._materialized
+
+    @arrow_table.setter
+    def arrow_table(self, value):  # base __init__ assigns None
+        self._materialized = value
 
 
 class SessionContext:
@@ -201,6 +321,15 @@ class SessionContext:
     def register_parquet(self, name: str, path: str, primary_key=None) -> None:
         import pyarrow.parquet as pq
         self.register_arrow(name, pq.read_table(path), primary_key)
+
+    def register_parquet_dataset(self, name: str, directory: str,
+                                 primary_key=None) -> None:
+        """Out-of-core: a directory of parquet part files scanned
+        range-by-range, never fully materialized (datagen --chunks layout;
+        the SF100 scan plane)."""
+        self.tables[name] = ParquetDatasetProvider(
+            name, directory, primary_key,
+            bucket=self.capacity_mode == "bucket")
 
     def register_json(self, name: str, path: str, primary_key=None) -> None:
         """Newline-delimited JSON (BallistaContext::read_json parity)."""

@@ -79,15 +79,25 @@ class SerialRuntime:
     def _table_shard(self, name: str, columns, pid: int, cap: int) -> Batch:
         from ..batch import compute_dictionaries, from_arrow
         tp = self.ctx.tables[name]
-        table = tp.arrow_table
-        if columns:
-            table = table.select(list(columns))
         key = (name, tuple(columns) if columns else None)
-        if key not in self._table_dicts:
-            self._table_dicts[key] = compute_dictionaries(table)
         P = self.opts.n_partitions
-        per = -(-table.num_rows // P)
-        chunk = table.slice(pid * per, per)
+        n = tp.num_rows
+        per = -(-n // P)
+        if hasattr(tp, "range_table"):
+            # out-of-core scan plane (ParquetDatasetProvider): read ONLY
+            # this partition's row range from the part files — host RAM
+            # holds one shard of one table, not the table
+            if key not in self._table_dicts:
+                self._table_dicts[key] = tp.dataset_dictionaries(columns)
+            chunk = tp.range_table(pid * per, min((pid + 1) * per, n),
+                                   columns)
+        else:
+            table = tp.arrow_table
+            if columns:
+                table = table.select(list(columns))
+            if key not in self._table_dicts:
+                self._table_dicts[key] = compute_dictionaries(table)
+            chunk = table.slice(pid * per, per)
         b, _ = from_arrow(chunk, capacity=cap,
                           dictionaries=self._table_dicts[key])
         return b

@@ -144,7 +144,8 @@ def build_context(tables: dict):
                 else None
             fmt = spec.get("format", "parquet")
             reg = {"parquet": ctx.register_parquet, "csv": ctx.register_csv,
-                   "json": ctx.register_json, "avro": ctx.register_avro}[fmt]
+                   "json": ctx.register_json, "avro": ctx.register_avro,
+                   "parquet_dataset": ctx.register_parquet_dataset}[fmt]
             reg(name, spec["path"], primary_key=pk)
     else:
         raise ValueError(f"unknown data environment kind {kind!r}")
