@@ -45,7 +45,8 @@ def run(sf: float, queries, iterations: int, distributed: bool,
         lazy_ingest: bool = False, verify: bool = False,
         capacity_mode: str = "bucket", tbl_dir: str = None,
         expected: str = None, query_timeout: int = 0,
-        evict_between: bool = False, serial: int = 0):
+        evict_between: bool = False, serial: int = 0,
+        dataset_dir: str = None):
     import jax
     _enable_compile_cache()
     from .. import batch as B
@@ -60,7 +61,19 @@ def run(sf: float, queries, iterations: int, distributed: bool,
     ctx = SessionContext(capacity_mode=capacity_mode)
     t0 = time.time()
     data = None
-    if tbl_dir:
+    if dataset_dir:
+        # out-of-core: chunked parquet part files (datagen --chunks) that
+        # are never fully materialized — pair with --serial N so both the
+        # host and the device stream one partition at a time (SF100 path)
+        import os as _os
+
+        from ..datagen.tpch import TPCH_TABLES
+        for name in TPCH_TABLES:
+            d = _os.path.join(dataset_dir, name)
+            if _os.path.isdir(d):
+                ctx.register_parquet_dataset(name, d, TPCH_TABLES[name][1])
+        print(f"# dataset mount {time.time() - t0:.1f}s", file=sys.stderr)
+    elif tbl_dir:
         # dbgen-format ingest (tpch.rs convert-tpch parity): point at a
         # directory of real dbgen .tbl files for the reference diff
         from ..datagen.tbl import register_tpch_tbl
@@ -75,6 +88,8 @@ def run(sf: float, queries, iterations: int, distributed: bool,
     if verify and not expected:
         from .oracle import ORACLES, to_pd
         if data is None:
+            # NOTE: materializes every table (the oracle is a host pandas
+            # engine) — at out-of-core scales use --expected instead
             data = {n: ctx.tables[n].arrow_table for n in ctx.tables}
         t0 = time.time()
         pdt = to_pd(data)
@@ -335,6 +350,10 @@ def main(argv=None):
     ap.add_argument("--tbl-dir", default=None,
                     help="ingest dbgen .tbl files from this directory "
                          "instead of the native datagen")
+    ap.add_argument("--dataset-dir", default=None,
+                    help="mount chunked parquet part files (datagen "
+                         "--chunks layout) as out-of-core tables; pair "
+                         "with --serial N (SF100 path)")
     ap.add_argument("--expected", default=None, metavar="DIR",
                     help="EXACT-diff results vs DIR/answers/q{n}.out "
                          "(tpch.rs --expected-results parity)")
@@ -360,7 +379,8 @@ def main(argv=None):
             lazy_ingest=args.lazy_ingest, verify=args.verify,
             capacity_mode=args.capacity_mode, tbl_dir=args.tbl_dir,
             expected=args.expected, query_timeout=args.query_timeout,
-            evict_between=args.evict_between, serial=args.serial)
+            evict_between=args.evict_between, serial=args.serial,
+            dataset_dir=args.dataset_dir)
 
 
 if __name__ == "__main__":
