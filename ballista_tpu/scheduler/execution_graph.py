@@ -88,6 +88,11 @@ class TaskStatus:
     # retryable split, execution_graph.rs:540-580); None keeps the
     # plain bounded-retry behavior
     error_kind: Optional[str] = None
+    # shuffle_overflow only: per-exchange shuffle-write stats
+    # [{"quota", "salt_kind", "counts": [[...]]}] — the PartitionStats
+    # that ride TaskStatus in the reference (serde/scheduler/mod.rs:33);
+    # lets a remote scheduler size the retry instead of blind escalation
+    stats: Optional[list] = None
 
 
 @dataclasses.dataclass

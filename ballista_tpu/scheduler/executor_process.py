@@ -148,9 +148,20 @@ class ExecutorProcess:
                                   "fetch_failed", str(err),
                                   failed_input_stage=err.map_stage_id,
                                   error_kind=err.kind)
+            # shuffle-write stats ride the failure wire (PartitionStats,
+            # serde/scheduler/mod.rs:33): the scheduler sizes quota/salt
+            # for ALL executors from the observed counts
+            stats = None
+            for st in (getattr(e, "stats", None) or ()):
+                stats = (stats or [])
+                stats.append({"quota": int(st["quota"]),
+                              "salt_kind": st["salt_kind"],
+                              "counts": [[int(x) for x in row] for row in
+                                         st["counts"]]})
             return TaskStatus(task.task_id, task.job_id, task.stage_id,
                               task.partitions, self.meta.executor_id,
-                              "failed", str(err), error_kind=err.kind)
+                              "failed", str(err), error_kind=err.kind,
+                              stats=stats)
 
     def poll_once(self) -> int:
         statuses, self._statuses = self._statuses, []

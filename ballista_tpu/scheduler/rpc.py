@@ -100,8 +100,14 @@ class SchedulerRpcService:
     def _escalate_on_overflow(self, statuses) -> None:
         """Quota-overflow coherence: bump the job's options + spec version
         and roll the graph back to scratch so every executor re-plans with
-        the new capacities (runtime.escalate_overflow_opts' blind tier —
-        cross-process stats shipping can ride TaskStatus later)."""
+        the new capacities. Stats-driven when the failing executor shipped
+        its shuffle-write counts in TaskStatus (the reference's
+        PartitionStats, serde/scheduler/mod.rs:33-100): the observed
+        max-need and skew pick headroom/salt directly; blind x4 otherwise."""
+        import numpy as np
+
+        from .runtime import ShuffleOverflowError, escalate_overflow_opts
+
         for s in statuses:
             if s.state != "failed" or s.error_kind != "shuffle_overflow":
                 continue
@@ -110,11 +116,21 @@ class SchedulerRpcService:
             if spec is None or g is None:
                 continue
             o = spec.options
-            spec.options = dataclasses.replace(
-                o, quota_headroom=o.quota_headroom * 4,
-                max_group_table=o.max_group_table * 4,
-                join_salt=(o.join_salt if spec.version == 0 else
-                           max(2, min(o.join_salt * 4, o.n_partitions))))
+            if s.stats:
+                carrier = ShuffleOverflowError("wire stats")
+                carrier.stats = [
+                    {"quota": st["quota"], "salt_kind": st["salt_kind"],
+                     "counts": np.asarray(st["counts"], np.int64)}
+                    for st in s.stats]
+                spec.options = escalate_overflow_opts(
+                    o, carrier, attempt=spec.version)
+            else:
+                spec.options = dataclasses.replace(
+                    o, quota_headroom=o.quota_headroom * 4,
+                    max_group_table=o.max_group_table * 4,
+                    join_salt=(o.join_salt if spec.version == 0 else
+                               max(2, min(o.join_salt * 4,
+                                          o.n_partitions))))
             spec.version += 1
             for st in g.stages.values():
                 st.reset_tasks()

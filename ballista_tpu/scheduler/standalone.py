@@ -143,8 +143,19 @@ class JobContext:
                 } if op_labels else {}
                 return
             if attempt == max_quota_retries - 1:
-                raise ShuffleOverflowError(
+                # terminal overflow still carries the shuffle-write stats:
+                # a scheduler one process up can size the retry from them
+                # (cross-process PartitionStats, serde/scheduler/mod.rs:33)
+                import numpy as _np
+                err = ShuffleOverflowError(
                     f"stage {stage_id} quota exceeded after retries")
+                counts = _np.asarray(ex_counts)  # (shards, E, P)
+                err.stats = [
+                    {"quota": q, "salt_kind": kind,
+                     "counts": counts[:, e, :]}
+                    for e, (q, kind) in enumerate(ex_meta)] if ex_meta \
+                    else None
+                raise err
             # re-plan the whole job, sizing from the observed shuffle-write
             # stats when available (PartitionStats analog); downstream
             # stages pick up the larger capacities (consumer schemas change)

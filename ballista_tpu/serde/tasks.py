@@ -57,7 +57,7 @@ def status_to_wire(s: TaskStatus) -> dict:
                  "executor_id": s.executor_id, "state": s.state,
                  "error": s.error,
                  "failed_input_stage": s.failed_input_stage,
-                 "error_kind": s.error_kind})
+                 "error_kind": s.error_kind, "stats": s.stats})
 
 
 def status_from_wire(d: dict) -> TaskStatus:
@@ -66,7 +66,8 @@ def status_from_wire(d: dict) -> TaskStatus:
                       tuple(int(p) for p in d["partitions"]),
                       d["executor_id"], d["state"], d.get("error"),
                       failed_input_stage=d.get("failed_input_stage"),
-                      error_kind=d.get("error_kind"))
+                      error_kind=d.get("error_kind"),
+                      stats=d.get("stats"))
 
 
 def executor_meta_to_wire(m: ExecutorMetadata) -> dict:

@@ -164,6 +164,58 @@ def test_rpc_killed_executor_job_completes(tmp_path):
         httpd.shutdown()
 
 
+def test_rpc_skew_stats_ride_the_wire(tmp_path):
+    """A hot-key overflow ships shuffle-write stats in TaskStatus; the
+    scheduler's retry options are STATS-driven (salt for the skewed
+    exchange, not blind x4 headroom) and the re-run succeeds —
+    PartitionStats (serde/scheduler/mod.rs:33-100) over a real wire."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.85, 7, rng.integers(0, 100, n))
+    pq.write_table(pa.table({"k": pa.array(keys, pa.int64()),
+                             "v": pa.array(rng.integers(0, 1000, n),
+                                           pa.int64())}),
+                   str(tmp_path / "fact.parquet"))
+    pq.write_table(pa.table({"dk": pa.array(np.arange(100), pa.int64()),
+                             "w": pa.array(np.arange(100) * 10,
+                                           pa.int64())}),
+                   str(tmp_path / "dim.parquet"))
+    tables = {"kind": "files", "tables": {
+        "fact": {"format": "parquet", "path": str(tmp_path / "fact.parquet"),
+                 "primary_key": None},
+        "dim": {"format": "parquet", "path": str(tmp_path / "dim.parquet"),
+                "primary_key": ["dk"]}}}
+    service, httpd, url = _start_scheduler(tmp_path / "shuffle")
+    procs = []
+    try:
+        procs.append(_spawn_executor(url, "ex-a"))
+        client = SchedulerRpcClient(url)
+        job_id = client.submit_sql(
+            "select k, sum(v + w) as s, count(*) c from fact join dim "
+            "on k = dk group by k order by k", tables,
+            options={"n_partitions": N_PART, "broadcast_threshold": 0,
+                     "min_quota": 16, "quota_headroom": 1.05})
+        got = client.wait(job_id, timeout_s=420)
+        f = pa.parquet.read_table(str(tmp_path / "fact.parquet")).to_pandas()
+        d = pa.parquet.read_table(str(tmp_path / "dim.parquet")).to_pandas()
+        m = f.merge(d, left_on="k", right_on="dk")
+        exp = (m.assign(s=m.v + m.w).groupby("k")
+                .agg(s=("s", "sum"), c=("s", "size")).reset_index()
+                .sort_values("k"))
+        assert [int(x) for x in got["s"]] == [int(x) for x in exp["s"]]
+        spec = service.specs[job_id]
+        assert spec.version >= 1
+        # stats-driven: the hot key forced a SALTED retry
+        assert spec.options.join_salt > 1
+    finally:
+        for p in procs:
+            p.kill()
+        httpd.shutdown()
+
+
 def test_rpc_overflow_escalates_spec_version(tmp_path):
     """A shuffle-quota overflow fails the task over the wire; the scheduler
     escalates the job spec (version bump) and the re-run succeeds with the
