@@ -79,6 +79,9 @@ class ExecutorProcess:
         log.info("executor %s registered at %s (%d devices, %d slots)",
                  self.meta.executor_id, self.client.url,
                  self.mesh.devices.size, self.meta.task_slots)
+        # the launcher-visible readiness marker MUST follow registration
+        # (tests and process managers wait on it)
+        print(f"EXECUTOR_READY {self.meta.executor_id}", flush=True)
         self._hb_thread = threading.Thread(target=self._heartbeat_loop,
                                            daemon=True)
         self._hb_thread.start()
@@ -220,7 +223,6 @@ def main(argv=None):
         ex.stop(graceful=True)
 
     signal.signal(signal.SIGTERM, _term)
-    print(f"EXECUTOR_READY {executor_id}", flush=True)
     try:
         ex.run_forever()
     except KeyboardInterrupt:

@@ -164,6 +164,32 @@ def test_rpc_killed_executor_job_completes(tmp_path):
         httpd.shutdown()
 
 
+def test_rpc_graceful_stop_deregisters(tmp_path):
+    """SIGTERM runs the graceful-stop protocol: the worker notifies
+    ExecutorStopped, exits 0, and the scheduler removes it
+    (executor_process.rs TERMINATING grace path over the wire)."""
+    service, httpd, url = _start_scheduler(tmp_path / "shuffle")
+    p = None
+    try:
+        p = _spawn_executor(url, "ex-stop")
+        assert "ex-stop" in service.scheduler.executor_manager.executors
+        p.terminate()  # SIGTERM
+        assert p.wait(timeout=30) == 0
+        deadline = time.time() + 10
+        em = service.scheduler.executor_manager
+        while time.time() < deadline:
+            with service.lock:
+                if "ex-stop" not in em.executors:
+                    break
+            time.sleep(0.1)
+        assert "ex-stop" not in em.executors
+        assert em.is_dead("ex-stop")
+    finally:
+        if p is not None:
+            p.kill()
+        httpd.shutdown()
+
+
 def test_rpc_skew_stats_ride_the_wire(tmp_path):
     """A hot-key overflow ships shuffle-write stats in TaskStatus; the
     scheduler's retry options are STATS-driven (salt for the skewed
