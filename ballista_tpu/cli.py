@@ -24,6 +24,65 @@ import time
 HELP = __doc__.split("Run:")[0]
 
 
+def _remote_tables_spec(args) -> dict:
+    """Map CLI data flags to a wire data-environment spec (serde/tasks)."""
+    if args.sf:
+        return {"kind": "tpch", "sf": args.sf}
+    if args.parquet:
+        import glob
+        import os
+        tables = {}
+        for path in sorted(glob.glob(os.path.join(args.parquet,
+                                                  "*.parquet"))):
+            name = os.path.splitext(os.path.basename(path))[0]
+            tables[name] = {"format": "parquet", "path": os.path.abspath(path),
+                            "primary_key": None}
+        for d in sorted(glob.glob(os.path.join(args.parquet, "*/"))):
+            name = os.path.basename(d.rstrip("/"))
+            tables[name] = {"format": "parquet_dataset",
+                            "path": os.path.abspath(d), "primary_key": None}
+        return {"kind": "files", "tables": tables}
+    raise SystemExit("--connect needs a data environment: --sf or --parquet")
+
+
+class RemoteSession:
+    """SessionContext-shaped adapter over the scheduler RPC wire
+    (BallistaContext::remote, ballista-cli --host/--port parity): SQL
+    parses/plans client-side against the named data environment, ships as
+    a serialized plan, and results stream back as Arrow IPC."""
+
+    def __init__(self, url: str, tables_spec: dict):
+        from .scheduler.rpc import SchedulerRpcClient
+        from .serde.tasks import build_context
+        self.client = SchedulerRpcClient(url)
+        self.tables_spec = tables_spec
+        self._local = build_context(tables_spec)  # schemas for planning
+        self.options = {}
+
+    @property
+    def tables(self):
+        return self._local.tables
+
+    def sql(self, query: str):
+        session = self
+
+        class _RemoteDF:
+            def __init__(self):
+                # plan eagerly so \explain and errors surface locally
+                self.plan = session._local.sql(query).plan
+
+            def to_pandas(self):
+                job_id = session.client.submit_sql(
+                    query, session.tables_spec, options=session.options,
+                    ctx=session._local)
+                return session.client.wait(job_id)
+
+        return _RemoteDF()
+
+    def take_warnings(self):
+        return self._local.take_warnings()
+
+
 class Repl:
     def __init__(self, ctx, distributed: bool = False, mesh=None):
         self.ctx = ctx
@@ -173,23 +232,32 @@ def main(argv=None):
                     help="suppress result output (timing-only runs)")
     ap.add_argument("--format", default="table",
                     choices=["table", "csv", "json"])
+    ap.add_argument("--connect", default=None, metavar="URL",
+                    help="execute against a REMOTE scheduler RPC service "
+                         "(ballista-cli --host/--port parity): queries "
+                         "submit over the wire and results stream back; "
+                         "pair with --sf or --parquet to name the shared "
+                         "data environment the executors mount")
     args = ap.parse_args(argv)
 
-    from .client import SessionContext
+    if args.connect:
+        ctx = RemoteSession(args.connect, _remote_tables_spec(args))
+    else:
+        from .client import SessionContext
 
-    ctx = SessionContext(distributed=args.distributed)
-    if args.sf:
+        ctx = SessionContext(distributed=args.distributed)
+    if args.sf and not args.connect:
         from .datagen import register_tpch
         print(f"generating TPC-H SF{args.sf} ...", file=sys.stderr)
         register_tpch(ctx, args.sf)
-    if args.parquet:
+    if args.parquet and not args.connect:
         import glob
         import os
         for path in sorted(glob.glob(os.path.join(args.parquet, "*.parquet"))):
             name = os.path.splitext(os.path.basename(path))[0]
             ctx.register_parquet(name, path)
             print(f"registered {name}", file=sys.stderr)
-    if args.csv:
+    if args.csv and not args.connect:
         import glob
         import os
         for path in sorted(glob.glob(os.path.join(args.csv, "*.csv"))):
@@ -197,7 +265,7 @@ def main(argv=None):
             ctx.register_csv(name, path)
             print(f"registered {name}", file=sys.stderr)
 
-    if args.plugin_dir:
+    if args.plugin_dir and not args.connect:
         loaded = ctx.load_plugins(args.plugin_dir)
         print(f"loaded plugins: {', '.join(loaded) or '(none)'}",
               file=sys.stderr)

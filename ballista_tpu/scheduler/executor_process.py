@@ -64,8 +64,9 @@ class ExecutorProcess:
         from .server import ExecutorMetadata
 
         self.client = SchedulerRpcClient(scheduler_url)
-        self.meta = ExecutorMetadata(executor_id, task_slots=task_slots)
         self.mesh = mesh or make_mesh()
+        self.meta = ExecutorMetadata(executor_id, task_slots=task_slots,
+                                     devices=int(self.mesh.devices.size))
         self.poll_interval = poll_interval
         self.heartbeat_interval = heartbeat_interval
         self.jobs: Dict[str, _ExecutorJob] = {}

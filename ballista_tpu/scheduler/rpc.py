@@ -151,7 +151,19 @@ class SchedulerRpcService:
 
         plan = decode_plan(req["plan"])
         tables = req["tables"]
-        opts = DistOptions(**req.get("options", {}))
+        options = dict(req.get("options") or {})
+        if "n_partitions" not in options:
+            # default to what the registered fleet can run: stage tasks
+            # are whole-mesh SPMD programs, so the partition count must
+            # equal an executor's device count
+            widths = {e.meta.devices
+                      for e in self.scheduler.executor_manager
+                                   .executors.values() if e.meta.devices}
+            if len(widths) == 1:
+                options["n_partitions"] = widths.pop()
+            elif len(widths) > 1:
+                options["n_partitions"] = min(widths)
+        opts = DistOptions(**options)
         ctx = self._context_for(tables)
         plan = prune_columns(reduce_group_keys(_rebind_scans(plan, ctx)))
         dplan = DistributedPlanner(ctx, opts).plan(plan)

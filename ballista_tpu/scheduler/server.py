@@ -42,6 +42,9 @@ class ExecutorMetadata:
     host: str = "localhost"
     port: int = 0
     task_slots: int = 1
+    # local mesh width (ExecutorSpecification parity): lets the scheduler
+    # default a job's partition count to what its fleet can actually run
+    devices: int = 0
 
 
 class ExecutorStatus(enum.Enum):

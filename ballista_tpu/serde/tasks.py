@@ -72,14 +72,16 @@ def status_from_wire(d: dict) -> TaskStatus:
 
 def executor_meta_to_wire(m: ExecutorMetadata) -> dict:
     return _tag({"executor_id": m.executor_id, "host": m.host,
-                 "port": m.port, "task_slots": m.task_slots})
+                 "port": m.port, "task_slots": m.task_slots,
+                 "devices": m.devices})
 
 
 def executor_meta_from_wire(d: dict) -> ExecutorMetadata:
     d = _untag(d, "executor registration")
     return ExecutorMetadata(d["executor_id"], d.get("host", "localhost"),
                             int(d.get("port", 0)),
-                            int(d.get("task_slots", 1)))
+                            int(d.get("task_slots", 1)),
+                            devices=int(d.get("devices", 0)))
 
 
 @dataclasses.dataclass

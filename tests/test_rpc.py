@@ -164,6 +164,24 @@ def test_rpc_killed_executor_job_completes(tmp_path):
         httpd.shutdown()
 
 
+def test_cli_connect_remote(tmp_path, capsys):
+    """ballista-cli --host parity: the REPL's one-shot mode submits over
+    the wire to a remote scheduler + worker and prints the result."""
+    from ballista_tpu.cli import main as cli_main
+    service, httpd, url = _start_scheduler(tmp_path / "shuffle")
+    p = None
+    try:
+        p = _spawn_executor(url, "ex-cli")
+        cli_main(["--connect", url, "--sf", str(SF),
+                  "-c", "select count(*) n from orders"])
+        out = capsys.readouterr().out
+        assert str(int(1_500_000 * SF)) in out
+    finally:
+        if p is not None:
+            p.kill()
+        httpd.shutdown()
+
+
 def test_rpc_graceful_stop_deregisters(tmp_path):
     """SIGTERM runs the graceful-stop protocol: the worker notifies
     ExecutorStopped, exits 0, and the scheduler removes it
