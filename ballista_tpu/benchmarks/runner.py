@@ -124,10 +124,17 @@ def run(sf: float, queries, iterations: int, distributed: bool,
         signal.signal(signal.SIGALRM, _alarm)
 
     results = {}
+    fn = inputs = ep = out = None
     for q in queries:
         if query_timeout:
             import signal
             signal.alarm(query_timeout)
+        # r3 part-B lesson: these locals from the PREVIOUS query pin its
+        # compiled program + bound table columns + output on device, so
+        # evict_device() freed nothing and q10-q22 all died
+        # RESOURCE_EXHAUSTED right after q9 filled HBM. Release before
+        # any eviction can work.
+        fn = inputs = ep = out = None
         try:
             t0 = time.time()
             from ..planner.optimizer import prune_columns
@@ -213,11 +220,23 @@ def run(sf: float, queries, iterations: int, distributed: bool,
                 # can't poison the rest of the sweep (SF10 r3: q9's OOM
                 # left HBM full and q10-q22 all died instantly)
                 import gc
+
+                import jax as _jax
+                fn = inputs = ep = out = None
                 ctx.evict_device()
+                # jit caches pin compiled executables + their constants;
+                # cross-query program reuse is worth less than finishing
+                _jax.clear_caches()
                 gc.collect()
         else:
             if evict_between:
+                import gc
+
+                import jax as _jax
+                fn = inputs = ep = out = None
                 ctx.evict_device()
+                _jax.clear_caches()
+                gc.collect()
         finally:
             if query_timeout:
                 import signal
