@@ -41,6 +41,45 @@ class QueryTimeout(Exception):
     pass
 
 
+def _oracle_cached(q: int, sf: float, pdt):
+    """Oracle result + its wall-ms, cached to disk when
+    BALLISTA_ORACLE_CACHE is set: the pandas oracle at SF10 costs 1-8 min
+    PER QUERY (q7: 505s, q9: 493s) and its inputs are deterministic
+    datagen, so retried sweeps shouldn't re-pay it. The recorded ms is
+    the original compute time (kept beside the result) so vs_oracle
+    stays honest across cache hits."""
+    import json as _json
+    import os
+    import time as _time
+
+    from .oracle import ORACLES
+
+    cache = os.environ.get("BALLISTA_ORACLE_CACHE")
+    path = meta = None
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        path = os.path.join(cache, f"oracle_sf{sf:g}_q{q}.parquet")
+        meta = path + ".json"
+        if os.path.exists(path) and os.path.exists(meta):
+            import pandas as pd
+            with open(meta) as f:
+                ms = _json.load(f)["oracle_ms"]
+            return pd.read_parquet(path), ms
+    t0 = _time.time()
+    exp = ORACLES[q](pdt)
+    ms = (_time.time() - t0) * 1000
+    if path:
+        try:
+            tmp = f"{path}.tmp{os.getpid()}"
+            exp.to_parquet(tmp)
+            os.replace(tmp, path)
+            with open(meta, "w") as f:
+                _json.dump({"oracle_ms": round(ms, 1)}, f)
+        except Exception:  # noqa: BLE001 - exotic dtype: skip caching
+            pass
+    return exp, ms
+
+
 def run(sf: float, queries, iterations: int, distributed: bool,
         lazy_ingest: bool = False, verify: bool = False,
         capacity_mode: str = "bucket", tbl_dir: str = None,
@@ -197,8 +236,9 @@ def run(sf: float, queries, iterations: int, distributed: bool,
                 from .oracle import ORACLES, diff_frames
                 got = B.to_pandas(out, out_schema)
                 t0 = time.time()
-                exp = ORACLES[q](pdt)
-                oracle_ms = (time.time() - t0) * 1000
+                exp, oracle_ms = _oracle_cached(q, sf, pdt)
+                if oracle_ms is None:
+                    oracle_ms = (time.time() - t0) * 1000
                 mismatch = diff_frames(got, exp)
                 results[q]["oracle_ms"] = round(oracle_ms, 1)
                 results[q]["vs_oracle"] = round(oracle_ms / max(
