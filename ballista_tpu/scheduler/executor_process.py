@@ -93,7 +93,9 @@ class ExecutorProcess:
         stage program occupies the poll thread."""
         while not self._stop.wait(self.heartbeat_interval):
             try:
-                self.client.heartbeat(self.meta.executor_id)
+                self.client.heartbeat(self.meta.executor_id, metrics={
+                    "cached_jobs": len(self.jobs),
+                    "pending_statuses": len(self._statuses)})
             except Exception as e:  # noqa: BLE001 - scheduler may be down
                 log.warning("heartbeat failed: %s", e)
 

@@ -28,6 +28,7 @@ import dataclasses
 import json
 import logging
 import threading
+import time
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
@@ -70,10 +71,37 @@ class SchedulerRpcService:
         return {"ok": True}
 
     def heartbeat(self, req: dict) -> dict:
-        self.scheduler.executor_manager.heartbeat(req["executor_id"])
+        em = self.scheduler.executor_manager
+        em.heartbeat(req["executor_id"])
+        ex = em.executors.get(req["executor_id"])
+        if ex is not None and "metrics" in req:
+            # executor-reported gauges ride the heartbeat (the reference's
+            # HeartBeatParams.metrics, executor_server.rs heartbeat task)
+            ex.reported_metrics = req["metrics"]
         self.scheduler.expire_dead_executors()
         self.scheduler.run_until_idle()
         return {"ok": True}
+
+    def state(self, req: dict) -> dict:
+        """Cluster-state snapshot (the REST /api/state surface for remote
+        deployments): executors with load + reported metrics, jobs with
+        their graph status."""
+        em = self.scheduler.executor_manager
+        now = time.time()
+        executors = []
+        for eid, ex in em.executors.items():
+            executors.append({
+                "executor_id": eid, "status": ex.status.value,
+                "task_slots": ex.meta.task_slots,
+                "devices": ex.meta.devices,
+                "free_slots": ex.free_slots,
+                "load_avg": list(ex.load_avg),
+                "last_heartbeat_age_s": round(now - ex.last_heartbeat, 1),
+                "metrics": getattr(ex, "reported_metrics", None)})
+        jobs = {jid: g.status()
+                for jid, g in self.scheduler.task_manager.jobs.items()}
+        return {"executors": executors, "jobs": jobs,
+                "pending_tasks": self.scheduler.pending_task_count()}
 
     def poll_work(self, req: dict) -> dict:
         statuses = [status_from_wire(s) for s in req.get("statuses", [])]
@@ -374,8 +402,14 @@ class SchedulerRpcClient:
             return None
         return jobspec_from_wire(out["spec"])
 
-    def heartbeat(self, executor_id: str) -> None:
-        self.call("heartbeat", executor_id=executor_id)
+    def heartbeat(self, executor_id: str, metrics: dict = None) -> None:
+        req = {"executor_id": executor_id}
+        if metrics is not None:
+            req["metrics"] = metrics
+        self.call("heartbeat", **req)
+
+    def state(self) -> dict:
+        return self.call("state")
 
     def executor_stopped(self, executor_id: str) -> None:
         self.call("executor_stopped", executor_id=executor_id)

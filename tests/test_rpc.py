@@ -164,6 +164,32 @@ def test_rpc_killed_executor_job_completes(tmp_path):
         httpd.shutdown()
 
 
+def test_rpc_state_reports_executors_and_metrics(tmp_path):
+    """/rpc/state: executors with load + heartbeat-reported gauges and job
+    statuses (REST /api/state surface for remote deployments)."""
+    service, httpd, url = _start_scheduler(tmp_path / "shuffle")
+    p = None
+    try:
+        p = _spawn_executor(url, "ex-m")
+        client = SchedulerRpcClient(url)
+        job_id = client.submit_sql(SQL, TABLES,
+                                   options={"n_partitions": N_PART})
+        client.wait(job_id, timeout_s=420)
+        deadline = time.time() + 10  # heartbeat interval is 1s in tests
+        metrics = None
+        while time.time() < deadline and metrics is None:
+            st = client.state()
+            ex = {e["executor_id"]: e for e in st["executors"]}
+            metrics = ex["ex-m"].get("metrics")
+            time.sleep(0.2)
+        assert metrics is not None and "cached_jobs" in metrics
+        assert st["jobs"][job_id]["state"] == "successful"
+    finally:
+        if p is not None:
+            p.kill()
+        httpd.shutdown()
+
+
 def test_cli_connect_remote(tmp_path, capsys):
     """ballista-cli --host parity: the REPL's one-shot mode submits over
     the wire to a remote scheduler + worker and prints the result."""
