@@ -86,6 +86,55 @@ def test_serial_query_over_dataset_matches_oracle(dataset_dir):
         assert ctx.tables[name]._materialized is None
 
 
+def test_serial_string_groupby_over_dataset(dataset_dir):
+    """Dictionary-coded string keys work when dictionaries were computed
+    by the per-part-file stream (codes must agree across partitions)."""
+    ctx = SessionContext()
+    ctx.register_parquet_dataset("orders", str(dataset_dir / "orders"),
+                                 TPCH_TABLES["orders"][1])
+    plan = ctx.sql(
+        "select o_orderpriority, min(o_clerk) mc, max(o_clerk) xc, "
+        "count(*) n from orders group by o_orderpriority "
+        "order by o_orderpriority").plan
+    out, schema = execute_serial(ctx, plan, 3)
+    got = B.to_pandas(out, schema)
+    o = pq.read_table(str(dataset_dir / "orders")).to_pandas()
+    exp = (o.groupby("o_orderpriority")
+            .agg(mc=("o_clerk", "min"), xc=("o_clerk", "max"),
+                 n=("o_clerk", "size"))
+            .reset_index().sort_values("o_orderpriority"))
+    assert list(got["o_orderpriority"]) == list(exp["o_orderpriority"])
+    assert list(got["mc"]) == list(exp["mc"])
+    assert list(got["xc"]) == list(exp["xc"])
+    assert [int(x) for x in got["n"]] == [int(x) for x in exp["n"]]
+
+
+def test_serial_overflow_retry_over_dataset(dataset_dir):
+    """Quota overflow inside the out-of-core runtime re-plans and
+    re-streams the dataset with escalated capacities."""
+    from ballista_tpu.scheduler.distributed_planner import DistOptions
+
+    ctx = SessionContext()
+    for name in ("orders", "customer"):
+        ctx.register_parquet_dataset(name, str(dataset_dir / name),
+                                     TPCH_TABLES[name][1])
+    plan = ctx.sql(
+        "select c_nationkey, count(*) n from orders "
+        "join customer on o_custkey = c_custkey "
+        "group by c_nationkey order by c_nationkey").plan
+    out, schema = execute_serial(
+        ctx, plan, 4,
+        options=DistOptions(n_partitions=4, broadcast_threshold=0,
+                            min_quota=8, quota_headroom=0.05))
+    got = B.to_pandas(out, schema)
+    o = pq.read_table(str(dataset_dir / "orders")).to_pandas()
+    c = pq.read_table(str(dataset_dir / "customer")).to_pandas()
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    exp = (m.groupby("c_nationkey").size().reset_index(name="n")
+            .sort_values("c_nationkey"))
+    assert [int(x) for x in got["n"]] == [int(x) for x in exp["n"]]
+
+
 def test_rpc_executor_can_mount_parquet_dataset(dataset_dir):
     """The wire data-env spec reaches the out-of-core provider (executors
     on other hosts mount the same shared part-file directory)."""
