@@ -24,6 +24,9 @@ def main(argv=None):
                     help="stream each table as N independently-generated "
                          "parquet part files with bounded RAM (the SF100 "
                          "path; dbgen -C/-S chunking parity)")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="parallel chunk-builder processes (chunks are "
+                         "rng-independent, so output is identical)")
     args = ap.parse_args(argv)
 
     names = (args.tables.split(",") if args.tables else list(TPCH_TABLES))
@@ -32,7 +35,7 @@ def main(argv=None):
         assert args.format == "parquet", "--chunks writes parquet part files"
         from .tpch import generate_tpch_parquet
         counts = generate_tpch_parquet(args.sf, args.out, args.chunks,
-                                       tables=names)
+                                       tables=names, workers=args.workers)
         for name, rows in counts.items():
             print(f"{name}: {rows} rows -> {args.out}/{name}/part_*.parquet")
         return

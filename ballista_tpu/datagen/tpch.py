@@ -375,22 +375,55 @@ def generate_table_chunks(name: str, sf: float, n_chunks: int,
                                                else name, seed, lo, hi))
 
 
+def _write_chunk(args) -> tuple:
+    """Worker for parallel chunked generation: one (table, chunk) part
+    file, self-contained (chunks are independent by construction)."""
+    sf, out_dir, name, c, lo, hi, seed, row_group_rows = args
+    import pyarrow.parquet as pq
+    base = {"lineitem": "orders", "partsupp": "part"}.get(name, name)
+    t = generate_table(name, sf, seed, lo, hi,
+                       rng=_chunk_rng(base if name == "partsupp" else name,
+                                      seed, lo, hi))
+    d = os.path.join(out_dir, name)
+    path = os.path.join(d, f"part_{c:04d}.parquet")
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(t, tmp, row_group_size=row_group_rows)
+    os.replace(tmp, path)
+    return name, t.num_rows
+
+
 def generate_tpch_parquet(sf: float, out_dir: str, n_chunks: int = 1,
                           seed: int = 19940101, tables=None,
-                          row_group_rows: int = 1 << 20) -> dict:
+                          row_group_rows: int = 1 << 20,
+                          workers: int = 1) -> dict:
     """Stream every table to parquet part-files with bounded RAM:
-    out_dir/<table>/part_<c>.parquet. Returns per-table row counts."""
+    out_dir/<table>/part_<c>.parquet. Returns per-table row counts.
+    workers > 1 builds chunks in parallel processes (chunks draw from
+    independent rng streams, so parallel == sequential bytes)."""
     import pyarrow.parquet as pq
-    counts = {}
-    for name in (tables or list(TPCH_TABLES)):
-        d = os.path.join(out_dir, name)
-        os.makedirs(d, exist_ok=True)
-        rows = 0
-        for c, t in generate_table_chunks(name, sf, n_chunks, seed):
-            pq.write_table(t, os.path.join(d, f"part_{c:04d}.parquet"),
-                           row_group_size=row_group_rows)
-            rows += t.num_rows
-        counts[name] = rows
+    names = tables or list(TPCH_TABLES)
+    counts = {n: 0 for n in names}
+    tasks = []
+    for name in names:
+        os.makedirs(os.path.join(out_dir, name), exist_ok=True)
+        if name in ("region", "nation"):
+            t = generate_table(name, sf, seed)
+            pq.write_table(t, os.path.join(out_dir, name,
+                                           "part_0000.parquet"))
+            counts[name] = t.num_rows
+            continue
+        for c, (lo, hi) in enumerate(chunk_ranges(name, sf, n_chunks)):
+            tasks.append((sf, out_dir, name, c, lo, hi, seed,
+                          row_group_rows))
+    if workers > 1:
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for name, rows in ex.map(_write_chunk, tasks):
+                counts[name] += rows
+    else:
+        for task in tasks:
+            name, rows = _write_chunk(task)
+            counts[name] += rows
     return counts
 
 
