@@ -168,8 +168,12 @@ class _RemoteWatch(Watch):
             self._buffer.append(WatchEvent(kind, Keyspace(ks), key, value))
 
     def poll(self, timeout: Optional[float] = None) -> Optional[WatchEvent]:
-        if not self._buffer:
-            self._pull(timeout if timeout is not None else 0)
+        """timeout=None approximates the embedded watch's block-forever
+        with repeated long-polls."""
+        while not self._buffer:
+            self._pull(10.0 if timeout is None else timeout)
+            if timeout is not None:
+                break
         return self._buffer.pop(0) if self._buffer else None
 
     def drain(self) -> List[WatchEvent]:
