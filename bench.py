@@ -95,18 +95,23 @@ def main():
     n_rows = data["lineitem"].num_rows
 
     # the remote compile service can drop mid-request (observed once:
-    # connection refused, recovered later); retry a few times before
-    # giving up so a transient blip doesn't void the benchmark
-    for attempt in range(3):
+    # connection refused, recovered later), and a long benchmark sweep in
+    # another process may be holding HBM (it evicts between queries, so a
+    # window opens every few minutes); retry with patience so neither
+    # voids the benchmark
+    attempts = 8
+    for attempt in range(attempts):
         try:
             engine_s, got, info = bench_engine(data)
             break
         except Exception as e:  # noqa: BLE001
-            if attempt == 2:
+            if attempt == attempts - 1:
                 raise
+            wait = 150 if "RESOURCE_EXHAUSTED" in str(e) else 120
             print(f"# engine attempt {attempt + 1} failed "
-                  f"({type(e).__name__}); retrying in 120s", file=sys.stderr)
-            time.sleep(120)
+                  f"({type(e).__name__}); retrying in {wait}s",
+                  file=sys.stderr)
+            time.sleep(wait)
     pandas_s, exp = bench_pandas(data)
 
     # sanity: results must agree with the oracle
