@@ -47,7 +47,10 @@ def _oracle_cached(q: int, sf: float, pdt):
     PER QUERY (q7: 505s, q9: 493s) and its inputs are deterministic
     datagen, so retried sweeps shouldn't re-pay it. The recorded ms is
     the original compute time (kept beside the result) so vs_oracle
-    stays honest across cache hits."""
+    stays honest across cache hits. `pdt` may be the pandas table dict
+    or a zero-arg callable returning it (lazily materialized only on a
+    cache miss — per-query sweep subprocesses with a warm cache never
+    build pandas tables at all)."""
     import json as _json
     import os
     import time as _time
@@ -65,6 +68,8 @@ def _oracle_cached(q: int, sf: float, pdt):
             with open(meta) as f:
                 ms = _json.load(f)["oracle_ms"]
             return pd.read_parquet(path), ms
+    if callable(pdt):
+        pdt = pdt()
     t0 = _time.time()
     exp = ORACLES[q](pdt)
     ms = (_time.time() - t0) * 1000
@@ -125,14 +130,21 @@ def run(sf: float, queries, iterations: int, distributed: bool,
 
     pdt = None
     if verify and not expected:
-        from .oracle import ORACLES, to_pd
-        if data is None:
-            # NOTE: materializes every table (the oracle is a host pandas
-            # engine) — at out-of-core scales use --expected instead
-            data = {n: ctx.tables[n].arrow_table for n in ctx.tables}
-        t0 = time.time()
-        pdt = to_pd(data)
-        print(f"# oracle tables {time.time() - t0:.1f}s", file=sys.stderr)
+        from .oracle import to_pd
+        _pdt_cache = {}
+
+        def pdt():
+            # lazy: only materialized on an oracle-cache miss (at SF10+
+            # building pandas tables costs minutes per process; warm
+            # BALLISTA_ORACLE_CACHE sweeps never pay it)
+            if "v" not in _pdt_cache:
+                t0 = time.time()
+                d = data if data is not None else {
+                    n: ctx.tables[n].arrow_table for n in ctx.tables}
+                _pdt_cache["v"] = to_pd(d)
+                print(f"# oracle tables {time.time() - t0:.1f}s",
+                      file=sys.stderr)
+            return _pdt_cache["v"]
 
     if not lazy_ingest:
         # lazy_ingest skips the warm pass: tables ingest on first use and
@@ -181,20 +193,43 @@ def run(sf: float, queries, iterations: int, distributed: bool,
             # the scanned columns only (per-column lazy ingest)
             plan = _rebind_scans(prune_columns(ctx.sql(TPCH_QUERIES[q]).plan),
                                  ctx)
-            if serial:
+            route_n = serial
+            if not serial and not distributed:
+                # automatic out-of-core routing (no human --serial flag):
+                # plans whose predicted peak HBM is well beyond the chip
+                # (SF10 q5/q8: XLA wants >16 GB in one piece) go straight
+                # to the serial runtime instead of paying a doomed compile
+                from ..exec.memory import hbm_budget_bytes, route_serial
+                from ..planner.physical import create_physical_plan
+                caps = {n: tp.capacity for n, tp in ctx.tables.items()}
+                try:
+                    route_n = route_serial(
+                        create_physical_plan(plan, caps, ctx.options))
+                except Exception:  # noqa: BLE001 - estimator must not kill
+                    route_n = 0
+                if route_n:
+                    print(f"q{q:2d}  auto-routed out-of-core "
+                          f"(serial@{route_n})", file=sys.stderr, flush=True)
+
+            def _run_serial(n_parts):
+                nonlocal out
+                from ..scheduler.serial import execute_serial
+                ctx.serial_partitions = n_parts
+                t0 = time.time()
+                out, out_schema = execute_serial(ctx, plan, n_parts)
+                compile_s = time.time() - t0
+                t0 = time.time()
+                for _ in range(iterations):
+                    out, out_schema = execute_serial(ctx, plan, n_parts)
+                per_iter = (time.time() - t0) / iterations
+                return compile_s, per_iter, int(out.num_rows), out_schema
+
+            if route_n:
                 # out-of-core: partition-by-partition on one device with
                 # host-RAM shuffles (scheduler/serial.py) — for queries
                 # whose single-program working set exceeds HBM (SF10 q5/q8
                 # plan a >16GB join buffer)
-                from ..scheduler.serial import execute_serial
-                ctx.serial_partitions = serial
-                out, out_schema = execute_serial(ctx, plan, serial)
-                compile_s = time.time() - t0
-                t0 = time.time()
-                for _ in range(iterations):
-                    out, out_schema = execute_serial(ctx, plan, serial)
-                per_iter = (time.time() - t0) / iterations
-                nrows = int(out.num_rows)
+                compile_s, per_iter, nrows, out_schema = _run_serial(route_n)
             elif distributed:
                 from ..scheduler.runtime import execute_distributed
                 # distributed path: plan+compile+run per call (stage cache
@@ -208,18 +243,54 @@ def run(sf: float, queries, iterations: int, distributed: bool,
                 nrows = int(out.num_rows)
                 out_schema = schema
             else:
-                # overflow-converged compile (expanding joins re-size and
-                # retry; compiling without the flag silently clips — q21
-                # at SF>=0.5 gave wrong rows through the old manual path)
-                fn, inputs, ep, out = ctx.converge_compile(plan, pruned=True)
-                nrows = int(out.num_rows)  # drain (compile+warmup)
-                compile_s = time.time() - t0
-                t0 = time.time()
-                for _ in range(iterations):
-                    out, _overflow = fn(inputs)
-                nrows = int(out.num_rows)
-                per_iter = (time.time() - t0) / iterations
-                out_schema = ep.schema
+                try:
+                    # overflow-converged compile (expanding joins re-size
+                    # and retry; compiling without the flag silently clips
+                    # — q21 at SF>=0.5 gave wrong rows through the old
+                    # manual path)
+                    fn, inputs, ep, out = ctx.converge_compile(plan,
+                                                               pruned=True)
+                    nrows = int(out.num_rows)  # drain (compile+warmup)
+                    compile_s = time.time() - t0
+                    t0 = time.time()
+                    for _ in range(iterations):
+                        out, _overflow = fn(inputs)
+                    nrows = int(out.num_rows)
+                    per_iter = (time.time() - t0) / iterations
+                    out_schema = ep.schema
+                except Exception as e:  # noqa: BLE001
+                    if "RESOURCE_EXHAUSTED" not in str(e) and \
+                            "exceed memory" not in str(e):
+                        raise
+                    # borderline plan the router let through: free HBM and
+                    # fall back to the out-of-core runtime in-process (the
+                    # estimator has ~±30% error by design)
+                    import gc
+
+                    import jax as _jax
+                    fn = inputs = ep = out = None
+                    ctx.evict_device()
+                    _jax.clear_caches()
+                    gc.collect()
+                    from ..exec.memory import (hbm_budget_bytes,
+                                               plan_serial_partitions)
+                    est_n = 4
+                    try:
+                        from ..exec.memory import estimate_plan_hbm
+                        from ..planner.physical import create_physical_plan
+                        caps = {n: tp.capacity
+                                for n, tp in ctx.tables.items()}
+                        est_n = plan_serial_partitions(
+                            estimate_plan_hbm(
+                                create_physical_plan(plan, caps,
+                                                     ctx.options)),
+                            hbm_budget_bytes())
+                    except Exception:  # noqa: BLE001
+                        pass
+                    print(f"q{q:2d}  in-core OOM; falling back to "
+                          f"serial@{est_n}", file=sys.stderr, flush=True)
+                    compile_s, per_iter, nrows, out_schema = \
+                        _run_serial(est_n)
             results[q] = {"ms": round(per_iter * 1000, 1),
                           "compile_s": round(compile_s, 1), "rows": nrows}
             extra = ""

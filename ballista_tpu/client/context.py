@@ -548,9 +548,68 @@ class SessionContext:
             return execute_serial(self, plan, self.serial_partitions,
                                   max_retries=max_retries)
 
-        fn, inputs, exec_plan, out = self.converge_compile(
-            plan, max_retries=max_retries)
-        return out, exec_plan.schema
+        # automatic out-of-core routing: plans whose predicted peak HBM
+        # is well beyond the device go straight to the serial runtime
+        # (exec/memory.py; the reference gets this implicitly from its
+        # disk-spilling volcano model). Borderline plans try in-core and
+        # fall back on RESOURCE_EXHAUSTED.
+        route_n = 0
+        try:
+            # cheap gate: when even a 200 B/row over-estimate of every
+            # registered table fits the budget, no plan can plausibly
+            # exceed HBM — skip the extra planning pass (keeps small
+            # interactive queries free of routing overhead)
+            from ..exec.memory import hbm_budget_bytes
+            total_rows = sum(tp.num_rows for tp in self.tables.values())
+            if total_rows * 200 >= hbm_budget_bytes():
+                from ..exec.memory import route_serial
+                from ..planner.optimizer import prune_columns
+                pruned = _rebind_scans(prune_columns(plan), self)
+                capacities = {n: tp.capacity
+                              for n, tp in self.tables.items()}
+                route_n = route_serial(create_physical_plan(
+                    pruned, capacities, self.options))
+        except Exception:  # noqa: BLE001 - estimator must not block a query
+            route_n = 0
+        if route_n:
+            self.warn(f"plan routed out-of-core (serial@{route_n}): "
+                      "predicted working set exceeds device memory")
+            from ..scheduler.serial import execute_serial
+            return execute_serial(self, pruned, route_n,
+                                  max_retries=max_retries)
+        try:
+            fn, inputs, exec_plan, out = self.converge_compile(
+                plan, max_retries=max_retries)
+            return out, exec_plan.schema
+        except Exception as e:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" not in str(e) and \
+                    "exceed memory" not in str(e):
+                raise
+            import gc
+
+            import jax as _jax
+            fn = inputs = exec_plan = out = None
+            self.evict_device()
+            _jax.clear_caches()
+            gc.collect()
+            self.warn("in-core execution exhausted device memory; "
+                      "falling back to the out-of-core serial runtime")
+            from ..exec.memory import (estimate_plan_hbm, hbm_budget_bytes,
+                                       plan_serial_partitions)
+            from ..planner.optimizer import prune_columns
+            pruned = _rebind_scans(prune_columns(plan), self)
+            try:
+                capacities = {n: tp.capacity
+                              for n, tp in self.tables.items()}
+                n_parts = plan_serial_partitions(
+                    estimate_plan_hbm(create_physical_plan(
+                        pruned, capacities, self.options)),
+                    hbm_budget_bytes())
+            except Exception:  # noqa: BLE001
+                n_parts = 4
+            from ..scheduler.serial import execute_serial
+            return execute_serial(self, pruned, n_parts,
+                                  max_retries=max_retries)
 
     def converge_compile(self, plan: L.LogicalPlan, max_retries: int = 5,
                          pruned: bool = False):
