@@ -87,7 +87,7 @@ def bench_wire(n_jobs: int, n_stages: int, n_partitions: int) -> dict:
                                           n_partitions))
     statuses, polls = [], 0
     while True:
-        tasks = client.poll_work("bench-exec", 8, statuses)
+        tasks, _known = client.poll_work("bench-exec", 8, statuses)
         polls += 1
         statuses = [TaskStatus(t.task_id, t.job_id, t.stage_id,
                                t.partitions, "bench-exec", "successful")

@@ -52,7 +52,8 @@ class _ExecutorJob:
         runtime = DistributedRuntime(ctx, mesh, spec.options)
         dplan = DistributedPlanner(ctx, spec.options).plan(plan)
         self.jc = JobContext(spec.job_id, dplan, runtime, ctx, plan,
-                             spiller=StageSpiller(spec.work_dir))
+                             spiller=StageSpiller(spec.work_dir,
+                                                  version=spec.version))
 
 
 class ExecutorProcess:
@@ -93,11 +94,23 @@ class ExecutorProcess:
         stage program occupies the poll thread."""
         while not self._stop.wait(self.heartbeat_interval):
             try:
-                self.client.heartbeat(self.meta.executor_id, metrics={
+                out = self.client.heartbeat(self.meta.executor_id, metrics={
                     "cached_jobs": len(self.jobs),
                     "pending_statuses": len(self._statuses)})
+                if out is not None and out.get("known") is False:
+                    # scheduler restarted or expired us: re-register so
+                    # work flows again (a worker that only polls idle
+                    # would otherwise be excluded forever — ADVICE r3)
+                    self._reregister()
             except Exception as e:  # noqa: BLE001 - scheduler may be down
                 log.warning("heartbeat failed: %s", e)
+
+    def _reregister(self):
+        try:
+            self.client.register_executor(self.meta)
+            log.info("executor %s re-registered", self.meta.executor_id)
+        except Exception as e:  # noqa: BLE001 - retried on next signal
+            log.warning("re-registration failed: %s", e)
 
     def stop(self, graceful: bool = True):
         self._stop.set()
@@ -172,12 +185,14 @@ class ExecutorProcess:
     def poll_once(self) -> int:
         statuses, self._statuses = self._statuses, []
         try:
-            tasks = self.client.poll_work(
+            tasks, known = self.client.poll_work(
                 self.meta.executor_id, self.meta.task_slots, statuses)
         except Exception as e:  # noqa: BLE001 - scheduler hiccup: retry
             log.warning("poll failed: %s", e)
             self._statuses = statuses  # redeliver next poll
             return 0
+        if not known:
+            self._reregister()
         for task in tasks:
             self._statuses.append(self._run_task(task))
         return len(tasks)

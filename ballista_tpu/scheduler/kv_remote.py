@@ -35,6 +35,11 @@ from .kv import Keyspace, KeyValueStore, Watch, WatchEvent
 log = logging.getLogger("ballista_tpu.kv_remote")
 
 
+class LockLostError(RuntimeError):
+    """A server lease lock expired or was taken over while held: the
+    holder's critical section may have overlapped a peer's."""
+
+
 class KvService:
     """Hosts an embedded store + revision log + lease locks."""
 
@@ -78,6 +83,21 @@ class KvService:
             self.locks[lk] = (lease, now + ttl)
             return {"acquired": True, "lease": lease}
 
+    def renew(self, req):
+        """Lease keep-alive (etcd LeaseKeepAlive): extend a held lease's
+        expiry. ok:False means the lease already expired and a peer may
+        hold the lock — the caller must treat its critical section as
+        compromised (ADVICE r3: without keep-alive a slow holder silently
+        lost mutual exclusion after lock_ttl_s)."""
+        lk = (req["ks"], req["key"])
+        with self.cond:
+            held = self.locks.get(lk)
+            if held is not None and held[0] == req.get("lease"):
+                self.locks[lk] = (held[0],
+                                  time.time() + float(req.get("ttl_s", 30.0)))
+                return {"ok": True}
+        return {"ok": False}
+
     def unlock(self, req):
         lk = (req["ks"], req["key"])
         with self.cond:
@@ -89,7 +109,13 @@ class KvService:
 
     def watch(self, req):
         """Long-poll: block until an event newer than since_rev matches
-        (ks, prefix) or the timeout lapses; return all matching events."""
+        (ks, prefix) or the timeout lapses; return all matching events.
+
+        A since_rev older than the retained log window (the log is
+        truncated to max_log entries) gets a `compacted` response with a
+        consistent full scan + current rev instead of silently missing
+        events (etcd returns ErrCompacted; ADVICE r3: a lagging watcher
+        must resync, not skip)."""
         ks, prefix = req["ks"], req.get("prefix", "")
         since = int(req.get("since_rev", 0))
         deadline = time.time() + min(float(req.get("timeout_s", 10.0)), 55.0)
@@ -100,6 +126,10 @@ class KvService:
 
         with self.cond:
             while True:
+                if since < self.rev - len(self.events):
+                    # events in (since, rev] fell out of the log: resync
+                    return {"compacted": True, "rev": self.rev,
+                            "items": self.store._raw_scan(ks, prefix)}
                 evs = matching()
                 if evs:
                     return {"events": evs, "rev": self.rev}
@@ -162,6 +192,15 @@ class _RemoteWatch(Watch):
         out = self._remote._call(
             "watch", ks=self.keyspace.value, prefix=self.prefix,
             since_rev=self._since, timeout_s=timeout)
+        if out.get("compacted"):
+            # our revision fell out of the server's retained log: resync
+            # from the consistent scan the server returned (synthetic PUT
+            # per current key; deletes older than the scan are subsumed)
+            for key, value in out["items"]:
+                self._buffer.append(WatchEvent(WatchEvent.PUT,
+                                               self.keyspace, key, value))
+            self._since = out["rev"]
+            return
         for rev, op, ks, key, value in out["events"]:
             self._since = max(self._since, rev)
             kind = WatchEvent.PUT if op == "put" else WatchEvent.DELETE
@@ -220,7 +259,15 @@ class RemoteKeyValueStore(KeyValueStore):
     def lock(self, keyspace: Keyspace, key: str,
              acquire_timeout_s: float = 60.0):
         """Server lease lock: retries until acquired or timeout; the lease
-        TTL bounds how long a crashed holder can block peers."""
+        TTL bounds how long a crashed holder can block peers.
+
+        A background thread renews the lease at ttl/3 (etcd lease
+        keep-alive), so a holder inside the with-block longer than
+        lock_ttl_s keeps exclusion. If renewal or the final unlock report
+        the lease was taken over anyway (service unreachable for >ttl, or
+        a partition), LockLostError is raised so the caller learns its
+        critical section may have raced a peer (ADVICE r3: the stale
+        unlock was silently ignored before)."""
         deadline = time.time() + acquire_timeout_s
         while True:
             out = self._call("lock", ks=keyspace.value, key=key,
@@ -233,10 +280,49 @@ class RemoteKeyValueStore(KeyValueStore):
                     f"kv lock {keyspace.value}/{key} not acquired in "
                     f"{acquire_timeout_s}s")
             time.sleep(0.05)
+
+        stop = threading.Event()
+        lost = threading.Event()
+
+        def _keepalive():
+            while not stop.wait(self.lock_ttl_s / 3.0):
+                try:
+                    if not self._call("renew", ks=keyspace.value, key=key,
+                                      ttl_s=self.lock_ttl_s,
+                                      lease=lease).get("ok"):
+                        lost.set()
+                        return
+                except Exception:  # noqa: BLE001 - transient: retry; the
+                    pass           # lease outlives 2 more attempts
+
+        ka = threading.Thread(target=_keepalive, daemon=True)
+        ka.start()
+        body_raised = False
         try:
             yield
+        except BaseException:
+            body_raised = True
+            raise
         finally:
-            self._call("unlock", ks=keyspace.value, key=key, lease=lease)
+            stop.set()
+            ka.join(timeout=1.0)
+            unlock_ok = False
+            try:
+                unlock_ok = bool(self._call(
+                    "unlock", ks=keyspace.value, key=key,
+                    lease=lease).get("ok"))
+            except Exception as e:  # noqa: BLE001 - service unreachable
+                log.warning("kv unlock %s/%s failed: %s",
+                            keyspace.value, key, e)
+            if (lost.is_set() or not unlock_ok):
+                if body_raised:
+                    log.warning("kv lock %s/%s lease lost during a failing "
+                                "critical section", keyspace.value, key)
+                else:
+                    raise LockLostError(
+                        f"kv lock {keyspace.value}/{key}: lease expired or "
+                        "was taken over while held — mutual exclusion may "
+                        "have been violated")
 
     def watch(self, keyspace: Keyspace, prefix: str = "") -> Watch:
         return _RemoteWatch(self, keyspace, prefix)

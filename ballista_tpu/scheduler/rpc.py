@@ -80,7 +80,12 @@ class SchedulerRpcService:
             ex.reported_metrics = req["metrics"]
         self.scheduler.expire_dead_executors()
         self.scheduler.run_until_idle()
-        return {"ok": True}
+        # `known: False` tells the worker to re-register (scheduler
+        # restarted, or this id expired): without it a worker polls idle
+        # forever after a single heartbeat lapse (ADVICE r3)
+        return {"ok": True,
+                "known": ex is not None and not em.is_dead(
+                    req["executor_id"])}
 
     def state(self, req: dict) -> dict:
         """Cluster-state snapshot (the REST /api/state surface for remote
@@ -106,8 +111,11 @@ class SchedulerRpcService:
     def poll_work(self, req: dict) -> dict:
         statuses = [status_from_wire(s) for s in req.get("statuses", [])]
         self._escalate_on_overflow(statuses)
+        em = self.scheduler.executor_manager
+        eid = req["executor_id"]
+        known = eid in em.executors and not em.is_dead(eid)
         tasks = self.scheduler.poll_work(
-            req["executor_id"], int(req.get("free_slots", 1)), statuses)
+            eid, int(req.get("free_slots", 1)), statuses)
         out = []
         for t in tasks:
             w = task_to_wire(t)
@@ -116,7 +124,7 @@ class SchedulerRpcService:
             # older (overflow escalation bumped the capacities)
             w["spec_version"] = spec.version if spec else 0
             out.append(w)
-        return {"tasks": out}
+        return {"tasks": out, "known": known}
 
     def update_task_status(self, req: dict) -> dict:
         statuses = [status_from_wire(s) for s in req.get("statuses", [])]
@@ -257,7 +265,8 @@ class SchedulerRpcService:
         from .. import batch as B
         from ..parallel.partitioned import gather_partitions
         from .spill import StageSpiller
-        pb = StageSpiller(spec.work_dir).restore(job_id, spec.final_stage)
+        pb = StageSpiller(spec.work_dir, version=spec.version).restore(
+            job_id, spec.final_stage)
         if pb is None:
             return {"error": "final stage output not found in object store"}
         # schema comes from re-deriving the final stage plan server-side
@@ -384,6 +393,9 @@ class SchedulerRpcClient:
         self.call("register_executor", metadata=executor_meta_to_wire(meta))
 
     def poll_work(self, executor_id: str, free_slots: int, statuses):
+        """Returns (tasks, known): `known=False` means the scheduler does
+        not recognize this executor id (restart / heartbeat expiry) and
+        the worker must re-register before polling again."""
         from ..serde.tasks import status_to_wire, task_from_wire
         out = self.call("poll_work", executor_id=executor_id,
                         free_slots=free_slots,
@@ -394,7 +406,7 @@ class SchedulerRpcClient:
             t = task_from_wire(w)
             t._spec_version = v
             tasks.append(t)
-        return tasks
+        return tasks, out.get("known", True)
 
     def get_job(self, job_id: str) -> Optional[JobSpec]:
         out = self.call("get_job", job_id=job_id)
@@ -402,11 +414,11 @@ class SchedulerRpcClient:
             return None
         return jobspec_from_wire(out["spec"])
 
-    def heartbeat(self, executor_id: str, metrics: dict = None) -> None:
+    def heartbeat(self, executor_id: str, metrics: dict = None) -> dict:
         req = {"executor_id": executor_id}
         if metrics is not None:
             req["metrics"] = metrics
-        self.call("heartbeat", **req)
+        return self.call("heartbeat", **req)
 
     def state(self) -> dict:
         return self.call("state")

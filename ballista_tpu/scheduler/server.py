@@ -83,6 +83,12 @@ class ExecutorManager:
         self._dead: set = set()   # dead-executor cache (moka analog)
 
     def register(self, meta: ExecutorMetadata):
+        # re-registration resurrects an expired id: a worker that missed
+        # heartbeats (GC pause, scheduler restart) or restarts with a
+        # fixed --executor-id must not stay permanently excluded
+        # (the reference's moka dead-cache entries expire by TTL;
+        # ADVICE r3: ours never did)
+        self._dead.discard(meta.executor_id)
         self.executors[meta.executor_id] = ExecutorState(
             meta, free_slots=meta.task_slots)
 
@@ -165,20 +171,34 @@ class TaskManager:
         self.jobs[graph.job_id] = graph
         self.queue.append(graph.job_id)
 
-    def fill_reservations(self, executor_ids: List[str]
+    def fill_reservations(self, executor_ids: List[str],
+                          widths: Optional[Dict[str, int]] = None
                           ) -> Tuple[List[TaskDescription], List[str]]:
         """Rotate through active jobs claiming tasks per reserved slot
-        (task_manager.rs:585). Returns (tasks, unfilled_executor_ids)."""
+        (task_manager.rs:585). Returns (tasks, unfilled_executor_ids).
+
+        `widths` maps executor_id -> mesh device count: stage tasks are
+        whole-mesh SPMD programs, so a job planned for N partitions can
+        only run on an N-device executor — a heterogeneous fleet must not
+        hand a task to a mismatched worker, where it would fail at
+        ExecutorProcess._job_for and burn TASK_MAX_FAILURES (ADVICE r3).
+        0/absent means any width (in-process mesh launchers always
+        match)."""
         tasks: List[TaskDescription] = []
         unfilled: List[str] = []
         for eid in executor_ids:
             task = None
+            want = (widths or {}).get(eid, 0)
             for _ in range(len(self.queue)):
                 jid = self.queue[0]
                 self.queue.rotate(-1)
                 g = self.jobs.get(jid)
                 if g is None or g.state is not JobState.RUNNING:
                     continue
+                if want and g.stages:
+                    jp = next(iter(g.stages.values())).n_partitions
+                    if jp != want:
+                        continue
                 task = g.pop_next_task(eid)
                 if task is not None:
                     break
@@ -358,7 +378,8 @@ class SchedulerServer:
         if ex.free_slots <= 0:
             return []
         tasks, _unfilled = self.task_manager.fill_reservations(
-            [executor_id] * ex.free_slots)
+            [executor_id] * ex.free_slots,
+            widths={executor_id: ex.meta.devices})
         ex.free_slots -= len(tasks)
         ex.sample_load()
         return tasks
@@ -486,7 +507,10 @@ class SchedulerServer:
                 min(pending, TASKS_PER_TICK))
             if not reserved:
                 return
-            tasks, unfilled = self.task_manager.fill_reservations(reserved)
+            tasks, unfilled = self.task_manager.fill_reservations(
+                reserved, widths={
+                    eid: e.meta.devices
+                    for eid, e in self.executor_manager.executors.items()})
             self.executor_manager.cancel_reservations(unfilled)
             if tasks:
                 self.task_manager.launcher.launch(

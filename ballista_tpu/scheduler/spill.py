@@ -30,14 +30,22 @@ from ..batch import Column
 
 
 class StageSpiller:
-    def __init__(self, work_dir: str, registry=None):
+    def __init__(self, work_dir: str, registry=None, version: int = 0):
         from ..utils.object_store import DEFAULT_REGISTRY
         self.work_dir = work_dir
+        # job-spec version rides the spill key: after an overflow
+        # escalation re-plans a job (rpc.py _escalate_on_overflow bumps
+        # the spec version), a straggler executor finishing an OLD-spec
+        # task writes old-version keys and can never shadow the re-run
+        # stage's new-capacity output (ADVICE r3). Version 0 keeps the
+        # flat pre-escalation layout.
+        self.version = version
         self.store, self._prefix = \
             (registry or DEFAULT_REGISTRY).resolve(work_dir)
 
     def _key(self, job_id: str, stage_id: int) -> str:
-        base = f"{job_id}/stage_{stage_id}.arrow"
+        v = f"v{self.version}_" if self.version else ""
+        base = f"{job_id}/{v}stage_{stage_id}.arrow"
         return f"{self._prefix}/{base}" if self._prefix else base
 
     def spill(self, job_id: str, stage_id: int, pb: PartitionedBatch):

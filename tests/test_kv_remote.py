@@ -108,3 +108,70 @@ def test_embedded_store_can_back_the_service(tmp_path):
             Keyspace.JOB_STATUS, "j1") == "running"
     finally:
         httpd.shutdown()
+
+
+def test_lease_keepalive_holds_lock_beyond_ttl(kv_url):
+    """A holder inside the with-block longer than lock_ttl_s keeps
+    exclusion: the keep-alive thread renews the lease (etcd
+    LeaseKeepAlive; ADVICE r3 — the lease used to silently expire)."""
+    a = RemoteKeyValueStore(kv_url, lock_ttl_s=0.3)
+    b = RemoteKeyValueStore(kv_url, lock_ttl_s=0.3)
+    with a.lock(Keyspace.SLOTS, "long"):
+        time.sleep(1.0)  # > 3x the TTL
+        with pytest.raises(TimeoutError):
+            with b.lock(Keyspace.SLOTS, "long", acquire_timeout_s=0.2):
+                pass
+    # released cleanly afterwards
+    with b.lock(Keyspace.SLOTS, "long", acquire_timeout_s=2.0):
+        pass
+
+
+def test_lock_lost_raises():
+    """If the lease is taken over anyway (server-side expiry while the
+    keep-alive could not renew), exiting the critical section raises
+    LockLostError instead of silently ignoring the stale unlock."""
+    from ballista_tpu.scheduler.kv_remote import LockLostError, serve_kv
+
+    service, httpd = serve_kv()
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    a = RemoteKeyValueStore(url, lock_ttl_s=30.0)
+    b = RemoteKeyValueStore(url, lock_ttl_s=30.0)
+    with pytest.raises(LockLostError):
+        with a.lock(Keyspace.SLOTS, "steal"):
+            # force-expire the real lease server-side (what a network
+            # partition longer than the TTL produces), then a peer grabs it
+            with service.cond:
+                lease, _expiry = service.locks[("slots", "steal")]
+                service.locks[("slots", "steal")] = (lease, 0.0)
+            out = b._call("lock", ks="slots", key="steal", ttl_s=30.0)
+            assert out["acquired"]  # peer now holds it
+    httpd.shutdown()
+
+
+def test_watch_compaction_resyncs(kv_url):
+    """A watcher whose since_rev predates the retained log window gets a
+    consistent resync (synthetic PUTs of the current state), never a
+    silent gap (etcd ErrCompacted parity; ADVICE r3)."""
+    from ballista_tpu.scheduler.kv_remote import serve_kv as _serve
+    from ballista_tpu.scheduler.kv_remote import KvService
+    service, httpd = _serve()
+    service.max_log = 5
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    a = RemoteKeyValueStore(url)
+    w = a.watch(Keyspace.SLOTS, "k")
+    for i in range(20):
+        a.put(Keyspace.SLOTS, f"k{i:02d}", str(i))
+    a.delete(Keyspace.SLOTS, "k00")
+    evs = w.drain()
+    # resync delivers the CURRENT state (19 live keys), not a truncated
+    # event suffix with missing puts
+    keys = sorted(e.key for e in evs)
+    assert keys == [f"k{i:02d}" for i in range(1, 20)]
+    assert all(e.kind == "put" for e in evs)
+    # subsequent events flow incrementally again
+    a.put(Keyspace.SLOTS, "k99", "x")
+    ev = w.poll(timeout=5.0)
+    assert ev is not None and ev.key == "k99"
+    httpd.shutdown()

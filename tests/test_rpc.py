@@ -307,3 +307,54 @@ def test_rpc_overflow_escalates_spec_version(tmp_path):
         for p in procs:
             p.kill()
         httpd.shutdown()
+
+
+def test_rpc_reregistration_after_expiry(tmp_path):
+    """ADVICE r3: a worker whose id expired (heartbeat lapse / scheduler
+    restart) must not poll idle forever. The wire now carries known=False
+    and register() clears the dead cache, so a re-registration restores
+    the flow and a subsequently-submitted job completes."""
+    service, httpd, url = _start_scheduler(tmp_path / "store")
+    client = SchedulerRpcClient(url)
+    meta = ExecutorMetadata("exp-1", task_slots=2, devices=0)
+    client.register_executor(meta)
+    # force-expire the executor (as a 180s heartbeat lapse would)
+    with service.lock:
+        em = service.scheduler.executor_manager
+        em.executors["exp-1"].last_heartbeat = 0.0
+        service.scheduler.expire_dead_executors()
+        assert em.is_dead("exp-1")
+    tasks, known = client.poll_work("exp-1", 2, [])
+    assert tasks == [] and known is False
+    hb = client.heartbeat("exp-1")
+    assert hb.get("known") is False
+    # the worker's reaction: re-register, then work flows again
+    client.register_executor(meta)
+    with service.lock:
+        assert not em.is_dead("exp-1")
+    _tasks, known = client.poll_work("exp-1", 2, [])
+    assert known is True
+    httpd.shutdown()
+
+
+def test_fill_reservations_skips_mismatched_mesh_width():
+    """ADVICE r3: a job planned for N partitions must never be handed to
+    an executor whose mesh width differs (it would fail at _job_for and
+    burn task failures)."""
+    from ballista_tpu.scheduler.execution_graph import ExecutionGraph
+    from ballista_tpu.scheduler.server import (ExecutorMetadata,
+                                               SchedulerServer, TaskLauncher)
+
+    class _Null(TaskLauncher):
+        def launch(self, tasks, report):
+            raise AssertionError("pull mode")
+
+    s = SchedulerServer(_Null(), policy="pull")
+    s.register_executor(ExecutorMetadata("w8", task_slots=4, devices=8))
+    s.register_executor(ExecutorMetadata("w4", task_slots=4, devices=4))
+    g = ExecutionGraph("jobw", [(0, 4, [])])  # 4-partition job
+    s.submit_job(g)
+    s.run_until_idle()
+    assert s.poll_work("w8", 4) == []       # 8-wide mesh: ineligible
+    tasks = s.poll_work("w4", 4)            # 4-wide mesh: gets the stage
+    assert tasks and tasks[0].job_id == "jobw"
