@@ -121,9 +121,14 @@ class ApiServer:
                 return
             jc = self.cluster.launcher.jobs.get(m.group(1))
             op_metrics = jc.op_metrics if jc is not None else {}
-            stages = [dict(stage_id=sid, **st,
-                           metrics={"operator_rows": op_metrics.get(sid)})
-                      for sid, st in status.get("stages", {}).items()]
+            stages = []
+            for sid, st in status.get("stages", {}).items():
+                row = dict(stage_id=sid, **st)
+                if not row.get("metrics"):
+                    # in-process launcher: metrics collected inline rather
+                    # than shipped in TaskStatus
+                    row["metrics"] = {"operator_rows": op_metrics.get(sid)}
+                stages.append(row)
             h._send(200, {"job_id": m.group(1), "stages": stages})
             return
         m = re.fullmatch(r"/api/job/([a-z0-9]+)/stage/(\d+)/dot", path)

@@ -93,6 +93,12 @@ class TaskStatus:
     # that ride TaskStatus in the reference (serde/scheduler/mod.rs:33);
     # lets a remote scheduler size the retry instead of blind escalation
     stats: Optional[list] = None
+    # successful tasks: executor-collected per-operator metrics
+    # ({"operator_rows": {label: rows}, "run_s": float}) — the
+    # OperatorMetricsSet that rides TaskStatus in the reference
+    # (proto:286-319) and is merged on the scheduler for the REST
+    # /api/job/{id}/stages view (api/handlers.rs:198)
+    metrics: Optional[dict] = None
 
 
 @dataclasses.dataclass
@@ -107,6 +113,9 @@ class GraphStage:
     task_failures: int = 0
     # partition -> executor that produced it (for loss tracking)
     output_locations: Dict[int, str] = dataclasses.field(default_factory=dict)
+    # executor-shipped per-operator metrics, merged across this stage's
+    # tasks (update_task_metrics parity, state/execution_stage.rs)
+    metrics: Dict = dataclasses.field(default_factory=dict)
 
     def reset_tasks(self):
         self.task_infos = [None] * self.n_partitions
@@ -219,6 +228,22 @@ class ExecutionGraph:
                         ti.status = "successful"
                         ti.finished_at = now
                         st.output_locations[p] = s.executor_id
+                if s.metrics:
+                    # merge executor-collected operator metrics: rows sum
+                    # across tasks (disjoint partitions), run_s takes the
+                    # stage wall max (proto:286-319 OperatorMetricsSet
+                    # merge on the scheduler)
+                    rows = st.metrics.setdefault("operator_rows", {})
+                    for lbl, v in (s.metrics.get("operator_rows")
+                                   or {}).items():
+                        rows[lbl] = rows.get(lbl, 0) + int(v)
+                    if "run_s" in s.metrics:
+                        st.metrics["run_s"] = round(max(
+                            st.metrics.get("run_s", 0.0),
+                            float(s.metrics["run_s"])), 4)
+                    st.metrics.setdefault("executors", [])
+                    if s.executor_id not in st.metrics["executors"]:
+                        st.metrics["executors"].append(s.executor_id)
                 if st.all_successful:
                     st.state = StageState.SUCCESSFUL
                     events.append(JobEvent.STAGE_COMPLETED)
@@ -425,6 +450,9 @@ class ExecutionGraph:
                     "partitions": st.n_partitions,
                     "successful": st.successful_partitions,
                     "failures": st.failure_count,
+                    # executor-shipped per-operator metrics (merged here;
+                    # the reference's task_manager -> REST stages path)
+                    "metrics": st.metrics or None,
                 } for sid, st in self.stages.items()
             },
         }

@@ -21,12 +21,15 @@ TERMINATING grace path).
 
 from __future__ import annotations
 
+import collections
+import json
 import logging
 import os
 import signal
 import sys
 import threading
 import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
 log = logging.getLogger("ballista_tpu.executor")
@@ -152,10 +155,17 @@ class ExecutorProcess:
             # scheduler escalates the job spec for every executor
             # coherently (rpc.py _escalate_on_overflow) — local silent
             # escalation would desync capacities across processes
+            t0 = time.time()
             ej.jc.run_stage(task.stage_id, max_quota_retries=1)
+            # operator metrics ride TaskStatus (OperatorMetricsSet,
+            # proto:286-319): the scheduler merges them so a remote
+            # fleet's per-operator timing is visible at /api/job/.../stages
+            metrics = {"run_s": round(time.time() - t0, 4),
+                       "operator_rows":
+                           ej.jc.op_metrics.get(task.stage_id) or {}}
             return TaskStatus(task.task_id, task.job_id, task.stage_id,
                               task.partitions, self.meta.executor_id,
-                              "successful")
+                              "successful", metrics=metrics)
         except Exception as e:  # noqa: BLE001 - all failures ride the wire
             err = classify(e)
             log.warning("task %s/%s failed (%s): %s", task.job_id,
@@ -204,6 +214,103 @@ class ExecutorProcess:
                 self._stop.wait(self.poll_interval)
         log.info("executor %s stopped", self.meta.executor_id)
 
+    # -- push mode (ExecutorGrpc service analog, proto:1102) --
+
+    def listen(self, host: str = "127.0.0.1", port: int = 0):
+        """Start the ExecutorGrpc-analog HTTP service (LaunchTask,
+        CancelTasks, StopExecutor, RemoveJobData — executor_server.rs:1118,
+        1157, 1183, 1210) and advertise its endpoint in the registration
+        metadata. Call BEFORE start() so the scheduler learns the port."""
+        self._queue: collections.deque = collections.deque()
+        self._queue_cond = threading.Condition()
+        self._cancelled: set = set()
+        proc = self
+
+        class _ExecHandler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                log.debug("exec http: " + fmt, *args)
+
+            def do_POST(self):
+                verb = self.path.rstrip("/").rsplit("/", 1)[-1]
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    resp = proc._push_verb(verb, req)
+                    body = json.dumps(resp).encode()
+                    self.send_response(200)
+                except Exception as e:  # noqa: BLE001
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._httpd = ThreadingHTTPServer((host, port), _ExecHandler)
+        self.meta.host = host
+        self.meta.port = self._httpd.server_address[1]
+        threading.Thread(target=self._httpd.serve_forever,
+                         daemon=True).start()
+        return self.meta.port
+
+    def _push_verb(self, verb: str, req: dict) -> dict:
+        from ..serde.tasks import task_from_wire
+        if verb == "launch_task":
+            # rejected while TERMINATING (executor_server.rs:1118 rejects
+            # LaunchTask during the drain grace period)
+            if self._stop.is_set():
+                return {"accepted": 0, "terminating": True}
+            tasks = []
+            for w in req.get("tasks", []):
+                v = w.pop("spec_version", 0)
+                t = task_from_wire(w)
+                t._spec_version = v
+                tasks.append(t)
+            with self._queue_cond:
+                self._queue.extend(tasks)
+                self._queue_cond.notify_all()
+            return {"accepted": len(tasks)}
+        if verb == "cancel_tasks":
+            with self._queue_cond:
+                self._cancelled.add(req["job_id"])
+                self._queue = collections.deque(
+                    t for t in self._queue if t.job_id != req["job_id"])
+            self.jobs.pop(req["job_id"], None)
+            return {"ok": True}
+        if verb == "stop_executor":
+            self._stop.set()
+            with self._queue_cond:
+                self._queue_cond.notify_all()
+            return {"ok": True}
+        if verb == "remove_job_data":
+            self.jobs.pop(req["job_id"], None)
+            return {"ok": True}
+        raise ValueError(f"unknown verb {verb}")
+
+    def run_push(self):
+        """Push-staged work loop: execute queued tasks, report statuses
+        via UpdateTaskStatus immediately (the reference's status-reporter
+        task batches the same way, executor_server.rs:876-1017)."""
+        self.start()
+        while not self._stop.is_set():
+            with self._queue_cond:
+                while not self._queue and not self._stop.is_set():
+                    self._queue_cond.wait(self.poll_interval)
+                task = self._queue.popleft() if self._queue else None
+            if task is None:
+                continue
+            if task.job_id in self._cancelled:
+                continue
+            status = self._run_task(task)
+            try:
+                self.client.update_task_status(self.meta.executor_id,
+                                               [status])
+            except Exception as e:  # noqa: BLE001 - hold for retry
+                log.warning("status delivery failed: %s", e)
+                self._statuses.append(status)
+        # drain leftover statuses through the graceful-stop path
+        log.info("executor %s stopped (push)", self.meta.executor_id)
+
 
 def main(argv=None):
     import argparse
@@ -217,6 +324,12 @@ def main(argv=None):
                          "use the platform's real devices")
     ap.add_argument("--poll-ms", type=int, default=100)
     ap.add_argument("--heartbeat-s", type=float, default=10.0)
+    ap.add_argument("--policy", choices=("pull", "push"), default="pull",
+                    help="pull: PollWork loop; push: serve the "
+                         "ExecutorGrpc-analog endpoint and run tasks the "
+                         "scheduler POSTs (TaskSchedulingPolicy parity)")
+    ap.add_argument("--listen-host", default="127.0.0.1")
+    ap.add_argument("--listen-port", type=int, default=0)
     args = ap.parse_args(argv)
 
     if args.devices:
@@ -242,7 +355,11 @@ def main(argv=None):
 
     signal.signal(signal.SIGTERM, _term)
     try:
-        ex.run_forever()
+        if args.policy == "push":
+            ex.listen(args.listen_host, args.listen_port)
+            ex.run_push()
+        else:
+            ex.run_forever()
     except KeyboardInterrupt:
         ex.stop(graceful=True)
     return 0

@@ -49,13 +49,66 @@ class _NullLauncher(TaskLauncher):
         raise AssertionError("pull-mode scheduler must not push tasks")
 
 
+class HttpPushLauncher(TaskLauncher):
+    """Push-staged launcher over the wire (ExecutorGrpc.LaunchTask,
+    proto:1102; executor_server.rs:1118): batch task definitions per
+    executor and POST them to its registered endpoint. Failed or rejected
+    deliveries synthesize RETRYABLE 'io' task failures exactly like the
+    reference's failed-launch path (state/mod.rs:255-320), so the
+    scheduler re-plans onto surviving workers instead of wedging."""
+
+    def __init__(self, service: "SchedulerRpcService",
+                 timeout_s: float = 10.0):
+        self.service = service
+        self.timeout_s = timeout_s
+
+    def launch(self, tasks, report):
+        from .execution_graph import TaskStatus
+        groups: Dict[str, list] = {}
+        for t in tasks:
+            groups.setdefault(t.executor_id, []).append(t)
+        for eid, ts in groups.items():
+            ex = self.service.scheduler.executor_manager.executors.get(eid)
+            wires = []
+            for t in ts:
+                w = task_to_wire(t)
+                spec = self.service.specs.get(t.job_id)
+                w["spec_version"] = spec.version if spec else 0
+                wires.append(w)
+            accepted = 0
+            if ex is not None and ex.meta.port:
+                try:
+                    data = json.dumps({"tasks": wires}).encode()
+                    r = urllib.request.Request(
+                        f"http://{ex.meta.host}:{ex.meta.port}"
+                        "/exec/launch_task", data=data,
+                        headers={"Content-Type": "application/json"})
+                    with urllib.request.urlopen(
+                            r, timeout=self.timeout_s) as resp:
+                        accepted = int(json.loads(resp.read())
+                                       .get("accepted", 0))
+                except Exception as e:  # noqa: BLE001 - worker down
+                    log.warning("launch to %s failed: %s", eid, e)
+            if accepted < len(ts):
+                report([TaskStatus(t.task_id, t.job_id, t.stage_id,
+                                   t.partitions, eid, "failed",
+                                   f"launch to {eid} failed",
+                                   error_kind="io")
+                        for t in ts[accepted:]])
+
+
 class SchedulerRpcService:
-    """Verb implementations over a pull-mode SchedulerServer + job specs."""
+    """Verb implementations over a SchedulerServer + job specs. Policy
+    'pull' (default): executors claim tasks via PollWork; 'push': the
+    scheduler POSTs LaunchTask batches to registered executor endpoints
+    (TaskSchedulingPolicy::{PullStaged,PushStaged}, config.rs:298)."""
 
     def __init__(self, work_dir: str, job_store=None,
-                 executor_timeout_s: float = 180.0):
+                 executor_timeout_s: float = 180.0, policy: str = "pull"):
+        launcher = (_NullLauncher() if policy == "pull"
+                    else HttpPushLauncher(self))
         self.scheduler = SchedulerServer(
-            _NullLauncher(), policy="pull", job_store=job_store,
+            launcher, policy=policy, job_store=job_store,
             executor_timeout_s=executor_timeout_s)
         self.work_dir = work_dir
         self.specs: Dict[str, JobSpec] = {}
@@ -317,11 +370,13 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve_scheduler(work_dir: str, host: str = "127.0.0.1", port: int = 0,
-                    job_store=None, executor_timeout_s: float = 180.0):
+                    job_store=None, executor_timeout_s: float = 180.0,
+                    policy: str = "pull"):
     """Start the scheduler RPC service; returns (service, http_server).
     Run http_server.serve_forever() on a thread; .shutdown() to stop."""
     service = SchedulerRpcService(work_dir, job_store=job_store,
-                                  executor_timeout_s=executor_timeout_s)
+                                  executor_timeout_s=executor_timeout_s,
+                                  policy=policy)
     handler = type("BoundHandler", (_Handler,), {"service": service})
     httpd = ThreadingHTTPServer((host, port), handler)
     return service, httpd
@@ -407,6 +462,13 @@ class SchedulerRpcClient:
             t._spec_version = v
             tasks.append(t)
         return tasks, out.get("known", True)
+
+    def update_task_status(self, executor_id: str, statuses) -> None:
+        """UpdateTaskStatus (grpc.rs:268): the push-mode status path —
+        pull mode piggybacks statuses on PollWork instead."""
+        from ..serde.tasks import status_to_wire
+        self.call("update_task_status", executor_id=executor_id,
+                  statuses=[status_to_wire(s) for s in statuses])
 
     def get_job(self, job_id: str) -> Optional[JobSpec]:
         out = self.call("get_job", job_id=job_id)

@@ -57,7 +57,8 @@ def status_to_wire(s: TaskStatus) -> dict:
                  "executor_id": s.executor_id, "state": s.state,
                  "error": s.error,
                  "failed_input_stage": s.failed_input_stage,
-                 "error_kind": s.error_kind, "stats": s.stats})
+                 "error_kind": s.error_kind, "stats": s.stats,
+                 "metrics": s.metrics})
 
 
 def status_from_wire(d: dict) -> TaskStatus:
@@ -67,7 +68,7 @@ def status_from_wire(d: dict) -> TaskStatus:
                       d["executor_id"], d["state"], d.get("error"),
                       failed_input_stage=d.get("failed_input_stage"),
                       error_kind=d.get("error_kind"),
-                      stats=d.get("stats"))
+                      stats=d.get("stats"), metrics=d.get("metrics"))
 
 
 def executor_meta_to_wire(m: ExecutorMetadata) -> dict:

@@ -358,3 +358,91 @@ def test_fill_reservations_skips_mismatched_mesh_width():
     assert s.poll_work("w8", 4) == []       # 8-wide mesh: ineligible
     tasks = s.poll_work("w4", 4)            # 4-wide mesh: gets the stage
     assert tasks and tasks[0].job_id == "jobw"
+
+
+def _start_push_scheduler(work_dir, executor_timeout_s=180.0):
+    service, httpd = serve_scheduler(str(work_dir), policy="push",
+                                     executor_timeout_s=executor_timeout_s)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    return service, httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+
+def _spawn_push_executor(url, executor_id, devices=N_PART):
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cpu",
+               XLA_FLAGS=f"--xla_force_host_platform_device_count={devices}")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "ballista_tpu.scheduler.executor_process",
+         "--scheduler", url, "--executor-id", executor_id,
+         "--devices", str(devices), "--policy", "push",
+         "--heartbeat-s", "1"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        line = p.stdout.readline()
+        if "EXECUTOR_READY" in line:
+            return p
+        if p.poll() is not None:
+            break
+    raise RuntimeError(f"push executor {executor_id} failed to start")
+
+
+def test_push_mode_end_to_end_two_executors(tmp_path):
+    """Push-staged scheduling over the REAL wire (ExecutorGrpc.LaunchTask
+    parity, proto:1102): the scheduler POSTs task batches to registered
+    executor endpoints; statuses return via UpdateTaskStatus; the result
+    matches the pandas oracle. VERDICT r3 gap #3."""
+    service, httpd, url = _start_push_scheduler(tmp_path / "shuffle")
+    procs = []
+    try:
+        procs.append(_spawn_push_executor(url, "push-a"))
+        procs.append(_spawn_push_executor(url, "push-b"))
+        client = SchedulerRpcClient(url)
+        job_id = client.submit_sql(
+            SQL, TABLES, options={"n_partitions": N_PART})
+        got = client.wait(job_id, timeout_s=420)
+        exp = _oracle()
+        assert list(got["o_orderpriority"]) == list(exp["o_orderpriority"])
+        assert [int(x) for x in got["n"]] == [int(x) for x in exp["n"]]
+        assert all(p.poll() is None for p in procs)
+        # per-operator metrics shipped in wire TaskStatus and merged on
+        # the scheduler (proto:286-319 parity; VERDICT r3 gap #5)
+        st = client.job_status(job_id)
+        stage_metrics = [s.get("metrics") for s in st["stages"].values()]
+        assert any(m and m.get("operator_rows") for m in stage_metrics)
+        assert any(m and m.get("run_s", 0) > 0 for m in stage_metrics)
+        shipped = {e for m in stage_metrics if m
+                   for e in m.get("executors", [])}
+        assert shipped  # metrics attributed to remote workers
+    finally:
+        for p in procs:
+            p.kill()
+        httpd.shutdown()
+
+
+def test_push_mode_killed_executor_job_completes(tmp_path):
+    """SIGKILL a push worker mid-flight: its queued/claimed tasks come
+    back as retryable failures (synthesized 'io' statuses on the next
+    failed LaunchTask + heartbeat expiry) and the survivor finishes."""
+    service, httpd, url = _start_push_scheduler(tmp_path / "shuffle",
+                                                executor_timeout_s=3.0)
+    procs = []
+    try:
+        procs.append(_spawn_push_executor(url, "push-a"))
+        procs.append(_spawn_push_executor(url, "push-b"))
+        client = SchedulerRpcClient(url)
+        job_id = client.submit_sql(
+            SQL, TABLES, options={"n_partitions": N_PART})
+        time.sleep(0.5)
+        procs[0].send_signal(signal.SIGKILL)
+        got = client.wait(job_id, timeout_s=420)
+        exp = _oracle()
+        assert [int(x) for x in got["n"]] == [int(x) for x in exp["n"]]
+        assert procs[1].poll() is None
+    finally:
+        for p in procs:
+            p.kill()
+        httpd.shutdown()
