@@ -112,8 +112,21 @@ class DistributedPlanner:
                      salt: int = 1, salt_mode: str | None = None,
                      salt_kind: str | None = None) -> InputLeaf:
         P = self.opts.n_partitions
+        # quota is PER (sender, destination) CELL of the all_to_all: one
+        # shard holds ~rows/P and spreads it over P destinations, so a
+        # cell carries ~rows/P^2. Sizing it rows/P (as r1-r3 did) made
+        # the receive buffer P*quota ~ headroom*rows CONSTANT in P —
+        # every post-shuffle operator processed full-relation-padded
+        # batches at any device count, which is precisely the r3 scaling
+        # collapse (scaling_r3.log: q3 slower at 8 devices than at 2,
+        # efficiency 0.103). With rows/P^2 cells the receive capacity is
+        # headroom*rows/P and per-shard work shrinks with the mesh.
+        # Local key concentration (a sender whose rows all hash to one
+        # destination) overflows the cell and rides the existing
+        # stats-driven retry escalation.
         quota = max(self.opts.min_quota,
-                    round_capacity(int(self.opts.quota_headroom * expected_rows / P)))
+                    round_capacity(int(self.opts.quota_headroom
+                                       * expected_rows / (P * P))))
         return self._cut(ExchangeExec(root, key_names, P, quota,
                                       salt=salt, salt_mode=salt_mode,
                                       salt_kind=salt_kind))

@@ -405,7 +405,11 @@ def escalate_overflow_opts(opts: "DistOptions", err, attempt: int) -> "DistOptio
             headroom = opts.quota_headroom * max(
                 1.2, 1.5 * projected / quota_of_skewed)
         else:
-            headroom = opts.quota_headroom * 1.5 * ratio
+            # 2.0x the observed worst need: the stats come from the FIRST
+            # overflowing shard only, and sibling shards/stages are often
+            # slightly worse — 1.5x needed one more recompile-and-retry
+            # round than 2.0x does (each round re-plans every stage shape)
+            headroom = opts.quota_headroom * 2.0 * ratio
         return dc.replace(opts, quota_headroom=headroom,
                           max_group_table=opts.max_group_table * 4,
                           join_salt=salt)
@@ -418,7 +422,7 @@ def escalate_overflow_opts(opts: "DistOptions", err, attempt: int) -> "DistOptio
 
 
 def execute_distributed(ctx, plan, mesh=None, options: Optional[DistOptions] = None,
-                        max_retries: int = 3):
+                        max_retries: int = 4):
     """Plan + run with quota-overflow retry (capacity-with-retry: the stage
     rollback/resubmit analog of the reference's fetch-failure recovery path
     `execution_graph.rs:430-520`, adapted to fixed-quota collectives)."""

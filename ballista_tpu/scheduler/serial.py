@@ -285,7 +285,7 @@ class SerialRuntime:
 
 def execute_serial(ctx, plan, n_partitions: int,
                    options: Optional[DistOptions] = None,
-                   max_retries: int = 3, device=None):
+                   max_retries: int = 4, device=None):
     """Plan + run out-of-core with the same quota-overflow/skew retry
     escalation as the mesh path (runtime.py execute_distributed)."""
     import dataclasses as dc

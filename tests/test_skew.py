@@ -118,7 +118,7 @@ def test_escalate_policy_unit():
                    "counts": np.full((8, 8), 150.0)}]
     out2 = escalate_overflow_opts(opts, err2, 0)
     assert out2.join_salt == 1
-    assert out2.quota_headroom == pytest.approx(2.0 * 1.5 * 150.0 / 64.0)
+    assert out2.quota_headroom == pytest.approx(2.0 * 2.0 * 150.0 / 64.0)
 
     # no stats (group-table overflow): blind escalation preserved
     err3 = ShuffleOverflowError("x")
