@@ -72,6 +72,19 @@ def main(argv=None):
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--iterations", type=int, default=3)
     args = ap.parse_args(argv)
+    # honor an explicit cpu request through the config API: the axon
+    # sitecustomize captures JAX_PLATFORMS before user code runs, so the
+    # env var alone silently lands on the single real chip (runner.py
+    # _enable_compile_cache does the same dance)
+    import os
+
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     run(args.sf, args.query, [int(x) for x in args.devices.split(",")],
         args.iterations)
 

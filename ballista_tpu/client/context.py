@@ -70,14 +70,22 @@ class TableProvider:
 
     @property
     def schema(self):
-        """Schema with ingest-time metadata. String dictionaries are
-        ensured on first access (plan-time expression binding — CASE/LIKE
-        dtype inference — needs them anywhere in the plan); numeric int
-        bounds are ensured per scanned column at rebind time; device
-        transfer stays per-column lazy (bind_inputs)."""
+        """Schema with ingest-time metadata.
+
+        Small tables (<= BALLISTA_EAGER_META_ROWS, default 5M) ensure
+        every string column's dictionary here — expression binding at
+        LOGICAL plan time (CASE/LIKE dtype inference, set-op null-safe
+        keys) may need any of them. Big tables ensure lazily: referenced
+        columns are ensured by `SessionContext.sql`'s lexical pre-pass
+        and by `_rebind_scans` after pruning — eagerly encoding every
+        string column cost ~80 s of every SF10 query (lineitem's
+        unreferenced 2.2 GB l_comment et al). Device transfer stays
+        per-column lazy either way (bind_inputs)."""
         from ..schema import Schema, TypeKind
-        self.ensure_meta([f.name for f in self._field_list()
-                          if f.dtype.kind is TypeKind.STRING])
+        eager = int(os.environ.get("BALLISTA_EAGER_META_ROWS", "5000000"))
+        if self.num_rows <= eager:
+            self.ensure_meta([f.name for f in self._field_list()
+                              if f.dtype.kind is TypeKind.STRING])
         return Schema(self._field_list(), dict(self._dicts),
                       dict(self._bounds), set(self._unsorted))
 
@@ -423,10 +431,28 @@ class SessionContext:
             name, tp.schema,
             unique_cols=tuple(tuple(k) for k in self.unique_keys(name))))
 
+    def _ensure_referenced_meta(self, query: str) -> None:
+        """Lexical pre-pass for BIG tables (whose schema property skips
+        the eager string-dictionary ensure): any column name appearing as
+        a word in the query text gets its metadata ensured up front, so
+        logical-plan-time expression binding finds the dictionaries it
+        needs without paying for unreferenced columns."""
+        import re
+        words = set(re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", query.lower()))
+        eager = int(os.environ.get("BALLISTA_EAGER_META_ROWS", "5000000"))
+        for name, tp in self.tables.items():
+            if tp.num_rows <= eager or name.lower() not in words:
+                continue
+            cols = [f.name for f in tp._field_list()
+                    if f.name.lower() in words]
+            if cols:
+                tp.ensure_meta(cols)
+
     def sql(self, query: str) -> DataFrame:
         """Run a SQL script: SELECTs plus CREATE/DROP VIEW statements
         (the TPC-H Q15 shape; BallistaContext::sql similarly intercepts
         DDL, context.rs:362). Returns the last SELECT as a DataFrame."""
+        self._ensure_referenced_meta(query)
         from ..sql.parser import (CreateExternalTable, CreateTableAs,
                                   CreateView, DropView, ExplainStmt,
                                   ShowColumns, ShowTables, parse_statements)

@@ -30,6 +30,7 @@ import time
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 TASK_MAX_FAILURES = 4   # task_manager.rs:156
+OVERFLOW_MAX_FAILURES = 10  # capacity-discovery rounds, not flakiness
 STAGE_MAX_FAILURES = 4  # task_manager.rs:159
 
 
@@ -267,11 +268,20 @@ class ExecutionGraph:
                                       f"{s.error}")
                         events.append(JobEvent.JOB_FAILED)
                         continue
+                # shuffle-overflow failures are planned capacity-discovery
+                # rounds (the scheduler escalates the job spec after each,
+                # rpc.py _escalate_on_overflow), not flakiness: they get
+                # their own larger budget instead of burning the flaky-task
+                # allowance. The /P^2 cell quota sizing starts small by
+                # design and may need several escalations on skewed data.
+                limit = (OVERFLOW_MAX_FAILURES
+                         if s.error_kind == "shuffle_overflow"
+                         else TASK_MAX_FAILURES)
                 st.task_failures += 1
-                if st.task_failures > TASK_MAX_FAILURES:
+                if st.task_failures > limit:
                     self.state = JobState.FAILED
                     self.error = (f"stage {st.stage_id} exceeded "
-                                  f"{TASK_MAX_FAILURES} task failures: {s.error}")
+                                  f"{limit} task failures: {s.error}")
                     events.append(JobEvent.JOB_FAILED)
                     continue
                 for p in s.partitions:

@@ -119,6 +119,9 @@ def test_group_by_raw(monkeypatch):
     import os
     os.environ["BALLISTA_RAW_DICT_MAX"] = "100"
     ctx2.register_pandas("t", dup)
+    # raw-ness is discovered at column-ensure time (schema metadata is
+    # lazy per referenced column since the SF10 ingest-latency fix)
+    ctx2.tables["t"].ensure_meta(["s"])
     assert "s" in ctx2.tables["t"].schema.unsorted
     got = (ctx2.sql("select s, count(*) c, sum(v) sv from t group by s "
                     "order by s").to_pandas())
