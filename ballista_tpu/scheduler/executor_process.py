@@ -216,11 +216,15 @@ class ExecutorProcess:
 
     # -- push mode (ExecutorGrpc service analog, proto:1102) --
 
-    def listen(self, host: str = "127.0.0.1", port: int = 0):
+    def listen(self, host: str = "127.0.0.1", port: int = 0,
+               advertise_host: str = None):
         """Start the ExecutorGrpc-analog HTTP service (LaunchTask,
         CancelTasks, StopExecutor, RemoveJobData — executor_server.rs:1118,
         1157, 1183, 1210) and advertise its endpoint in the registration
-        metadata. Call BEFORE start() so the scheduler learns the port."""
+        metadata. Call BEFORE start() so the scheduler learns the port.
+        `advertise_host` is the name the SCHEDULER should dial (container
+        hostname / LB name) when it differs from the bind address —
+        the reference's executor external_host flag."""
         self._queue: collections.deque = collections.deque()
         self._queue_cond = threading.Condition()
         self._cancelled: set = set()
@@ -247,7 +251,7 @@ class ExecutorProcess:
                 self.wfile.write(body)
 
         self._httpd = ThreadingHTTPServer((host, port), _ExecHandler)
-        self.meta.host = host
+        self.meta.host = advertise_host or host
         self.meta.port = self._httpd.server_address[1]
         threading.Thread(target=self._httpd.serve_forever,
                          daemon=True).start()
@@ -330,6 +334,9 @@ def main(argv=None):
                          "scheduler POSTs (TaskSchedulingPolicy parity)")
     ap.add_argument("--listen-host", default="127.0.0.1")
     ap.add_argument("--listen-port", type=int, default=0)
+    ap.add_argument("--advertise-host", default=None,
+                    help="hostname the scheduler dials for push launches "
+                         "when it differs from --listen-host (containers)")
     args = ap.parse_args(argv)
 
     if args.devices:
@@ -356,7 +363,8 @@ def main(argv=None):
     signal.signal(signal.SIGTERM, _term)
     try:
         if args.policy == "push":
-            ex.listen(args.listen_host, args.listen_port)
+            ex.listen(args.listen_host, args.listen_port,
+                      advertise_host=args.advertise_host)
             ex.run_push()
         else:
             ex.run_forever()

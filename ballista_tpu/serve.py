@@ -114,7 +114,8 @@ def main(argv=None):
         _svc, rpc_httpd = serve_scheduler(
             args.work_dir or "/tmp/ballista_shuffle",
             host=args.host, port=args.scheduler_rpc_port,
-            job_store=cluster.scheduler.job_store)
+            job_store=cluster.scheduler.job_store,
+            policy=args.policy)
         threading.Thread(target=rpc_httpd.serve_forever,
                          daemon=True).start()
         logging.info("scheduler RPC wire on http://%s:%d/rpc/*", args.host,
