@@ -219,9 +219,13 @@ def run(sf: float, queries, iterations: int, distributed: bool,
                 out, out_schema = execute_serial(ctx, plan, n_parts)
                 compile_s = time.time() - t0
                 t0 = time.time()
-                for _ in range(iterations):
+                # ONE timed pass: an out-of-core pass re-streams every
+                # table shard from parquet through host shuffles (minutes
+                # at SF10+) and is I/O-dominated — repeating it K times
+                # measures the disk, not the engine
+                for _ in range(min(iterations, 1)):
                     out, out_schema = execute_serial(ctx, plan, n_parts)
-                per_iter = (time.time() - t0) / iterations
+                per_iter = time.time() - t0
                 return compile_s, per_iter, int(out.num_rows), out_schema
 
             if route_n:

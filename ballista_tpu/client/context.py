@@ -661,6 +661,16 @@ class SessionContext:
         for attempt in range(max_retries):
             exec_plan = create_physical_plan(plan, capacities, opts)
             fn, input_ids = compile_stage(exec_plan, with_overflow=True)
+            if hasattr(fn, "prewarm"):
+                # overlap piece compilation with host ingest: shapes are
+                # fully static, so the AOT pool starts from shape specs
+                # while bind_inputs is still reading/encoding columns
+                import threading
+
+                from ..exec.plan import input_shape_specs
+                threading.Thread(target=fn.prewarm,
+                                 args=(input_shape_specs(exec_plan),),
+                                 daemon=True).start()
             inputs = self.bind_inputs(input_ids)
             out, overflow = fn(inputs)
             if not bool(overflow):

@@ -1279,6 +1279,27 @@ def compile_stage(root: ExecNode, donate: bool = False,
     return run, input_ids
 
 
+def input_shape_specs(root: ExecNode) -> Dict[str, Batch]:
+    """ShapeDtypeStruct Batches for every input leaf of a plan.
+
+    Shapes are fully determined by leaf capacities + schemas (fixed-shape
+    SoA), so piece compilation needs NO ingested data: callers start the
+    AOT compile pool on these specs while the host is still reading
+    parquet / dictionary-encoding (compile latency and ingest latency
+    overlap instead of adding — at SF10 each is minutes)."""
+    specs: Dict[str, Batch] = {}
+    for leaf in root.leaves():
+        if leaf.input_id in specs:
+            continue
+        cols = tuple(
+            Column(jax.ShapeDtypeStruct((leaf.capacity,), f.dtype.jnp_dtype),
+                   jax.ShapeDtypeStruct((leaf.capacity,), jnp.bool_))
+            for f in leaf.schema.fields)
+        specs[leaf.input_id] = Batch(
+            cols, jax.ShapeDtypeStruct((), jnp.int32))
+    return specs
+
+
 # Cut the plan at these operators' outputs: each contains at least one
 # full-batch sort (the compile-time driver) and materializes a dense
 # fixed-capacity batch anyway, so a program boundary there loses no fusion.
@@ -1382,7 +1403,19 @@ def _split_compile(root: ExecNode, with_overflow: bool):
     root_ids = _needed_inputs(root, patched)
     root_fn = _jit_piece(root.evaluate)
     all_pieces = pieces + [("__root", root_fn, root_ids)]
-    state: Dict[str, object] = {"exec": None}
+    import threading as _threading
+    state: Dict[str, object] = {"exec": None,
+                                "lock": _threading.Lock()}
+
+    def _ensure_exec(inputs_or_specs):
+        # single compile pass shared between an overlapped prewarm thread
+        # and the first dispatch (whichever gets here first compiles;
+        # the other blocks on the lock and reuses the result)
+        with state["lock"]:
+            if state["exec"] is None:
+                state["exec"] = _compile_pieces_parallel(all_pieces,
+                                                         inputs_or_specs)
+        return state["exec"]
 
     labels = {key: type(n).__name__ for (key, _, _), n in zip(pieces, cuts)}
     # free each intermediate piece output after its last consumer runs —
@@ -1395,9 +1428,7 @@ def _split_compile(root: ExecNode, with_overflow: bool):
 
     def run(inputs: Dict[str, Batch]):
         import os
-        if state["exec"] is None:
-            state["exec"] = _compile_pieces_parallel(all_pieces, inputs)
-        ex = state["exec"]
+        ex = _ensure_exec(inputs)
         timing = os.environ.get("BALLISTA_PIECE_TIMING") == "1"
         vals = dict(inputs)
         flags = []
@@ -1416,6 +1447,9 @@ def _split_compile(root: ExecNode, with_overflow: bool):
         flags.append(ov)
         return out, _or_all(flags)
 
+    # overlapped warm-up hook: converge_compile starts this on a thread
+    # with input_shape_specs(root) BEFORE ingesting any data
+    run.prewarm = _ensure_exec
     root._split_cache = (run, input_ids)
     return root._split_cache
 
