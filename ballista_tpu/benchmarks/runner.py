@@ -90,7 +90,7 @@ def run(sf: float, queries, iterations: int, distributed: bool,
         capacity_mode: str = "bucket", tbl_dir: str = None,
         expected: str = None, query_timeout: int = 0,
         evict_between: bool = False, serial: int = 0,
-        dataset_dir: str = None):
+        dataset_dir: str = None, save_results: str = None):
     import jax
     _enable_compile_cache()
     from .. import batch as B
@@ -297,6 +297,13 @@ def run(sf: float, queries, iterations: int, distributed: bool,
                         _run_serial(est_n)
             results[q] = {"ms": round(per_iter * 1000, 1),
                           "compile_s": round(compile_s, 1), "rows": nrows}
+            if save_results:
+                # persist the result rows (invariant checks / later diffs
+                # at scales where no oracle is feasible)
+                import os as _os
+                _os.makedirs(save_results, exist_ok=True)
+                B.to_pandas(out, out_schema).to_parquet(
+                    _os.path.join(save_results, f"q{q}.parquet"))
             extra = ""
             if expected:
                 # exact diff vs captured answer files (tpch.rs
@@ -488,6 +495,8 @@ def main(argv=None):
                     help="mount chunked parquet part files (datagen "
                          "--chunks layout) as out-of-core tables; pair "
                          "with --serial N (SF100 path)")
+    ap.add_argument("--save-results", default=None, metavar="DIR",
+                    help="write each query's result rows to DIR/q{n}.parquet")
     ap.add_argument("--expected", default=None, metavar="DIR",
                     help="EXACT-diff results vs DIR/answers/q{n}.out "
                          "(tpch.rs --expected-results parity)")
@@ -514,7 +523,7 @@ def main(argv=None):
             capacity_mode=args.capacity_mode, tbl_dir=args.tbl_dir,
             expected=args.expected, query_timeout=args.query_timeout,
             evict_between=args.evict_between, serial=args.serial,
-            dataset_dir=args.dataset_dir)
+            dataset_dir=args.dataset_dir, save_results=args.save_results)
 
 
 if __name__ == "__main__":
