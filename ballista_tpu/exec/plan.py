@@ -1276,6 +1276,14 @@ def compile_stage(root: ExecNode, donate: bool = False,
             overflow = overflow | f
         return out, overflow
 
+    if with_overflow and os.environ.get("BALLISTA_PIECE_TIMING") == "1":
+        # single-program plans get the same dispatch-drain roofline
+        # report the piecewise path prints per piece
+        def timed(inputs):
+            return _timed_piece(run, type(root).__name__, "__whole",
+                                inputs, True)
+
+        return timed, input_ids
     return run, input_ids
 
 
