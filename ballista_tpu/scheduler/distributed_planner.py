@@ -112,21 +112,17 @@ class DistributedPlanner:
                      salt: int = 1, salt_mode: str | None = None,
                      salt_kind: str | None = None) -> InputLeaf:
         P = self.opts.n_partitions
-        # quota is PER (sender, destination) CELL of the all_to_all: one
-        # shard holds ~rows/P and spreads it over P destinations, so a
-        # cell carries ~rows/P^2. Sizing it rows/P (as r1-r3 did) made
-        # the receive buffer P*quota ~ headroom*rows CONSTANT in P —
-        # every post-shuffle operator processed full-relation-padded
-        # batches at any device count, which is precisely the r3 scaling
-        # collapse (scaling_r3.log: q3 slower at 8 devices than at 2,
-        # efficiency 0.103). With rows/P^2 cells the receive capacity is
-        # headroom*rows/P and per-shard work shrinks with the mesh.
-        # Local key concentration (a sender whose rows all hash to one
-        # destination) overflows the cell and rides the existing
-        # stats-driven retry escalation.
+        # quota is PER (sender, destination) CELL of the all_to_all.
+        # `expected_rows` is the PER-SHARD estimate (callers pass the
+        # already-sharded child's capacity), so a cell carries
+        # ~expected_rows/P and the receive buffer P*quota ~
+        # headroom*expected_rows shrinks with the mesh (total/P).
+        # (A /P^2 variant was tried in r4 on a misreading of
+        # expected_rows as the TOTAL relation size; it under-sized cells
+        # by P and q12@4dev overflowed every execution.)
         quota = max(self.opts.min_quota,
                     round_capacity(int(self.opts.quota_headroom
-                                       * expected_rows / (P * P))))
+                                       * expected_rows / P)))
         return self._cut(ExchangeExec(root, key_names, P, quota,
                                       salt=salt, salt_mode=salt_mode,
                                       salt_kind=salt_kind))
@@ -220,7 +216,14 @@ class DistributedPlanner:
             if group_exprs:
                 key_names = [f.name for f in
                              partial.schema.fields[:len(group_exprs)]]
-                leaf = self._cut_shuffle(partial, key_names, expected_rows=T)
+                # size the state exchange by the aggregate's REFINED
+                # output bound (dict/int-bound group-key analysis shrinks
+                # partial.capacity to the group-count bound), not the raw
+                # group-table size T: q12's 7-value shipmode key got a
+                # 1M-slot exchange (2M-row receive buffer for 4 rows) —
+                # the dominant stage of the whole query
+                leaf = self._cut_shuffle(partial, key_names,
+                                         expected_rows=partial.capacity)
                 Tf = min(_next_pow2(max(2 * leaf.capacity, 16)),
                          self.opts.max_group_table * self.opts.n_partitions)
                 return HashAggregateExec(leaf, [Col(k) for k in key_names],

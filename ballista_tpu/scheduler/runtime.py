@@ -431,13 +431,31 @@ def execute_distributed(ctx, plan, mesh=None, options: Optional[DistOptions] = N
     plan = _rebind_scans(plan, ctx)
     from ..planner.optimizer import prune_columns, reduce_group_keys
     plan = prune_columns(reduce_group_keys(plan))
+    # converged-options memo: overflow escalation re-plans (new shapes,
+    # new compiles) — a REPEATED execution of the same plan must start
+    # from the options that already worked, not re-discover them every
+    # call (benchmark iterations paid a full escalate+recompile cycle
+    # per timed run). Only the default-options path memoizes; explicit
+    # `options` callers (tests forcing tiny quotas) are untouched.
+    memo_key = None
+    if options is None:
+        memo = getattr(ctx, "_dist_opts_memo", None)
+        if memo is None:
+            memo = ctx._dist_opts_memo = {}
+        n = (mesh.devices.size if mesh is not None
+             else len(__import__("jax").devices()))
+        memo_key = (plan.display(), n)
+        options = memo.get(memo_key)
     rt = DistributedRuntime(ctx, mesh, options)
     opts = rt.opts
     for attempt in range(max_retries):
         planner = DistributedPlanner(ctx, opts)
         dplan = planner.plan(plan)
         try:
-            return rt.execute(dplan)
+            out = rt.execute(dplan)
+            if memo_key is not None:
+                ctx._dist_opts_memo[memo_key] = opts
+            return out
         except ShuffleOverflowError as e:
             if attempt == max_retries - 1:
                 raise
