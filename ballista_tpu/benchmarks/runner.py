@@ -277,6 +277,8 @@ def run(sf: float, queries, iterations: int, distributed: bool,
                     _jax.clear_caches()
                     gc.collect()
                     from ..exec.memory import (hbm_budget_bytes,
+                                               oom_memo_record,
+                                               plan_fingerprint,
                                                plan_serial_partitions)
                     est_n = 4
                     try:
@@ -284,11 +286,12 @@ def run(sf: float, queries, iterations: int, distributed: bool,
                         from ..planner.physical import create_physical_plan
                         caps = {n: tp.capacity
                                 for n, tp in ctx.tables.items()}
+                        ep2 = create_physical_plan(plan, caps, ctx.options)
                         est_n = plan_serial_partitions(
-                            estimate_plan_hbm(
-                                create_physical_plan(plan, caps,
-                                                     ctx.options)),
-                            hbm_budget_bytes())
+                            estimate_plan_hbm(ep2), hbm_budget_bytes())
+                        # learned routing: the NEXT process with this plan
+                        # shape goes straight to serial
+                        oom_memo_record(plan_fingerprint(ep2), est_n)
                     except Exception:  # noqa: BLE001
                         pass
                     print(f"q{q:2d}  in-core OOM; falling back to "

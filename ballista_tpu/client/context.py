@@ -638,16 +638,19 @@ class SessionContext:
             self.warn("in-core execution exhausted device memory; "
                       "falling back to the out-of-core serial runtime")
             from ..exec.memory import (estimate_plan_hbm, hbm_budget_bytes,
+                                       oom_memo_record, plan_fingerprint,
                                        plan_serial_partitions)
             from ..planner.optimizer import prune_columns
             pruned = _rebind_scans(prune_columns(plan), self)
             try:
                 capacities = {n: tp.capacity
                               for n, tp in self.tables.items()}
+                ep2 = create_physical_plan(pruned, capacities, self.options)
                 n_parts = plan_serial_partitions(
-                    estimate_plan_hbm(create_physical_plan(
-                        pruned, capacities, self.options)),
-                    hbm_budget_bytes())
+                    estimate_plan_hbm(ep2), hbm_budget_bytes())
+                # learned routing: future sessions with this plan shape
+                # skip the doomed in-core compile
+                oom_memo_record(plan_fingerprint(ep2), n_parts)
             except Exception:  # noqa: BLE001
                 n_parts = 4
             from ..scheduler.serial import execute_serial

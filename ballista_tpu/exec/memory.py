@@ -211,11 +211,59 @@ def route_serial(exec_plan, budget: int = 0) -> int:
     factor = float(os.environ.get("BALLISTA_ROUTE_FACTOR", "1.6"))
     if factor <= 0:
         return 0
+    memo_n = oom_memo_lookup(plan_fingerprint(exec_plan))
+    if memo_n:
+        return memo_n
     budget = budget or hbm_budget_bytes()
     est = estimate_plan_hbm(exec_plan)
     if est <= budget * factor:
         return 0
     return plan_serial_partitions(est, budget)
+
+
+def _oom_memo_path() -> str:
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    return os.path.join(cache, "ballista_oom_memo.json")
+
+
+def plan_fingerprint(exec_plan) -> str:
+    """Stable id of a compiled plan shape (operator tree + capacities —
+    display() embeds both)."""
+    import hashlib
+    return hashlib.sha256(exec_plan.display().encode()).hexdigest()[:24]
+
+
+def oom_memo_lookup(fingerprint: str) -> int:
+    """Serial partition count a previous process learned for this plan
+    shape after an in-core OOM; 0 = no memo. The estimator's ±30% error
+    band means borderline plans (q5/q8@SF10 estimate BELOW q9, which
+    fits) can only be learned, not predicted — the memo makes the doomed
+    compile a once-per-shape cost instead of once-per-process."""
+    import json
+    try:
+        with open(_oom_memo_path()) as f:
+            return int(json.load(f).get(fingerprint, 0))
+    except Exception:  # noqa: BLE001 - absent/corrupt memo = no routing
+        return 0
+
+
+def oom_memo_record(fingerprint: str, n_parts: int) -> None:
+    import json
+    path = _oom_memo_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path) as f:
+                memo = json.load(f)
+        except Exception:  # noqa: BLE001
+            memo = {}
+        memo[fingerprint] = int(n_parts)
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(memo, f)
+        os.replace(tmp, path)
+    except Exception:  # noqa: BLE001 - memo is an optimization only
+        pass
 
 
 def plan_serial_partitions(estimate: int, budget: int,
