@@ -9,16 +9,16 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 export BALLISTA_ORACLE_CACHE=/root/oracle_sf10
 
+echo "=== roofline SF1 $(date)"
+python scripts/roofline.py --sf 1 --queries 1,3,6,9 --iterations 3 \
+    --out bench_logs/roofline_r4.json > bench_logs/roofline_r4.log 2>&1 \
+    || echo "roofline rc=$?"
+
 echo "=== warm SF10 re-sweep $(date)"
 python scripts/sf10_sweep.py --sf 10 --dataset-dir /root/tpch_sf10 \
     --oracle-cache /root/oracle_sf10 --timeout 4500 \
     --out bench_logs/sf10_r4_warm > bench_logs/sf10_r4_warm.log 2>&1 \
     || echo "warm sweep rc=$?"
-
-echo "=== roofline SF1 $(date)"
-python scripts/roofline.py --sf 1 --queries 1,3,6,9 --iterations 3 \
-    --out bench_logs/roofline_r4.json > bench_logs/roofline_r4.log 2>&1 \
-    || echo "roofline rc=$?"
 
 echo "=== SF100 sweep $(date)"
 unset BALLISTA_ORACLE_CACHE
