@@ -289,6 +289,11 @@ def run(sf: float, queries, iterations: int, distributed: bool,
                         ep2 = create_physical_plan(plan, caps, ctx.options)
                         est_n = plan_serial_partitions(
                             estimate_plan_hbm(ep2), hbm_budget_bytes())
+                        # the OOM just PROVED the estimate low: double the
+                        # partition count the model would pick (SF10 q8's
+                        # fallback at the modeled serial@4 OOM'd again;
+                        # serial@8 fits)
+                        est_n = min(est_n * 2, 64)
                         # learned routing: the NEXT process with this plan
                         # shape goes straight to serial
                         oom_memo_record(plan_fingerprint(ep2), est_n)

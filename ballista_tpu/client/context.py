@@ -648,6 +648,9 @@ class SessionContext:
                 ep2 = create_physical_plan(pruned, capacities, self.options)
                 n_parts = plan_serial_partitions(
                     estimate_plan_hbm(ep2), hbm_budget_bytes())
+                # the OOM just proved the estimate low: double the model's
+                # partition count (see runner.py fallback)
+                n_parts = min(n_parts * 2, 64)
                 # learned routing: future sessions with this plan shape
                 # skip the doomed in-core compile
                 oom_memo_record(plan_fingerprint(ep2), n_parts)
