@@ -157,3 +157,28 @@ def test_distributed_except_all():
     df = B.to_pandas(batch, schema)
     got = Counter(None if pd.isna(v) else int(v) for v in df.x)
     assert got == Counter({1: 1, 2: 1, 3: 1, None: 1})
+
+
+def test_agg_exchange_sized_by_group_bound(env):
+    """The partial-aggregate state exchange must be sized by the
+    aggregate's refined output bound, not the raw group-table size:
+    q12's 7-value shipmode key once got a 1M-slot exchange (a 2M-row
+    receive buffer for a 4-row result) — the most expensive stage of
+    the whole query and a per-device-count scaling sink."""
+    from ballista_tpu.client.context import _rebind_scans
+    from ballista_tpu.planner.optimizer import prune_columns
+
+    ctx, _, mesh = env
+    plan = _rebind_scans(prune_columns(ctx.sql(TPCH_QUERIES[12]).plan), ctx)
+    dplan = DistributedPlanner(ctx, DistOptions(n_partitions=4)).plan(plan)
+    agg_exchanges = []
+    for stage in dplan.stages:
+        root = stage.root
+        if type(root).__name__ != "ExchangeExec":
+            continue
+        if "shipmode" in ",".join(root.key_names):
+            agg_exchanges.append(root)
+    assert agg_exchanges, dplan.display()
+    for ex in agg_exchanges:
+        # 7 ship modes (+null slot) per shard at most; min_quota floors it
+        assert ex.quota <= 4096, (ex.quota, ex._label())
