@@ -213,18 +213,24 @@ def run(sf: float, queries, iterations: int, distributed: bool,
 
             def _run_serial(n_parts):
                 nonlocal out
+                import os as _os
+
                 from ..scheduler.serial import execute_serial
                 ctx.serial_partitions = n_parts
                 t0 = time.time()
                 out, out_schema = execute_serial(ctx, plan, n_parts)
                 compile_s = time.time() - t0
+                # an out-of-core pass re-streams every table shard from
+                # parquet through host shuffles (tens of minutes at SF10+)
+                # and is I/O-dominated. Default ONE extra timed pass for a
+                # clean compile/run split; BALLISTA_SERIAL_PASSES=1 makes
+                # the first pass the measurement (its wall includes stage
+                # compiles — flagged by compile_s == ms)
+                if int(_os.environ.get("BALLISTA_SERIAL_PASSES", "2")) <= 1:
+                    return (compile_s, compile_s, int(out.num_rows),
+                            out_schema)
                 t0 = time.time()
-                # ONE timed pass: an out-of-core pass re-streams every
-                # table shard from parquet through host shuffles (minutes
-                # at SF10+) and is I/O-dominated — repeating it K times
-                # measures the disk, not the engine
-                for _ in range(min(iterations, 1)):
-                    out, out_schema = execute_serial(ctx, plan, n_parts)
+                out, out_schema = execute_serial(ctx, plan, n_parts)
                 per_iter = time.time() - t0
                 return compile_s, per_iter, int(out.num_rows), out_schema
 

@@ -47,8 +47,12 @@ def run_query(q, args, serial=0, timeout=5400):
         p = subprocess.run(cmd, capture_output=True, text=True,
                            timeout=timeout, cwd=REPO, env=env)
     except subprocess.TimeoutExpired as e:
-        return {"error": f"timeout>{timeout}s"}, (e.stdout or ""), \
-            (e.stderr or ""), time.time() - t0
+        def _s(x):
+            # TimeoutExpired captures raw BYTES even under text=True
+            return (x.decode(errors="replace") if isinstance(x, bytes)
+                    else x) or ""
+        return ({"error": f"timeout>{timeout}s"}, _s(e.stdout),
+                _s(e.stderr), time.time() - t0)
     lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
     if lines:
         try:
@@ -91,8 +95,10 @@ def main():
                   f"retrying --serial {args.retry_serial}", flush=True)
             with open(f"{args.out}_q{q}_fail.log", "w") as f:
                 f.write(out + "\n=== stderr ===\n" + err)
+            # serial retries stream the dataset from parquet per pass:
+            # give them twice the budget
             res, out, err, dt2 = run_query(q, args, serial=args.retry_serial,
-                                           timeout=args.timeout)
+                                           timeout=args.timeout * 2)
             attempt = f"retry-serial@{args.retry_serial}"
             dt += dt2
         res["wall_s"] = round(dt, 1)
