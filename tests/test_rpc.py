@@ -446,3 +446,46 @@ def test_push_mode_killed_executor_job_completes(tmp_path):
         for p in procs:
             p.kill()
         httpd.shutdown()
+
+
+def test_push_verbs_queue_semantics():
+    """ExecutorGrpc-analog verb unit coverage: launch enqueues, cancel
+    drops a job's queued tasks, stop rejects further launches
+    (executor_server.rs:1118 TERMINATING behavior), remove_job_data
+    evicts the cached job."""
+    import urllib.request
+
+    from ballista_tpu.scheduler.executor_process import ExecutorProcess
+    from ballista_tpu.serde.tasks import task_to_wire
+
+    class _NoMesh:
+        class devices:
+            size = 1
+
+    ex = ExecutorProcess.__new__(ExecutorProcess)
+    ex.meta = ExecutorMetadata("unit-push", task_slots=1)
+    ex.jobs = {"jobx": object()}
+    ex._stop = threading.Event()
+    port = ex.listen("127.0.0.1", 0)
+
+    def post(verb, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/exec/{verb}",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return json.loads(r.read())
+
+    t1 = task_to_wire(TaskDescription("joba", 0, (0,), 1, "unit-push"))
+    t2 = task_to_wire(TaskDescription("jobb", 1, (0,), 2, "unit-push"))
+    t1["spec_version"] = t2["spec_version"] = 0
+    assert post("launch_task", {"tasks": [t1, t2]})["accepted"] == 2
+    assert len(ex._queue) == 2
+    assert post("cancel_tasks", {"job_id": "joba"})["ok"]
+    assert [t.job_id for t in ex._queue] == ["jobb"]
+    assert post("remove_job_data", {"job_id": "jobx"})["ok"]
+    assert "jobx" not in ex.jobs
+    assert post("stop_executor", {})["ok"]
+    out = post("launch_task", {"tasks": [dict(t1)]})
+    assert out["accepted"] == 0 and out.get("terminating")
+    ex._httpd.shutdown()
