@@ -291,6 +291,20 @@ class ExecutorProcess:
             return {"ok": True}
         raise ValueError(f"unknown verb {verb}")
 
+    def _flush_statuses(self):
+        """Deliver pending task statuses via UpdateTaskStatus, keeping them
+        queued on failure for the next attempt (push-mode analog of the
+        pull loop's every-poll redelivery)."""
+        if not self._statuses:
+            return
+        pending, self._statuses = self._statuses, []
+        try:
+            self.client.update_task_status(self.meta.executor_id, pending)
+        except Exception as e:  # noqa: BLE001 - hold for retry
+            log.warning("status delivery failed (%d held): %s",
+                        len(pending), e)
+            self._statuses = pending + self._statuses
+
     def run_push(self):
         """Push-staged work loop: execute queued tasks, report statuses
         via UpdateTaskStatus immediately (the reference's status-reporter
@@ -302,16 +316,17 @@ class ExecutorProcess:
                     self._queue_cond.wait(self.poll_interval)
                 task = self._queue.popleft() if self._queue else None
             if task is None:
+                # idle tick: retry any statuses whose delivery failed, so a
+                # transient scheduler hiccup doesn't leave the task "running"
+                # (and its slot reserved) forever — pull mode redelivers every
+                # poll; push must too (ADVICE r4)
+                self._flush_statuses()
                 continue
             if task.job_id in self._cancelled:
                 continue
             status = self._run_task(task)
-            try:
-                self.client.update_task_status(self.meta.executor_id,
-                                               [status])
-            except Exception as e:  # noqa: BLE001 - hold for retry
-                log.warning("status delivery failed: %s", e)
-                self._statuses.append(status)
+            self._statuses.append(status)
+            self._flush_statuses()
         # drain leftover statuses through the graceful-stop path
         log.info("executor %s stopped (push)", self.meta.executor_id)
 

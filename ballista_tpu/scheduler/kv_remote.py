@@ -187,6 +187,11 @@ class _RemoteWatch(Watch):
         self._since = store._call("watch", ks=keyspace.value, prefix=prefix,
                                   timeout_s=0)["rev"]
         self._buffer: List[WatchEvent] = []
+        # keys this watcher has seen alive (PUT observed, no later DELETE):
+        # the compacted-resync diff base, so deletions that happened inside
+        # a compacted gap still surface as DELETE events (ADVICE r4: a
+        # PUT-only resync left stale keys mirrored forever)
+        self._known: set = set()
 
     def _pull(self, timeout: float):
         out = self._remote._call(
@@ -194,16 +199,24 @@ class _RemoteWatch(Watch):
             since_rev=self._since, timeout_s=timeout)
         if out.get("compacted"):
             # our revision fell out of the server's retained log: resync
-            # from the consistent scan the server returned (synthetic PUT
-            # per current key; deletes older than the scan are subsumed)
+            # from the consistent scan the server returned — synthetic PUT
+            # per current key, plus a synthetic DELETE for every key we had
+            # observed alive that the scan no longer contains
+            current = {key for key, _ in out["items"]}
+            for key in sorted(self._known - current):
+                self._buffer.append(WatchEvent(WatchEvent.DELETE,
+                                               self.keyspace, key, None))
             for key, value in out["items"]:
                 self._buffer.append(WatchEvent(WatchEvent.PUT,
                                                self.keyspace, key, value))
+            self._known = current
             self._since = out["rev"]
             return
         for rev, op, ks, key, value in out["events"]:
             self._since = max(self._since, rev)
             kind = WatchEvent.PUT if op == "put" else WatchEvent.DELETE
+            (self._known.add if kind == WatchEvent.PUT
+             else self._known.discard)(key)
             self._buffer.append(WatchEvent(kind, Keyspace(ks), key, value))
 
     def poll(self, timeout: Optional[float] = None) -> Optional[WatchEvent]:
@@ -306,15 +319,20 @@ class RemoteKeyValueStore(KeyValueStore):
         finally:
             stop.set()
             ka.join(timeout=1.0)
-            unlock_ok = False
+            # Only a server-reported ok:False (a peer holds a newer lease)
+            # proves exclusion was compromised; a transport failure on the
+            # final unlock is harmless when renewals kept succeeding — the
+            # lease expires on its own (ADVICE r4: don't fail an otherwise
+            # successful critical section on an unlock hiccup).
+            lease_taken = False
             try:
-                unlock_ok = bool(self._call(
+                lease_taken = not self._call(
                     "unlock", ks=keyspace.value, key=key,
-                    lease=lease).get("ok"))
+                    lease=lease).get("ok")
             except Exception as e:  # noqa: BLE001 - service unreachable
-                log.warning("kv unlock %s/%s failed: %s",
-                            keyspace.value, key, e)
-            if (lost.is_set() or not unlock_ok):
+                log.warning("kv unlock %s/%s transport failure (lease will "
+                            "expire on its own): %s", keyspace.value, key, e)
+            if (lost.is_set() or lease_taken):
                 if body_raised:
                     log.warning("kv lock %s/%s lease lost during a failing "
                                 "critical section", keyspace.value, key)

@@ -57,6 +57,8 @@ class HttpPushLauncher(TaskLauncher):
     reference's failed-launch path (state/mod.rs:255-320), so the
     scheduler re-plans onto surviving workers instead of wedging."""
 
+    requires_endpoint = True
+
     def __init__(self, service: "SchedulerRpcService",
                  timeout_s: float = 10.0):
         self.service = service

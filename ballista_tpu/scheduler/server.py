@@ -118,11 +118,21 @@ class ExecutorManager:
         if ex is not None:
             self._dead.add(executor_id)
 
-    def reserve_slots(self, n: int, round_robin: bool = True) -> List[str]:
+    def reserve_slots(self, n: int, round_robin: bool = True,
+                      push_capable_only: bool = False) -> List[str]:
         """Claim up to n slots across alive executors (TaskDistribution::
-        RoundRobin, cluster/mod.rs:449; Bias = greedy fill)."""
+        RoundRobin, cluster/mod.rs:449; Bias = greedy fill).
+
+        push_capable_only skips executors registered without a dialable
+        endpoint (port 0): a push-mode scheduler must leave their work
+        claimable via PollWork instead of synthesizing launch failures
+        until the job exhausts its budget (ADVICE r4 — mixed-policy
+        deployments, e.g. default-flag executor_process under
+        serve.py --policy push)."""
         out: List[str] = []
         pool = sorted(self.alive_executors(), key=lambda e: -e.free_slots)
+        if push_capable_only:
+            pool = [e for e in pool if e.meta.port]
         if not pool:
             return out
         if round_robin:
@@ -152,6 +162,11 @@ class ExecutorManager:
 
 class TaskLauncher:
     """Data-plane hook (TaskLauncher trait, task_manager.rs:162)."""
+
+    #: True when launch() dials the executor's registered endpoint — the
+    #: scheduler then only push-assigns slots on executors with a port and
+    #: leaves the rest claimable via PollWork (mixed-policy deployments).
+    requires_endpoint = False
 
     def launch(self, tasks: List[TaskDescription],
                report: Callable[[List[TaskStatus]], None]) -> None:
@@ -504,7 +519,8 @@ class SchedulerServer:
             if pending == 0:
                 return
             reserved = self.executor_manager.reserve_slots(
-                min(pending, TASKS_PER_TICK))
+                min(pending, TASKS_PER_TICK),
+                push_capable_only=self.task_manager.launcher.requires_endpoint)
             if not reserved:
                 return
             tasks, unfilled = self.task_manager.fill_reservations(

@@ -175,3 +175,49 @@ def test_watch_compaction_resyncs(kv_url):
     ev = w.poll(timeout=5.0)
     assert ev is not None and ev.key == "k99"
     httpd.shutdown()
+
+
+def test_watch_compaction_synthesizes_deletes(kv_url):
+    """A key the watcher observed alive that is deleted inside a compacted
+    gap must surface as a synthetic DELETE on resync — a PUT-only resync
+    would mirror the stale key forever (ADVICE r4)."""
+    from ballista_tpu.scheduler.kv_remote import serve_kv as _serve
+    service, httpd = _serve()
+    service.max_log = 5
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    a = RemoteKeyValueStore(url)
+    w = a.watch(Keyspace.SLOTS, "k")
+    a.put(Keyspace.SLOTS, "kdead", "1")
+    assert [e.key for e in w.drain()] == ["kdead"]  # observed alive
+    # now delete it and push the log past the retention window
+    a.delete(Keyspace.SLOTS, "kdead")
+    for i in range(10):
+        a.put(Keyspace.SLOTS, f"k{i:02d}", str(i))
+    evs = w.drain()
+    dels = [(e.kind, e.key) for e in evs if e.kind == "delete"]
+    assert dels == [("delete", "kdead")]
+    puts = sorted(e.key for e in evs if e.kind == "put")
+    assert puts == [f"k{i:02d}" for i in range(10)]
+    httpd.shutdown()
+
+
+def test_unlock_transport_failure_is_not_lock_lost(kv_url):
+    """A transient network failure on the FINAL unlock must not raise
+    LockLostError when the lease was healthy throughout — the lease just
+    expires on its own (ADVICE r4)."""
+    a = RemoteKeyValueStore(kv_url, lock_ttl_s=0.5)
+    orig_call = a._call
+
+    def flaky_call(verb, **req):
+        if verb == "unlock":
+            raise OSError("connection reset")
+        return orig_call(verb, **req)
+
+    a._call = flaky_call
+    with a.lock(Keyspace.SLOTS, "flaky"):   # must NOT raise on exit
+        pass
+    # lease self-expires; a peer can acquire after the TTL
+    b = RemoteKeyValueStore(kv_url, lock_ttl_s=0.5)
+    with b.lock(Keyspace.SLOTS, "flaky", acquire_timeout_s=2.0):
+        pass

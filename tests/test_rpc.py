@@ -489,3 +489,61 @@ def test_push_verbs_queue_semantics():
     out = post("launch_task", {"tasks": [dict(t1)]})
     assert out["accepted"] == 0 and out.get("terminating")
     ex._httpd.shutdown()
+
+
+def test_push_status_flush_retries_failed_deliveries():
+    """ADVICE r4: a transient update_task_status failure must NOT park the
+    status until shutdown — the push loop retries pending deliveries on
+    the next flush, so the scheduler's view (and the slot) recovers."""
+    from ballista_tpu.scheduler.executor_process import ExecutorProcess
+
+    ex = ExecutorProcess.__new__(ExecutorProcess)
+    ex.meta = ExecutorMetadata("flush-unit", task_slots=1)
+    ex._statuses = []
+
+    delivered = []
+
+    class _FlakyClient:
+        def __init__(self):
+            self.calls = 0
+
+        def update_task_status(self, eid, statuses):
+            self.calls += 1
+            if self.calls == 1:
+                raise OSError("scheduler hiccup")
+            delivered.extend(statuses)
+
+    ex.client = _FlakyClient()
+    s1 = TaskStatus(1, "j", 0, (0,), "flush-unit", "successful")
+    s2 = TaskStatus(2, "j", 1, (0,), "flush-unit", "successful")
+    ex._statuses.append(s1)
+    ex._flush_statuses()            # fails: held for retry, order kept
+    assert ex._statuses == [s1]
+    ex._statuses.append(s2)
+    ex._flush_statuses()            # succeeds: both delivered in order
+    assert ex._statuses == [] and delivered == [s1, s2]
+
+
+def test_push_scheduler_portless_executor_gets_work_via_poll(tmp_path):
+    """ADVICE r4 default-flag mismatch: a pull-mode worker (no listen
+    endpoint, port 0) registered with a PUSH scheduler must still receive
+    work via PollWork instead of having every task synthesized as an 'io'
+    launch failure until the job dies."""
+    service, httpd, url = _start_push_scheduler(tmp_path / "shuffle")
+    p = None
+    try:
+        p = _spawn_executor(url, "pull-on-push")   # default pull policy
+        client = SchedulerRpcClient(url)
+        job_id = client.submit_sql(
+            SQL, TABLES, options={"n_partitions": N_PART})
+        got = client.wait(job_id, timeout_s=420)
+        exp = _oracle()
+        assert [int(x) for x in got["n"]] == [int(x) for x in exp["n"]]
+        # the job must have succeeded first try — no synthesized launch
+        # failures burning the task budget
+        st = client.job_status(job_id)
+        assert st["state"] == "successful"
+    finally:
+        if p is not None:
+            p.kill()
+        httpd.shutdown()
