@@ -35,11 +35,36 @@ from typing import Dict, List, Optional
 log = logging.getLogger("ballista_tpu.executor")
 
 
+def fetch_stage_blob(host: str, port: int, job_id: str, stage_id: int,
+                     version: int, timeout: float = 60.0) -> Optional[bytes]:
+    """Dial a peer executor's data endpoint for one stage's spill blob
+    (the FetchPartition do_get ticket, flight_service.rs:123). None on
+    any failure — the caller decides which tier to try next."""
+    import urllib.request
+    if not port:
+        return None
+    data = json.dumps({"job_id": job_id, "stage_id": int(stage_id),
+                       "spec_version": int(version)}).encode()
+    req = urllib.request.Request(
+        f"http://{host}:{port}/exec/fetch_partition", data=data,
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.read()
+    except Exception as e:  # noqa: BLE001 - peer gone / partition missing
+        log.debug("peer fetch %s:%s %s/stage_%s failed: %s",
+                  host, port, job_id, stage_id, e)
+        return None
+
+
 class _ExecutorJob:
     """Executor-side job state: context, deterministically re-derived stage
-    programs, and the shared-store spiller (one per (job, spec version))."""
+    programs, and the spiller (one per (job, spec version)). The spiller
+    targets the executor's LOCAL work dir when one is configured (peer-to-
+    peer deployments, shuffle files stay with their producer) and the
+    job's shared work_dir otherwise."""
 
-    def __init__(self, spec, mesh):
+    def __init__(self, spec, mesh, work_dir=None, peer_fetch=None):
         from ..client.context import _rebind_scans
         from ..planner.optimizer import prune_columns, reduce_group_keys
         from ..serde.tasks import build_context
@@ -55,14 +80,15 @@ class _ExecutorJob:
         runtime = DistributedRuntime(ctx, mesh, spec.options)
         dplan = DistributedPlanner(ctx, spec.options).plan(plan)
         self.jc = JobContext(spec.job_id, dplan, runtime, ctx, plan,
-                             spiller=StageSpiller(spec.work_dir,
-                                                  version=spec.version))
+                             spiller=StageSpiller(work_dir or spec.work_dir,
+                                                  version=spec.version),
+                             peer_fetch=peer_fetch)
 
 
 class ExecutorProcess:
     def __init__(self, scheduler_url: str, executor_id: str,
                  task_slots: int = 1, mesh=None, poll_interval: float = 0.1,
-                 heartbeat_interval: float = 10.0):
+                 heartbeat_interval: float = 10.0, work_dir: str = None):
         from ..parallel.mesh import make_mesh
         from .rpc import SchedulerRpcClient
         from .server import ExecutorMetadata
@@ -73,6 +99,12 @@ class ExecutorProcess:
                                      devices=int(self.mesh.devices.size))
         self.poll_interval = poll_interval
         self.heartbeat_interval = heartbeat_interval
+        # executor-LOCAL shuffle dir: when set, stage outputs spill here
+        # (not the job's shared work_dir) and peers fetch them over the
+        # data endpoint — the reference's per-executor work_dir +
+        # FlightRemote read (executor_process.rs work_dir flag,
+        # shuffle_reader.rs:226)
+        self.work_dir = work_dir
         self.jobs: Dict[str, _ExecutorJob] = {}
         self._statuses: List = []
         self._stop = threading.Event()
@@ -141,9 +173,64 @@ class ExecutorProcess:
                 f"job {task.job_id} plans {spec.options.n_partitions} "
                 f"partitions but this executor's mesh has "
                 f"{self.mesh.devices.size} devices")
-        ej = _ExecutorJob(spec, self.mesh)
+        version = spec.version
+
+        def peer_fetch(job_id, stage_id, mesh):
+            return self._peer_fetch(job_id, stage_id, mesh, version)
+
+        ej = _ExecutorJob(spec, self.mesh, work_dir=self.work_dir,
+                          peer_fetch=peer_fetch)
         self.jobs[task.job_id] = ej
         return ej
+
+    # -- peer-to-peer shuffle fetch (three-tier read, remote tier) --
+
+    def _peer_fetch(self, job_id: str, stage_id: int, mesh, version: int):
+        """Pull a stage output straight from its producing executor
+        (shuffle_reader.rs:395-537 FlightRemote tier): ask the scheduler
+        who produced it, dial that worker's data endpoint, decode the
+        blob onto the local mesh. Returns None when no peer can serve it
+        (the caller then falls through to fetch_failed → graph rollback)."""
+        from .spill import decode_stage
+        try:
+            locs = self.client.stage_locations(job_id, stage_id)
+        except Exception as e:  # noqa: BLE001 - scheduler hiccup
+            log.warning("stage_locations(%s, %s) failed: %s",
+                        job_id, stage_id, e)
+            return None
+        for loc in locs:
+            if loc.get("executor_id") == self.meta.executor_id:
+                continue    # local tiers already missed
+            blob = fetch_stage_blob(loc["host"], loc["data_port"], job_id,
+                                    stage_id, version)
+            if blob is not None:
+                log.info("fetched %s/stage_%s from peer %s (%d bytes)",
+                         job_id, stage_id, loc["executor_id"], len(blob))
+                return decode_stage(blob, mesh)
+        return None
+
+    def _fetch_partition_blob(self, req: dict) -> Optional[bytes]:
+        """Serving side of the data endpoint (flight_service.rs:74 do_get
+        FetchPartition): return the raw spill blob for (job, stage, spec
+        version) from the cached job's spiller, the in-memory output, or
+        a cold read of the local work dir."""
+        from .spill import StageSpiller, encode_stage
+        job_id = req["job_id"]
+        stage_id = int(req["stage_id"])
+        version = int(req.get("spec_version", 0))
+        ej = self.jobs.get(job_id)
+        if ej is not None and ej.spec.version == version:
+            blob = ej.jc.spiller.read_blob(job_id, stage_id)
+            if blob is not None:
+                return blob
+            pb = ej.jc.outputs.get(str(stage_id))
+            if pb is not None:
+                return encode_stage(pb)
+        if self.work_dir:
+            # job evicted but the shuffle file may still be on local disk
+            return StageSpiller(self.work_dir,
+                                version=version).read_blob(job_id, stage_id)
+        return None
 
     def _run_task(self, task):
         from ..errors import BallistaError, classify
@@ -214,17 +301,21 @@ class ExecutorProcess:
                 self._stop.wait(self.poll_interval)
         log.info("executor %s stopped", self.meta.executor_id)
 
-    # -- push mode (ExecutorGrpc service analog, proto:1102) --
+    # -- executor HTTP service: push verbs + the data endpoint --
 
     def listen(self, host: str = "127.0.0.1", port: int = 0,
-               advertise_host: str = None):
+               advertise_host: str = None, data_only: bool = False):
         """Start the ExecutorGrpc-analog HTTP service (LaunchTask,
         CancelTasks, StopExecutor, RemoveJobData — executor_server.rs:1118,
-        1157, 1183, 1210) and advertise its endpoint in the registration
-        metadata. Call BEFORE start() so the scheduler learns the port.
-        `advertise_host` is the name the SCHEDULER should dial (container
-        hostname / LB name) when it differs from the bind address —
-        the reference's executor external_host flag."""
+        1157, 1183, 1210 — plus the Flight-shuffle-service analog
+        fetch_partition, flight_service.rs:74) and advertise its endpoint
+        in the registration metadata. Call BEFORE start() so the scheduler
+        learns the port. `advertise_host` is the name the SCHEDULER (and
+        peers) should dial when it differs from the bind address — the
+        reference's executor external_host flag. `data_only=True` serves
+        ONLY fetch_partition and does not advertise a push endpoint, so a
+        pull-mode worker can hand out shuffle data without being
+        push-launched at."""
         self._queue: collections.deque = collections.deque()
         self._queue_cond = threading.Condition()
         self._cancelled: set = set()
@@ -239,6 +330,21 @@ class ExecutorProcess:
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    if verb == "fetch_partition":
+                        blob = proc._fetch_partition_blob(req)
+                        if blob is None:
+                            self.send_error(404, "partition not found")
+                            return
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "application/vnd.apache.arrow.file")
+                        self.send_header("Content-Length", str(len(blob)))
+                        self.end_headers()
+                        self.wfile.write(blob)
+                        return
+                    if data_only:
+                        self.send_error(403, "data-only endpoint")
+                        return
                     resp = proc._push_verb(verb, req)
                     body = json.dumps(resp).encode()
                     self.send_response(200)
@@ -252,10 +358,12 @@ class ExecutorProcess:
 
         self._httpd = ThreadingHTTPServer((host, port), _ExecHandler)
         self.meta.host = advertise_host or host
-        self.meta.port = self._httpd.server_address[1]
+        self.meta.data_port = self._httpd.server_address[1]
+        if not data_only:
+            self.meta.port = self._httpd.server_address[1]
         threading.Thread(target=self._httpd.serve_forever,
                          daemon=True).start()
-        return self.meta.port
+        return self._httpd.server_address[1]
 
     def _push_verb(self, verb: str, req: dict) -> dict:
         from ..serde.tasks import task_from_wire
@@ -352,6 +460,11 @@ def main(argv=None):
     ap.add_argument("--advertise-host", default=None,
                     help="hostname the scheduler dials for push launches "
                          "when it differs from --listen-host (containers)")
+    ap.add_argument("--work-dir", default=None,
+                    help="executor-LOCAL shuffle spill dir: stage outputs "
+                         "spill here and peers fetch them over the data "
+                         "endpoint instead of a shared object store "
+                         "(executor_process.rs --work-dir parity)")
     args = ap.parse_args(argv)
 
     if args.devices:
@@ -369,7 +482,8 @@ def main(argv=None):
     ex = ExecutorProcess(args.scheduler, executor_id,
                          task_slots=args.slots,
                          poll_interval=args.poll_ms / 1000.0,
-                         heartbeat_interval=args.heartbeat_s)
+                         heartbeat_interval=args.heartbeat_s,
+                         work_dir=args.work_dir)
 
     def _term(signum, frame):
         log.info("SIGTERM: graceful stop")
@@ -382,6 +496,11 @@ def main(argv=None):
                       advertise_host=args.advertise_host)
             ex.run_push()
         else:
+            # pull workers still serve shuffle data to peers (every
+            # reference executor runs its Flight service regardless of
+            # scheduling policy); data_only keeps them out of push launch
+            ex.listen(args.listen_host, args.listen_port,
+                      advertise_host=args.advertise_host, data_only=True)
             ex.run_forever()
     except KeyboardInterrupt:
         ex.stop(graceful=True)

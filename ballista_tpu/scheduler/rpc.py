@@ -288,6 +288,26 @@ class SchedulerRpcService:
     def cancel_job(self, req: dict) -> dict:
         return {"cancelled": self.scheduler.cancel_job(req["job_id"])}
 
+    def stage_locations(self, req: dict) -> dict:
+        """Who produced a stage's output, with their data endpoints — the
+        consumer's ticket for the peer-to-peer read tier (the reference
+        embeds PartitionLocation in the task definition,
+        shuffle_reader.rs:60; here it's one cheap lookup)."""
+        g = self.scheduler.task_manager.jobs.get(req["job_id"])
+        if g is None:
+            return {"locations": []}
+        st = g.stages.get(int(req["stage_id"]))
+        if st is None:
+            return {"locations": []}
+        em = self.scheduler.executor_manager
+        locs = []
+        for eid in sorted(set(st.output_locations.values())):
+            ex = em.executors.get(eid)
+            if ex is not None and ex.meta.data_port and not em.is_dead(eid):
+                locs.append({"executor_id": eid, "host": ex.meta.host,
+                             "data_port": ex.meta.data_port})
+        return {"locations": locs}
+
     def stop_executor(self, req: dict) -> dict:
         self.scheduler.stop_executor(req["executor_id"])
         return {"ok": True}
@@ -319,9 +339,23 @@ class SchedulerRpcService:
             return {"error": f"job {job_id} is {g.state.value}: {g.error}"}
         from .. import batch as B
         from ..parallel.partitioned import gather_partitions
-        from .spill import StageSpiller
+        from .spill import StageSpiller, decode_stage
         pb = StageSpiller(spec.work_dir, version=spec.version).restore(
             job_id, spec.final_stage)
+        if pb is None:
+            # disjoint work dirs: pull the final stage straight from its
+            # producing executor's data endpoint (p2p result egress)
+            from .executor_process import fetch_stage_blob
+            locs = self.stage_locations(
+                {"job_id": job_id,
+                 "stage_id": spec.final_stage})["locations"]
+            for loc in locs:
+                blob = fetch_stage_blob(loc["host"], loc["data_port"],
+                                        job_id, spec.final_stage,
+                                        spec.version)
+                if blob is not None:
+                    pb = decode_stage(blob)
+                    break
         if pb is None:
             return {"error": "final stage output not found in object store"}
         # schema comes from re-deriving the final stage plan server-side
@@ -489,3 +523,9 @@ class SchedulerRpcClient:
 
     def executor_stopped(self, executor_id: str) -> None:
         self.call("executor_stopped", executor_id=executor_id)
+
+    def stage_locations(self, job_id: str, stage_id: int) -> list:
+        """Data endpoints of the executors holding a stage's output
+        (the peer-to-peer shuffle-read ticket)."""
+        return self.call("stage_locations", job_id=job_id,
+                         stage_id=int(stage_id)).get("locations", [])

@@ -45,6 +45,12 @@ class ExecutorMetadata:
     # local mesh width (ExecutorSpecification parity): lets the scheduler
     # default a job's partition count to what its fleet can actually run
     devices: int = 0
+    # shuffle-data endpoint (the reference's separate grpc_port vs
+    # flight port, ExecutorMetadata in ballista.proto): peers fetch stage
+    # outputs from here directly; 0 = no peer-serving endpoint (shared
+    # object store only). Kept distinct from `port` so a pull-mode worker
+    # can serve DATA without advertising itself as push-launchable.
+    data_port: int = 0
 
 
 class ExecutorStatus(enum.Enum):

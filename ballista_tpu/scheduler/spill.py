@@ -29,6 +29,58 @@ from ..parallel.multihost import host_local_array
 from ..batch import Column
 
 
+def encode_stage(pb: PartitionedBatch) -> bytes:
+    """Serialize a sharded stage output to one self-describing Arrow IPC
+    blob (per-column (P, cap) data + validity planes + per-shard row
+    counts in schema metadata) — the spill file format AND the
+    peer-to-peer fetch wire format."""
+    arrays = {}
+    P, cap = pb.n_partitions, pb.capacity
+    for i, c in enumerate(pb.columns):
+        arrays[f"d{i}"] = host_local_array(c.data).reshape(-1)
+        arrays[f"v{i}"] = host_local_array(c.validity).reshape(-1)
+    nrows = host_local_array(pb.num_rows).astype("int64").tolist()
+    table = pa.table({k: pa.array(v) for k, v in arrays.items()})
+    meta = {b"P": str(P).encode(), b"cap": str(cap).encode(),
+            b"ncols": str(len(pb.columns)).encode(),
+            b"num_rows": ",".join(map(str, nrows)).encode()}
+    table = table.replace_schema_metadata(meta)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_file(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def decode_stage(blob: bytes, mesh=None) -> PartitionedBatch:
+    """Inverse of encode_stage: rebuild the PartitionedBatch, resharding
+    onto `mesh` when given (host arrays otherwise)."""
+    table = pa.ipc.open_file(pa.BufferReader(blob)).read_all()
+    meta = table.schema.metadata
+    P = int(meta[b"P"])
+    cap = int(meta[b"cap"])
+    ncols = int(meta[b"ncols"])
+
+    def put(a):
+        if mesh is None:
+            import jax.numpy as jnp
+            return jnp.asarray(a)
+        import jax
+        from ..parallel.partitioned import shard_batch_sharding
+        sharding = shard_batch_sharding(mesh)
+        return jax.make_array_from_callback(a.shape, sharding,
+                                            lambda idx: a[idx])
+
+    cols = []
+    for i in range(ncols):
+        d = np.asarray(table[f"d{i}"]).reshape(P, cap)
+        v = np.asarray(table[f"v{i}"]).reshape(P, cap)
+        cols.append(Column(put(d), put(v)))
+    nr = put(np.array([int(x) for x in
+                       meta[b"num_rows"].decode().split(",")],
+                      dtype=np.int32))
+    return PartitionedBatch(tuple(cols), nr)
+
+
 class StageSpiller:
     def __init__(self, work_dir: str, registry=None, version: int = 0):
         from ..utils.object_store import DEFAULT_REGISTRY
@@ -51,22 +103,7 @@ class StageSpiller:
     def spill(self, job_id: str, stage_id: int, pb: PartitionedBatch):
         """Persist a stage's sharded output: per-column (P, cap) data +
         validity planes plus per-shard row counts, one IPC file."""
-        arrays = {}
-        P, cap = pb.n_partitions, pb.capacity
-        for i, c in enumerate(pb.columns):
-            arrays[f"d{i}"] = host_local_array(c.data).reshape(-1)
-            arrays[f"v{i}"] = host_local_array(c.validity).reshape(-1)
-        nrows = host_local_array(pb.num_rows).astype("int64").tolist()
-        table = pa.table({k: pa.array(v) for k, v in arrays.items()})
-        meta = {b"P": str(P).encode(), b"cap": str(cap).encode(),
-                b"ncols": str(len(pb.columns)).encode(),
-                b"num_rows": ",".join(map(str, nrows)).encode()}
-        table = table.replace_schema_metadata(meta)
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_file(sink, table.schema) as w:
-            w.write_table(table)
-        self.store.put(self._key(job_id, stage_id),
-                       sink.getvalue().to_pybytes())
+        self.store.put(self._key(job_id, stage_id), encode_stage(pb))
 
     def restore(self, job_id: str, stage_id: int,
                 mesh=None) -> Optional[PartitionedBatch]:
@@ -75,31 +112,13 @@ class StageSpiller:
         blob = self.store.get(self._key(job_id, stage_id))
         if blob is None:
             return None
-        table = pa.ipc.open_file(pa.BufferReader(blob)).read_all()
-        meta = table.schema.metadata
-        P = int(meta[b"P"])
-        cap = int(meta[b"cap"])
-        ncols = int(meta[b"ncols"])
+        return decode_stage(blob, mesh)
 
-        def put(a):
-            if mesh is None:
-                import jax.numpy as jnp
-                return jnp.asarray(a)
-            import jax
-            from ..parallel.partitioned import shard_batch_sharding
-            sharding = shard_batch_sharding(mesh)
-            return jax.make_array_from_callback(a.shape, sharding,
-                                                lambda idx: a[idx])
-
-        cols = []
-        for i in range(ncols):
-            d = np.asarray(table[f"d{i}"]).reshape(P, cap)
-            v = np.asarray(table[f"v{i}"]).reshape(P, cap)
-            cols.append(Column(put(d), put(v)))
-        nr = put(np.array([int(x) for x in
-                           meta[b"num_rows"].decode().split(",")],
-                          dtype=np.int32))
-        return PartitionedBatch(tuple(cols), nr)
+    def read_blob(self, job_id: str, stage_id: int) -> Optional[bytes]:
+        """Raw spill bytes for a stage — what the peer-to-peer data
+        endpoint serves (flight_service.rs:74 do_get FetchPartition reads
+        the producer's local shuffle file the same way)."""
+        return self.store.get(self._key(job_id, stage_id))
 
     def clean_job(self, job_id: str):
         """RemoveJobData parity (executor_server.rs:1210): delete a job's

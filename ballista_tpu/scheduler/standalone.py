@@ -89,7 +89,7 @@ class MeshTaskLauncher(TaskLauncher):
 class JobContext:
     def __init__(self, job_id: str, dplan: DistributedPlan,
                  runtime: DistributedRuntime, ctx, logical_plan,
-                 spiller=None):
+                 spiller=None, peer_fetch=None):
         self.job_id = job_id
         self.dplan = dplan
         self.runtime = runtime
@@ -101,6 +101,11 @@ class JobContext:
         # Replicator parity: stage outputs spilled to disk survive loss of
         # the in-memory copies and restore without re-running producers
         self.spiller = spiller
+        # peer-to-peer read tier (shuffle_reader.rs:226 FlightRemote):
+        # callable (job_id, stage_id, mesh) -> PartitionedBatch | None that
+        # pulls the producing executor's stage output directly over its
+        # data endpoint; tried after the local/store tiers miss
+        self.peer_fetch = peer_fetch
 
     def run_stage(self, stage_id: int, max_quota_retries: int = 3):
         import dataclasses as dc
@@ -121,6 +126,13 @@ class JobContext:
                         # object-store fallback read (shuffle_reader.rs:787)
                         pb = self.spiller.restore(self.job_id, int(src.name),
                                                   self.runtime.mesh)
+                        if pb is not None:
+                            self.outputs[src.name] = pb
+                    if pb is None and self.peer_fetch is not None:
+                        # three-tier read, remote tier: pull straight from
+                        # the producing executor (shuffle_reader.rs:395-537)
+                        pb = self.peer_fetch(self.job_id, int(src.name),
+                                             self.runtime.mesh)
                         if pb is not None:
                             self.outputs[src.name] = pb
                     if pb is None:

@@ -74,7 +74,7 @@ def status_from_wire(d: dict) -> TaskStatus:
 def executor_meta_to_wire(m: ExecutorMetadata) -> dict:
     return _tag({"executor_id": m.executor_id, "host": m.host,
                  "port": m.port, "task_slots": m.task_slots,
-                 "devices": m.devices})
+                 "devices": m.devices, "data_port": m.data_port})
 
 
 def executor_meta_from_wire(d: dict) -> ExecutorMetadata:
@@ -82,7 +82,8 @@ def executor_meta_from_wire(d: dict) -> ExecutorMetadata:
     return ExecutorMetadata(d["executor_id"], d.get("host", "localhost"),
                             int(d.get("port", 0)),
                             int(d.get("task_slots", 1)),
-                            devices=int(d.get("devices", 0)))
+                            devices=int(d.get("devices", 0)),
+                            data_port=int(d.get("data_port", 0)))
 
 
 @dataclasses.dataclass
