@@ -64,9 +64,7 @@ class BoundAgg:
     """One aggregate bound against the input schema."""
 
     def __init__(self, spec: AggExpr, in_schema: Schema):
-        from ..ops import agg as A
         self.spec = spec
-        self.A = A
         self.arg: Optional[Bound] = (
             bind_expr(spec.arg, in_schema) if spec.arg is not None else None)
         k = spec.kind

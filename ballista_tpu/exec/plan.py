@@ -274,8 +274,6 @@ class HashAggregateExec(ExecNode):
                 # reconstruct a BoundAgg whose state field names match child
                 ba = BoundAgg.__new__(BoundAgg)
                 ba.spec = a
-                from ..ops import agg as A
-                ba.A = A
                 ba.arg = None
                 # recover dtypes from child schema
                 sf = [f for f in probe_schema.fields if f.name.startswith(f"{a.name}#s")]

@@ -13,8 +13,8 @@ full sort 30 ms. Aggregation therefore avoids scatters entirely:
   gathers at run boundaries (segmented scan for min/max). Dense run ids
   replace sparse table slots, so the output is already compacted.
 
-These subsume `ops.agg`'s scatter-based seg_* kernels (kept for
-reference/fallback).
+These replaced the original scatter-based seg_* kernels (ops/agg.py,
+removed in round 5 once the sorted/masked layouts became the only path).
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ballista_tpu.batch import Batch, Column
-from ballista_tpu.ops import agg, compact, hash as H, sort
+from ballista_tpu.ops import compact, hash as H, sort
 
 
 def mk_batch(cols, n):
@@ -45,21 +45,6 @@ def test_group_codes_nulls_group_together():
     assert rs[0] == rs[2]
     assert rs[1] == rs[3]
     assert rs[0] != rs[1]
-
-
-def test_seg_sum_and_min():
-    cap = 128
-    n = 6
-    slots = np.full(cap, -1, dtype=np.int32); slots[:n] = [0, 1, 0, 1, 0, 2]
-    vals = np.zeros(cap, dtype=np.int64); vals[:n] = [10, 20, 30, 40, 50, 60]
-    valid = np.zeros(cap, dtype=bool); valid[:n] = [True, True, False, True, True, True]
-    live = np.zeros(cap, dtype=bool); live[:n] = True
-    total, tv = agg.seg_sum(jnp.asarray(vals), jnp.asarray(valid), jnp.asarray(slots),
-                            jnp.asarray(live), 8)
-    assert list(np.asarray(total)[:3]) == [60, 60, 60]
-    mn, mv = agg.seg_min(jnp.asarray(vals), jnp.asarray(valid), jnp.asarray(slots),
-                         jnp.asarray(live), 8)
-    assert np.asarray(mn)[0] == 10 and np.asarray(mn)[1] == 20
 
 
 def test_filter_compact():
