@@ -10,6 +10,16 @@ one, int32/f32 into another), packs the validity bools (and bool data
 columns) into bitmask words appended to the int64 matrix, gathers each
 matrix once, and unpacks.
 
+HARD CONSTRAINT (found via bench_logs/sf10_r3.log:18 and the AOT layout
+probes, round 5): XLA TPU lays a gather's (N, k) output out as
+{1,0:T(8,128)} — the k<=8 minor dim pads to 128 LANES, so the output
+buffer costs N*128*elem bytes regardless of k (43.85 GB at the SF10
+join capacity 85,649,664 — the q5/q8 compile-time OOM). The fix keeps
+the row-locality win but bounds the padded buffer: gathers whose padded
+output exceeds BALLISTA_GATHER_PAD_CAP (default 1 GiB) run as a
+lax.scan over row chunks, each chunk doing one stacked gather into a
+bounded scratch and emitting per-column 1-D slices (compact layouts).
+
 Reference role: DataFusion's `take` kernels under HashJoinExec output
 materialization (Ballista delegates join compute to DataFusion,
 SURVEY.md §1 engine-kernel note).
@@ -17,6 +27,7 @@ SURVEY.md §1 engine-kernel note).
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -25,6 +36,38 @@ import jax.numpy as jnp
 from ..batch import Column
 
 _WBITS = 63  # usable validity bits per int64 word (avoid the sign bit)
+
+
+def _pad_cap() -> int:
+    return int(float(os.environ.get("BALLISTA_GATHER_PAD_CAP",
+                                    str(1 << 30))))
+
+
+def _take_rows(stack: jax.Array, idx: jax.Array) -> List[jax.Array]:
+    """Row-gather `stack[(n_rows, k)]` by `idx`, returning k per-column
+    1-D arrays. Single stacked take when the padded (N, k->128-lane)
+    output fits the cap; chunked scan otherwise (same inner stacked
+    gather, bounded scratch, compact outputs)."""
+    n = idx.shape[0]
+    k = stack.shape[1]
+    # a 64-bit stack's pair representation still pads the PAIR dim into
+    # lanes with the k dim, so padded bytes ~ N*128*elem either way
+    elem = stack.dtype.itemsize
+    padded = n * 128 * elem
+    cap = _pad_cap()
+    if padded <= cap or n <= (1 << 16):
+        out = jnp.take(stack, idx, axis=0, mode="clip")
+        return [out[:, j] for j in range(k)]
+    m = max(cap // (128 * elem), 1 << 16)
+    nchunks = -(-n // m)
+    idx_p = jnp.pad(idx, (0, nchunks * m - n)).reshape(nchunks, m)
+
+    def body(_, ic):
+        blk = jnp.take(stack, ic, axis=0, mode="clip")   # bounded scratch
+        return None, tuple(blk[:, j] for j in range(k))
+
+    _, ys = jax.lax.scan(body, None, idx_p)   # k arrays of (nchunks, m)
+    return [y.reshape(-1)[:n] for y in ys]
 
 
 def gather_columns(cols: Sequence[Column], idx: jax.Array,
@@ -70,15 +113,13 @@ def gather_columns(cols: Sequence[Column], idx: jax.Array,
             word = word | (b.astype(jnp.int64) << i)
         slots64.append(word)
 
-    out64 = jnp.take(jnp.stack(slots64, axis=1), idx, axis=0, mode="clip")
-    out32 = (jnp.take(jnp.stack(slots32, axis=1), idx, axis=0, mode="clip")
-             if slots32 else None)
-    outf = (jnp.take(jnp.stack(slotsf, axis=1), idx, axis=0, mode="clip")
-            if slotsf else None)
+    out64 = _take_rows(jnp.stack(slots64, axis=1), idx)
+    out32 = _take_rows(jnp.stack(slots32, axis=1), idx) if slots32 else None
+    outf = _take_rows(jnp.stack(slotsf, axis=1), idx) if slotsf else None
 
     def bit(i: int) -> jax.Array:
         w, o = divmod(i, _WBITS)
-        return ((out64[:, ndata64 + w] >> o) & 1).astype(jnp.bool_)
+        return ((out64[ndata64 + w] >> o) & 1).astype(jnp.bool_)
 
     out: List[Column] = []
     for (cls, slot, cast, vbit) in plan:
@@ -88,11 +129,11 @@ def gather_columns(cols: Sequence[Column], idx: jax.Array,
         if cls == "bit":
             data = bit(slot)
         elif cls == "w64":
-            data = out64[:, slot]
+            data = out64[slot]
         elif cls == "wf":
-            data = outf[:, slot]
+            data = outf[slot]
         else:
-            data = out32[:, slot]
+            data = out32[slot]
             if cast is not None:
                 data = jax.lax.bitcast_convert_type(data, cast)
         out.append(Column(data, valid))
