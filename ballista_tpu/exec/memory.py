@@ -203,12 +203,17 @@ def route_serial(exec_plan, budget: int = 0) -> int:
 
     Returns 0 (run in-core) or a serial partition count N>0 (run via
     scheduler/serial.py). Routes to serial only when the estimate is
-    well above budget (BALLISTA_ROUTE_FACTOR, default 1.6x): the model
-    has ~±30% error (q9@SF10 estimates 21 GB yet ran on the 16 GB
-    chip), so borderline plans try in-core first and rely on the
-    caller's RESOURCE_EXHAUSTED fallback. Setting
-    BALLISTA_ROUTE_FACTOR=0 disables auto-routing entirely."""
-    factor = float(os.environ.get("BALLISTA_ROUTE_FACTOR", "1.6"))
+    well above budget (BALLISTA_ROUTE_FACTOR, default 2.2x): the model
+    over-approximates ~2x on deep join plans (sums all piece buffers;
+    XLA frees aggressively), and the round-5 record shows every SF10
+    query — estimates up to 27.9 GiB — running in-core on the 16 GB
+    chip once the padded-gather hazard was fixed (ops/gather.py;
+    bench_logs/sf10_r5_incore.log: q5 5.1s, q8 10.9s, q9 9.6s,
+    q10 10.3s, all oracle-verified). Borderline plans try in-core
+    first and rely on the caller's RESOURCE_EXHAUSTED fallback + the
+    OOM memo. Setting BALLISTA_ROUTE_FACTOR=0 disables auto-routing
+    entirely."""
+    factor = float(os.environ.get("BALLISTA_ROUTE_FACTOR", "2.2"))
     if factor <= 0:
         return 0
     memo_n = oom_memo_lookup(plan_fingerprint(exec_plan))

@@ -28,8 +28,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # On-chip ground truth at SF10 on the 16 GB v5e (see bench_logs/).
-FITS = [1, 2, 3, 4, 6, 7, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20]
-OOMS = [5, 8]
+# Round 5's padded-gather fix (ops/gather.py) made EVERY query fit
+# in-core (bench_logs/sf10_r5_incore.log); the OOMS list is empty and
+# stays as the hook for future regressions.
+FITS = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+        19, 20, 21, 22]
+OOMS = []
 
 
 def main():
@@ -69,6 +73,7 @@ def main():
         fp = plan_fingerprint(ep)
         if not oom_memo_lookup(fp):
             oom_memo_record(fp, 4)
+    del oom_memo_lookup, oom_memo_record, plan_fingerprint
 
     results, wrong = {}, []
     for q in sorted(FITS + OOMS):
