@@ -37,6 +37,12 @@ FIXED_ROWS = {1: 4, 2: 100, 3: 10, 4: 5, 5: 5, 6: 1, 7: 4, 8: 2, 9: 175,
 # queries whose FIRST numeric metric is additive in the row count
 # (sum/count): SF100/SF10 ratio must be ~10
 ADDITIVE = {1, 4, 6, 7, 12, 13, 22}
+# queries whose first numeric is a RATIO/percentage of iid per-row draws
+# (concentrates to the same value at any SF): SF100/SF10 must be ~1x
+RATIO_1X = {14, 17}
+# group domains that saturate at SF>=10: SF100 row count must equal the
+# oracle-verified SF10 row count (q16: every live brand/type/size combo)
+SATURATED_ROWS = {16}
 
 
 def main():
@@ -102,18 +108,42 @@ def _verify(q, args, res):
                        f"{len(df)} vs {FIXED_ROWS[q]}"))
     sf10_path = os.path.join(args.sf10_oracle or "",
                              f"oracle_sf10_q{q}.parquet")
-    if q in ADDITIVE and os.path.exists(sf10_path):
+    if os.path.exists(sf10_path) and (q in ADDITIVE or q in RATIO_1X):
         ref = pd.read_parquet(sf10_path)
         num = [c for c in df.columns
                if df[c].dtype.kind in "if" and c in ref.columns]
         if num and len(ref):
             ratio = float(df[num[0]].sum()) / max(
                 float(ref[num[0]].sum()), 1e-9)
-            checks.append(("scale10x", 8.0 <= ratio <= 12.0,
-                           f"ratio={ratio:.2f}"))
+            if q in ADDITIVE:
+                checks.append(("scale10x", 8.0 <= ratio <= 12.0,
+                               f"ratio={ratio:.2f}"))
+            else:
+                checks.append(("ratio1x", 0.9 <= ratio <= 1.1,
+                               f"ratio={ratio:.3f}"))
+    if q in SATURATED_ROWS and os.path.exists(sf10_path):
+        ref = pd.read_parquet(sf10_path)
+        checks.append(("saturated_rows", len(df) == len(ref),
+                       f"{len(df)} vs sf10 {len(ref)}"))
     out["checks"] = {name: detail for name, ok, detail in checks}
     out["verified"] = all(ok for _, ok, _ in checks) if checks else None
     return out
+
+
+def reverify(out_prefix, sf10_oracle="/root/oracle_sf10"):
+    """Re-run invariant checks over an existing sweep's saved parquets
+    (used post-hoc after verifier improvements)."""
+    import types
+    with open(out_prefix + ".json") as f:
+        doc = json.load(f)
+    args = types.SimpleNamespace(out=out_prefix, sf10_oracle=sf10_oracle)
+    for q, res in doc["queries"].items():
+        res.update(_verify(int(q), args, res))
+    doc["ok"] = sum(1 for r in doc["queries"].values()
+                    if "ms" in r and r.get("verified"))
+    with open(out_prefix + ".json", "w") as f:
+        json.dump(doc, f, indent=1)
+    return doc
 
 
 if __name__ == "__main__":
